@@ -1,0 +1,165 @@
+package graft.functions
+
+import java.text.Normalizer
+
+/**
+ * Phonetic encodings re-derived from the published algorithms that the
+ * reference uses through the jellyfish library (/root/reference/main.py:63-66):
+ * American Soundex (Odell & Russell) and Metaphone (Lawrence Philips, 1990).
+ *
+ * Pinned behavioral details that differ from Spark's built-in `soundex()` and
+ * matter for the reference's input domain (usernames with digits such as
+ * `rajesh123` — see /root/reference/usernames.csv):
+ *  - empty input -> empty code (Spark returns the input for non-letter heads);
+ *  - the first character is kept verbatim (uppercased) even if non-alphabetic;
+ *  - digits and other non-letters reset the "previous code" state (so
+ *    `r1r` emits the code for each `r`), while H and W do not;
+ *  - the code is zero-padded to exactly 4 characters.
+ */
+object Phonetics {
+
+  private def nfkd(s: String): String = Normalizer.normalize(s, Normalizer.Form.NFKD)
+
+  private def soundexDigit(c: Char): Char = c match {
+    case 'B' | 'F' | 'P' | 'V'                         => '1'
+    case 'C' | 'G' | 'J' | 'K' | 'Q' | 'S' | 'X' | 'Z' => '2'
+    case 'D' | 'T'                                     => '3'
+    case 'L'                                           => '4'
+    case 'M' | 'N'                                     => '5'
+    case 'R'                                           => '6'
+    case _                                             => 0
+  }
+
+  /** American Soundex, jellyfish-compatible (4-char code, e.g. `R220`). */
+  def soundex(input: String): String = {
+    if (input == null) return null
+    if (input.isEmpty) return ""
+    val s = nfkd(input).toUpperCase
+    if (s.isEmpty) return ""
+    val sb = new java.lang.StringBuilder(4)
+    sb.append(s.charAt(0))
+    var last = soundexDigit(s.charAt(0)) // would-be code of the head char
+    var count = 1
+    var i = 1
+    while (i < s.length && count < 4) {
+      val c = s.charAt(i)
+      val d = soundexDigit(c)
+      if (d != 0) {
+        if (d != last) { sb.append(d); count += 1 }
+        last = d
+      } else if (c != 'H' && c != 'W') {
+        // vowels, digits, punctuation break a run; H/W are transparent
+        last = 0
+      }
+      i += 1
+    }
+    while (count < 4) { sb.append('0'); count += 1 }
+    sb.toString
+  }
+
+  private val Vowels = "aeiou"
+
+  /**
+   * Metaphone (Philips 1990), following the jellyfish variant: lowercase +
+   * NFKD input, unbounded code length, uppercase output, word-initial rules
+   * applied per whitespace-separated word. Non-letters are dropped (but still
+   * considered for adjacency via the normalized string).
+   */
+  def metaphone(input: String): String = {
+    if (input == null) return null
+    metaphoneImpl(nfkd(input).toLowerCase)
+  }
+
+  private def isVowel(c: Char): Boolean = Vowels.indexOf(c) >= 0
+
+  private def metaphoneImpl(raw: String): String = {
+    // single pass over the whole string (jellyfish style): word-initial
+    // exceptions apply at the string head only; a vowel is voiced when it
+    // opens the string or follows a space; other non-letters emit no code.
+    var s = raw
+    // initial-cluster exceptions
+    if (s.length >= 2) {
+      val two = s.substring(0, 2)
+      if (two == "kn" || two == "gn" || two == "pn" || two == "wr" || two == "ae") s = s.substring(1)
+      else if (s.charAt(0) == 'x') s = "s" + s.substring(1)
+      else if (two == "wh") s = "w" + s.substring(2)
+    } else if (s == "x") s = "s"
+
+    val out = new java.lang.StringBuilder
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val prev = if (i > 0) s.charAt(i - 1) else 0.toChar
+      val next = if (i + 1 < n) s.charAt(i + 1) else 0.toChar
+      val nextnext = if (i + 2 < n) s.charAt(i + 2) else 0.toChar
+
+      // skip doubled letters except 'c'
+      if (c == next && c != 'c') {
+        i += 1
+      } else {
+        c match {
+          case 'a' | 'e' | 'i' | 'o' | 'u' =>
+            if (i == 0 || prev == ' ') out.append(Character.toUpperCase(c))
+          case 'b' =>
+            if (!(i == n - 1 && prev == 'm')) out.append('B')
+          case 'c' =>
+            if (next == 'i' && nextnext == 'a') out.append('X')
+            else if (next == 'h') {
+              if (prev == 's') out.append('K') else out.append('X')
+              i += 1
+            } else if (next == 'i' || next == 'e' || next == 'y') out.append('S')
+            else out.append('K')
+          case 'd' =>
+            if (next == 'g' && (nextnext == 'i' || nextnext == 'e' || nextnext == 'y')) {
+              out.append('J'); i += 1
+            } else out.append('T')
+          case 'g' =>
+            if (next == 'h') {
+              if (!(i + 2 < n && isVowel(nextnext)) && i + 2 < n) {
+                // silent gh before consonant
+              } else if (i + 1 == n - 1 || (i + 2 < n && !isVowel(nextnext))) {
+                // gh at end / before consonant: silent
+              } else { out.append('K'); i += 1 }
+            } else if (next == 'n') {
+              // silent g in gn / gned
+              if (!(i + 1 == n - 1 || (i + 3 <= n - 1 && s.substring(i + 1).startsWith("ned")))) {
+                out.append('K')
+              }
+            } else if (next == 'i' || next == 'e' || next == 'y') out.append('J')
+            else out.append('K')
+          case 'h' =>
+            if (isVowel(prev) && !isVowel(next) && next != 0) ()
+            else if (prev == 'c' || prev == 's' || prev == 'p' || prev == 't' || prev == 'g') ()
+            else out.append('H')
+          case 'k' =>
+            if (prev != 'c') out.append('K')
+          case 'p' =>
+            if (next == 'h') { out.append('F'); i += 1 } else out.append('P')
+          case 'q' => out.append('K')
+          case 's' =>
+            if (next == 'h') { out.append('X'); i += 1 }
+            else if (next == 'i' && (nextnext == 'o' || nextnext == 'a')) out.append('X')
+            else out.append('S')
+          case 't' =>
+            if (next == 'h') { out.append('0'); i += 1 }
+            else if (next == 'i' && (nextnext == 'o' || nextnext == 'a')) out.append('X')
+            else out.append('T')
+          case 'v' => out.append('F')
+          case 'w' =>
+            if (isVowel(next)) out.append('W')
+          case 'x' =>
+            out.append('K'); out.append('S')
+          case 'y' =>
+            if (isVowel(next)) out.append('Y')
+          case 'z' => out.append('S')
+          case 'f' | 'j' | 'l' | 'm' | 'n' | 'r' =>
+            out.append(Character.toUpperCase(c))
+          case _ => () // digits / punctuation: no code
+        }
+        i += 1
+      }
+    }
+    out.toString
+  }
+}

@@ -1,0 +1,214 @@
+package graft.functions
+
+/**
+ * Deterministic text kernels for the large-scale-pipeline surface
+ * (dedup / fingerprinting / language-ID / quality scoring). All are pure
+ * static functions so they can be invoked from codegen'd expressions and
+ * remain bit-stable across JVMs — a hard requirement when the same document
+ * must hash to the same bucket on 1000 executors.
+ */
+object TextAlgos {
+
+  /** 64-bit FNV-1a — stable, dependency-free hash for shingles/fingerprints. */
+  def fnv1a64(s: CharSequence): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: String): Array[String] =
+    if (text == null || text.isEmpty) Array.empty
+    else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  /** Word-level w-shingles as stable 64-bit hashes. */
+  def shingles(text: String, w: Int): Array[Long] = {
+    val ts = tokens(text)
+    if (ts.length < w) {
+      if (ts.isEmpty) Array.empty else Array(fnv1a64(ts.mkString(" ")))
+    } else {
+      val out = new Array[Long](ts.length - w + 1)
+      var i = 0
+      while (i + w <= ts.length) {
+        out(i) = fnv1a64(ts.slice(i, i + w).mkString(" "))
+        i += 1
+      }
+      out
+    }
+  }
+
+  /**
+   * MinHash signature of `k` permutations over the word-shingle set.
+   * Permutation i is `mix64(h ^ seed_i)` — the standard "one hash, k
+   * xor-mix-seeds" construction (Broder '97 family).
+   */
+  def minhash(text: String, w: Int, k: Int): Array[Long] = {
+    val sh = shingles(text, w)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val base = sh(i)
+      var j = 0
+      while (j < k) {
+        val v = mix64(base ^ (0x9e3779b97f4a7c15L * (j + 1)))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band keys: hash of each band of `rowsPerBand` signature slots.
+    * Two docs sharing any band key are near-dup candidates. */
+  def lshBands(sig: Array[Long], rowsPerBand: Int): Array[Long] = {
+    val nBands = sig.length / rowsPerBand
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = 0xcbf29ce484222325L ^ b
+      var r = 0
+      while (r < rowsPerBand) {
+        h = (h ^ sig(b * rowsPerBand + r)) * 0x100000001b3L
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash over word-level features (Charikar 2002). */
+  def simhash64(text: String): Long = {
+    val ts = tokens(text)
+    if (ts.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < ts.length) {
+      val h = mix64(fnv1a64(ts(i)))
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (acc(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** Jaccard similarity of word w-shingle sets (exact, for oracle-able
+    * pairwise checks and as the MinHash ground truth). */
+  def ngramJaccard(a: String, b: String, w: Int): Double = {
+    val sa = shingles(a, w).toSet
+    val sb = shingles(b, w).toSet
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    val inter = sa.intersect(sb).size
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
+
+  /** Rolling (Rabin-Karp style, base 257 mod 2^61-1) document fingerprint:
+    * min of window hashes — robust to small edits at window granularity. */
+  def rollingFingerprint(text: String, window: Int): Long = {
+    if (text == null || text.isEmpty) return 0L
+    val n = text.length
+    if (n <= window) return fnv1a64(text)
+    val Mod = (1L << 61) - 1
+    val Base = 257L
+    def mulmod(a: Long, b: Long): Long = {
+      // 61-bit modulus keeps a*b within unsigned 122 bits; use Math.multiplyHigh
+      val hi = Math.multiplyHigh(a, b)
+      val lo = a * b
+      // fold 2^64 ≡ 2^3 (mod 2^61-1)
+      var r = (lo & Mod) + ((lo >>> 61) | (hi << 3) & Mod) + (hi >>> 58)
+      while (r >= Mod) r -= Mod
+      r
+    }
+    var pow = 1L
+    var i = 0
+    while (i < window - 1) { pow = mulmod(pow, Base); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = (mulmod(h, Base) + text.charAt(i)) % Mod; i += 1 }
+    var minH = mix64(h)
+    i = window
+    while (i < n) {
+      h = (h - mulmod(text.charAt(i - window), pow) % Mod + Mod) % Mod
+      h = (mulmod(h, Base) + text.charAt(i)) % Mod
+      val m = mix64(h)
+      if (m < minH) minH = m
+      i += 1
+    }
+    minH
+  }
+
+  private val EnglishStopwords: Set[String] = Set(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "by", "at", "from", "this", "be", "are", "was")
+
+  /** Heuristic language ID: character-class + stopword-ratio n-gram
+    * heuristic. Deterministic; returns ISO-ish codes or "unknown". */
+  def langId(text: String): String = {
+    if (text == null || text.isEmpty) return "unknown"
+    var latin = 0; var cjk = 0; var cyr = 0; var arab = 0; var dev = 0; var total = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) {
+        total += 1
+        val blk = Character.UnicodeScript.of(c)
+        blk match {
+          case Character.UnicodeScript.LATIN => latin += 1
+          case Character.UnicodeScript.HAN | Character.UnicodeScript.HIRAGANA |
+               Character.UnicodeScript.KATAKANA | Character.UnicodeScript.HANGUL => cjk += 1
+          case Character.UnicodeScript.CYRILLIC => cyr += 1
+          case Character.UnicodeScript.ARABIC => arab += 1
+          case Character.UnicodeScript.DEVANAGARI => dev += 1
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    if (total == 0) return "unknown"
+    if (cjk * 2 > total) return "zh"
+    if (cyr * 2 > total) return "ru"
+    if (arab * 2 > total) return "ar"
+    if (dev * 2 > total) return "hi"
+    if (latin * 2 > total) {
+      val ts = tokens(text)
+      if (ts.isEmpty) return "unknown"
+      var sw = 0
+      var j = 0
+      while (j < ts.length) { if (EnglishStopwords.contains(ts(j))) sw += 1; j += 1 }
+      if (sw.toDouble / ts.length >= 0.08) "en" else "latin-other"
+    } else "unknown"
+  }
+
+  /** Stopword ratio over whitespace tokens (quality-scoring feature). */
+  def stopwordRatio(text: String): Double = {
+    val ts = tokens(text)
+    if (ts.isEmpty) return 0.0
+    var sw = 0
+    var j = 0
+    while (j < ts.length) { if (EnglishStopwords.contains(ts(j))) sw += 1; j += 1 }
+    sw.toDouble / ts.length
+  }
+}

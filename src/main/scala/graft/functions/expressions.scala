@@ -1,0 +1,203 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the engine's similarity/phonetic/dedup
+ * kernels. Each one participates in whole-stage codegen via `defineCodeGen`
+ * delegating to the static kernels in [[Fuzz]], [[Phonetics]], [[TextAlgos]]
+ * — no Scala-closure UDFs in the hot path, so the cross-join scoring stays
+ * inside a single WholeStageCodegen span.
+ *
+ * Reference semantics: /root/reference/main.py:56-66 (fuzz + phonetics).
+ */
+abstract class BinaryStringIntExpression extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  /** Fully-qualified static call target, e.g. "graft.functions.Fuzz.ratio". */
+  protected def kernel: String
+  protected def compute(a: String, b: String): Int
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$kernel($a.toString(), $b.toString())")
+}
+
+/** thefuzz `fuzz.ratio` — indel ratio 0..100 (main.py:56). */
+case class FuzzRatio(left: Expression, right: Expression) extends BinaryStringIntExpression {
+  override protected def kernel: String = "graft.functions.Fuzz.ratio"
+  override protected def compute(a: String, b: String): Int = Fuzz.ratio(a, b)
+  override def prettyName: String = "fuzz_ratio"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** thefuzz `fuzz.partial_ratio` (main.py:57). */
+case class FuzzPartialRatio(left: Expression, right: Expression) extends BinaryStringIntExpression {
+  override protected def kernel: String = "graft.functions.Fuzz.partialRatio"
+  override protected def compute(a: String, b: String): Int = Fuzz.partialRatio(a, b)
+  override def prettyName: String = "fuzz_partial_ratio"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** thefuzz `fuzz.token_set_ratio` (main.py:58-61). */
+case class FuzzTokenSetRatio(left: Expression, right: Expression) extends BinaryStringIntExpression {
+  override protected def kernel: String = "graft.functions.Fuzz.tokenSetRatio"
+  override protected def compute(a: String, b: String): Int = Fuzz.tokenSetRatio(a, b)
+  override def prettyName: String = "fuzz_token_set_ratio"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** thefuzz `fuzz.token_sort_ratio` (generic surface). */
+case class FuzzTokenSortRatio(left: Expression, right: Expression) extends BinaryStringIntExpression {
+  override protected def kernel: String = "graft.functions.Fuzz.tokenSortRatio"
+  override protected def compute(a: String, b: String): Int = Fuzz.tokenSortRatio(a, b)
+  override def prettyName: String = "fuzz_token_sort_ratio"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+abstract class UnaryStringStringExpression extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  protected def kernel: String
+  protected def compute(a: String): String
+  override def nullSafeEval(a: Any): Any =
+    UTF8String.fromString(compute(a.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"org.apache.spark.unsafe.types.UTF8String.fromString($kernel($a.toString()))")
+}
+
+/** jellyfish-compatible American Soundex (main.py:63,65; digits-safe). */
+case class SoundexJf(child: Expression) extends UnaryStringStringExpression {
+  override protected def kernel: String = "graft.functions.Phonetics.soundex"
+  override protected def compute(a: String): String = Phonetics.soundex(a)
+  override def prettyName: String = "soundex_jf"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Metaphone (Philips 1990), jellyfish-style (main.py:64,66). */
+case class MetaphoneExpr(child: Expression) extends UnaryStringStringExpression {
+  override protected def kernel: String = "graft.functions.Phonetics.metaphone"
+  override protected def compute(a: String): String = Phonetics.metaphone(a)
+  override def prettyName: String = "metaphone"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Deterministic language-ID heuristic over a text column. */
+case class LangId(child: Expression) extends UnaryStringStringExpression {
+  override protected def kernel: String = "graft.functions.TextAlgos.langId"
+  override protected def compute(a: String): String = TextAlgos.langId(a)
+  override def prettyName: String = "lang_id"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** 64-bit SimHash of a text column (near-dup dedup). */
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any = TextAlgos.simhash64(a.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextAlgos.simhash64($a.toString())")
+  override def prettyName: String = "simhash64"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Rolling-hash document fingerprint (window = `window` chars). */
+case class RollingFingerprint(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, w: Any): Any =
+    TextAlgos.rollingFingerprint(a.asInstanceOf[UTF8String].toString, w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, w) => s"graft.functions.TextAlgos.rollingFingerprint($a.toString(), $w)")
+  override def prettyName: String = "rolling_fingerprint"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** MinHash signature (k hashes over word w-shingles) as array<bigint>. */
+case class MinHashSig(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any, w: Any, k: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextAlgos.minhash(t.asInstanceOf[UTF8String].toString, w.asInstanceOf[Int], k.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w, k) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextAlgos.minhash($t.toString(), $w, $k))")
+  override def prettyName: String = "minhash_sig"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
+/** Exact word-w-shingle Jaccard similarity of two texts. */
+case class NGramJaccard(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType, IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any, w: Any): Any =
+    TextAlgos.ngramJaccard(
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString, w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, w) => s"graft.functions.TextAlgos.ngramJaccard($a.toString(), $b.toString(), $w)")
+  override def prettyName: String = "ngram_jaccard"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
+/** Cosine similarity of two float/double array columns (embedding search).
+  * Accumulates in double, sequentially, so results are deterministic. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    VectorMath.cosine(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorMath.cosine($a.toFloatArray(), $b.toFloatArray())")
+  override def prettyName: String = "cosine_sim"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+object VectorMath {
+  /** Deterministic sequential-accumulation cosine similarity. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def l2(a: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftshim.ColumnShim
+
+/**
+ * Column-API facade over the engine's native Catalyst expressions — the
+ * Scala-side equivalent of `org.apache.spark.sql.functions` for this library.
+ *
+ * Usage:
+ * {{{
+ *   import graft.functions._
+ *   df.withColumn("score", fuzz_ratio($"username", $"employee_name"))
+ * }}}
+ *
+ * `registerAll(spark)` additionally exposes every function to SQL
+ * (`SELECT fuzz_ratio(a, b) FROM t`).
+ */
+package object functions {
+
+  private def c(e: Expression): Column = ColumnShim.col(e)
+  private def e(col: Column): Expression = ColumnShim.expr(col)
+
+  // ---- fuzzy similarity (reference main.py:56-61) ----
+  def fuzz_ratio(a: Column, b: Column): Column = c(FuzzRatio(e(a), e(b)))
+  def fuzz_partial_ratio(a: Column, b: Column): Column = c(FuzzPartialRatio(e(a), e(b)))
+  def fuzz_token_set_ratio(a: Column, b: Column): Column = c(FuzzTokenSetRatio(e(a), e(b)))
+  def fuzz_token_sort_ratio(a: Column, b: Column): Column = c(FuzzTokenSortRatio(e(a), e(b)))
+
+  // ---- phonetics (reference main.py:63-66) ----
+  def soundex_jf(a: Column): Column = c(SoundexJf(e(a)))
+  def metaphone(a: Column): Column = c(MetaphoneExpr(e(a)))
+
+  // ---- text analysis / dedup surface ----
+  def lang_id(a: Column): Column = c(LangId(e(a)))
+  def simhash64(a: Column): Column = c(SimHash64(e(a)))
+  def rolling_fingerprint(a: Column, window: Column): Column = c(RollingFingerprint(e(a), e(window)))
+  def minhash_sig(a: Column, w: Column, k: Column): Column = c(MinHashSig(e(a), e(w), e(k)))
+  def ngram_jaccard(a: Column, b: Column, w: Column): Column = c(NGramJaccard(e(a), e(b), e(w)))
+
+  // ---- vectors / embeddings ----
+  def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+
+  /** Register every engine function with the session's SQL function registry.
+    * Idempotent; cheap enough to call at the top of every query builder. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def reg2(name: String, b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    reg2("fuzz_ratio", a => FuzzRatio(a(0), a(1)))
+    reg2("fuzz_partial_ratio", a => FuzzPartialRatio(a(0), a(1)))
+    reg2("fuzz_token_set_ratio", a => FuzzTokenSetRatio(a(0), a(1)))
+    reg2("fuzz_token_sort_ratio", a => FuzzTokenSortRatio(a(0), a(1)))
+    reg2("soundex_jf", a => SoundexJf(a(0)))
+    reg2("metaphone", a => MetaphoneExpr(a(0)))
+    reg2("lang_id", a => LangId(a(0)))
+    reg2("simhash64", a => SimHash64(a(0)))
+    reg2("rolling_fingerprint", a => RollingFingerprint(a(0), a(1)))
+    reg2("minhash_sig", a => MinHashSig(a(0), a(1), a(2)))
+    reg2("ngram_jaccard", a => NGramJaccard(a(0), a(1), a(2)))
+    reg2("cosine_sim", a => CosineSim(a(0), a(1)))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/**
+ * Text-analysis operators for the training-data pipeline surface
+ * (language-ID, quality scoring, token counting, fingerprinting). All are
+ * narrow per-row projections — no shuffle, fully codegen'd, scan-pruned to
+ * the text column — so they stream at parquet-scan speed at any scale.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count (deterministic, SQL-oracle-able). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: splits on word boundaries AND digit/letter
+    * transitions, approximating byte-pair tokenizer granularity without a
+    * vocab. */
+  def subwordCount(text: Column): Column = {
+    val pieces = split(trim(text),
+      "\\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])|(?=[^A-Za-z0-9\\s])|(?<=[^A-Za-z0-9\\s])")
+    size(filter(pieces, p => length(p) > 0))
+  }
+
+  /** Quality features: length, token stats, punctuation + stopword ratios.
+    * Returns df with appended columns. */
+  def withQualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokenCount(t)
+    df.withColumn("n_chars_q", length(t))
+      .withColumn("n_tokens", toks)
+      .withColumn("avg_token_len",
+        when(toks > 0, (length(regexp_replace(t, "\\s+", "")).cast("double") / toks))
+          .otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(length(t) > 0,
+          length(regexp_replace(t, "[^\\p{Punct}]", "")).cast("double") / length(t))
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio_q", stopword_ratio(t))
+      .withColumn("quality_score",
+        when(toks >= 5 && col("avg_token_len").between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0)) *
+          (lit(1.0) - least(col("punct_ratio") * 4, lit(1.0))))
+  }
+
+  private def stopword_ratio(t: Column): Column = {
+    val stop = array(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as", "by", "at", "from", "this",
+      "be", "are", "was").map(lit): _*)
+    val toks = filter(split(lower(trim(t)), "\\s+"), p => length(p) > 0)
+    when(size(toks) > 0,
+      size(filter(toks, tk => array_contains(stop, tk))).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Language-ID + fingerprint profile of a documents table. */
+  def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      lang_id(col(textCol)).as("lang_pred"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      simhash64(col(textCol)).as("simhash"),
+      rolling_fingerprint(col(textCol), lit(16)).as("fingerprint"))
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/**
+ * Structured-Streaming surface over the `events` table (SURVEY.md §2.9/§7.5).
+ * The reference has no streaming; these are the extension operators a
+ * large-scale pipeline needs, written so the SAME aggregation logic runs in
+ * batch (DuckDB-oracle-able) and as an incremental streaming query with
+ * watermarked state.
+ */
+object EventPipelines {
+
+  /** Tumbling-window counts/sums per event_type — batch form (equals the
+    * streaming result after all data is processed). */
+  def tumblingBatch(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Same aggregation as an incremental streaming query with a watermark
+    * bounding state. Returns the started query's result via the memory sink. */
+  def tumblingStreaming(spark: SparkSession, sourceDir: String,
+                        width: String = "1 hour", watermark: String = "2 hours",
+                        queryName: String = "events_tumbling"): DataFrame = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val agg = stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Sliding-window per-type event rates (batch). */
+  def slidingBatch(events: DataFrame, width: String = "1 hour",
+                   slide: String = "30 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"))
+
+  /**
+   * Sessionization with an inactivity gap — batch form via window functions
+   * (lag -> new-session flag -> running sum as session id). One shuffle on
+   * user_id; the same semantics stream via session_window.
+   */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val flagged = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > gapMinutes * 60L, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           count(lit(1)).as("n_events"),
+           sum(col("value")).as("sum_value"))
+  }
+
+  /** Streaming sessionization via the native session_window (state bounded
+    * by the watermark). */
+  def sessionizeStreaming(spark: SparkSession, sourceDir: String,
+                          gap: String = "30 minutes", watermark: String = "2 hours",
+                          queryName: String = "events_sessions"): DataFrame = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val agg = stream
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
