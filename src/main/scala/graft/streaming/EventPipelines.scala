@@ -19,7 +19,7 @@ object EventPipelines {
   def tumblingBatch(events: DataFrame, width: String = "1 hour"): DataFrame =
     events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-           sum(col("value")).as("sum_value"))
+           expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -33,7 +33,8 @@ object EventPipelines {
     val agg = stream
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+           expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
     val q = agg.writeStream
@@ -72,7 +73,7 @@ object EventPipelines {
       .agg(min(col("ts")).as("session_start"),
            max(col("ts")).as("session_end"),
            count(lit(1)).as("n_events"),
-           sum(col("value")).as("sum_value"))
+           expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
   }
 
   /** Streaming sessionization via the native session_window (state bounded
@@ -85,7 +86,8 @@ object EventPipelines {
     val agg = stream
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+           expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
     val q = agg.writeStream
