@@ -171,7 +171,52 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** LSH bucket = sign bits of `planes` pseudo-random hyperplane projections,
+  * fused into one pass over the vector. The equivalent Column-tree form
+  * (planes x dims element_at terms) generates thousands of expression nodes
+  * and spends seconds in codegen compilation; this kernel is O(planes*dim)
+  * with zero allocation. */
+case class HyperplaneBucket(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), IntegerType, LongType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any, p: Any, s: Any): Any =
+    VectorMath.hyperplaneBucket(v.asInstanceOf[ArrayData].toFloatArray(),
+      p.asInstanceOf[Int], s.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, p, s) =>
+      s"graft.functions.VectorMath.hyperplaneBucket($v.toFloatArray(), $p, $s)")
+  override def prettyName: String = "hyperplane_bucket"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
 object VectorMath {
+
+  /** Deterministic pseudo-random hyperplane weight in [-1, 1): splitmix64 of
+    * (seed, plane, dim index) — stable across executors and rounds. */
+  def planeWeight(seed: Long, plane: Int, d: Int): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L * (plane.toLong * 131071L + d + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Sign-bit LSH bucket of `planes` hyperplane projections. */
+  def hyperplaneBucket(a: Array[Float], planes: Int, seed: Long): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < a.length) { dot += a(d).toDouble * planeWeight(seed, p, d); d += 1 }
+      if (dot >= 0) bucket |= 1 << p
+      p += 1
+    }
+    bucket
+  }
+
   /** Deterministic sequential-accumulation cosine similarity. */
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)

@@ -41,6 +41,8 @@ package object functions {
 
   // ---- vectors / embeddings ----
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+  def hyperplane_bucket(v: Column, planes: Column, seed: Column): Column =
+    c(HyperplaneBucket(e(v), e(planes), e(seed)))
 
   /** Register every engine function with the session's SQL function registry.
     * Idempotent; cheap enough to call at the top of every query builder. */
@@ -60,5 +62,6 @@ package object functions {
     reg2("minhash_sig", a => MinHashSig(a(0), a(1), a(2)))
     reg2("ngram_jaccard", a => NGramJaccard(a(0), a(1), a(2)))
     reg2("cosine_sim", a => CosineSim(a(0), a(1)))
+    reg2("hyperplane_bucket", a => HyperplaneBucket(a(0), a(1), a(2)))
   }
 }

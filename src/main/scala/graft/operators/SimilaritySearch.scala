@@ -17,31 +17,15 @@ import graft.functions._
  */
 object SimilaritySearch {
 
-  /** Deterministic pseudo-random unit-ish hyperplanes (mulberry-style LCG on
-    * (seed, plane, dim) -> [-1,1)) — stable across executors and rounds. */
-  private def planeWeight(seed: Long, plane: Int, d: Int): Double = {
-    var z = seed + 0x9e3779b97f4a7c15L * (plane.toLong * 131071L + d + 1)
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    (z.toDouble / Long.MaxValue.toDouble)
-  }
-
-  /** Dot product of the embedding with hyperplane `p` as a Column. */
-  private def planeDot(vecCol: Column, p: Int, dim: Int, seed: Long): Column =
-    (0 until dim).map(d =>
-      element_at(vecCol, d + 1).cast("double") * lit(planeWeight(seed, p, d)))
-      .reduce(_ + _)
-
   /** Adds an integer `bucket` column: sign bits of `planes` random
-    * hyperplane projections. */
+    * hyperplane projections (fused single-pass kernel — see
+    * [[graft.functions.HyperplaneBucket]]; weights from
+    * [[graft.functions.VectorMath.planeWeight]], stable across rounds).
+    * `dim` is retained for signature stability; the kernel uses the runtime
+    * vector length. */
   def withHyperplaneBucket(df: DataFrame, vecCol: String, planes: Int,
-                           dim: Int, seed: Long): DataFrame = {
-    val bucket = (0 until planes).map { p =>
-      when(planeDot(col(vecCol), p, dim, seed) >= 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
-    df.withColumn("bucket", bucket)
-  }
+                           dim: Int, seed: Long): DataFrame =
+    df.withColumn("bucket", hyperplane_bucket(col(vecCol), lit(planes), lit(seed)))
 
   /**
    * Brute-force exact top-k cosine neighbors for every query vector.

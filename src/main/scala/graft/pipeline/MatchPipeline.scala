@@ -52,9 +52,21 @@ object MatchPipeline {
     MatchScore.employeeInvariants(col("first_name"), col("last_name"), col("employee_name"))
       .foldLeft(employees) { case (df, (name, c)) => df.withColumn(name, c) }
 
-  /** Scored candidate pairs: every (username, employee) with its score. */
+  /** Scored candidate pairs: every (username, employee) with its score.
+    *
+    * The cross join is COMPUTE-bound, not IO-bound: each stream row fans out
+    * into |roster| kernel evaluations, so task parallelism — not data volume
+    * — decides wall clock. An explicit `repartition(defaultParallelism)` on
+    * the stream side pins one compute slice per core: without it, AQE sees a
+    * few KB of shuffled usernames and coalesces the exchange down to one
+    * partition, serializing the entire O(U*E) scoring loop onto one thread
+    * (measured 48s -> ~2s at sf0.1 on local[32]). The shuffled rows are tiny
+    * (bare username strings; invariants are derived after the exchange), so
+    * the repartition costs nothing relative to the scoring it spreads. */
   def scoredPairs(usernames: DataFrame, employees: DataFrame): DataFrame = {
-    val u = prepareUsernames(usernames)
+    val spark = usernames.sparkSession
+    val u = prepareUsernames(
+      usernames.repartition(spark.sparkContext.defaultParallelism))
     val e = prepareEmployees(employees)
     u.crossJoin(broadcast(e))
       .withColumn("score",
@@ -66,9 +78,14 @@ object MatchPipeline {
           col("e_first_initial")))
   }
 
-  /** Top-k >= threshold matches per username, dense-rank labeled. */
-  def rankedMatches(usernames: DataFrame, employees: DataFrame,
-                    topK: Int = TopK, threshold: Double = ScoreThreshold): DataFrame = {
+  /** Top-k rows per username (NO threshold), dense-rank labeled. Keeping the
+    * sub-threshold rows lets [[matchOutput]] derive NOT-FOUND sentinels from
+    * the rn=1 row in the same pass instead of re-running the scored cross
+    * join for an anti join (which doubled the pipeline's cost — Spark does
+    * not de-duplicate a common subplan across union/join branches).
+    * Sub-threshold rows sort after qualifying ones, so their presence cannot
+    * change a qualifying row's dense rank. */
+  private def rankedTopK(usernames: DataFrame, employees: DataFrame, topK: Int): DataFrame = {
     val byUser = Window.partitionBy(col("username"))
       .orderBy(col("score").desc, col("emp_id").asc)
     // dense_rank orders by score ONLY: equal scores share a rank/label
@@ -77,10 +94,15 @@ object MatchPipeline {
     val byUserScore = Window.partitionBy(col("username")).orderBy(col("score").desc)
     scoredPairs(usernames, employees)
       .withColumn("rn", row_number().over(byUser))
-      .filter(col("rn") <= topK && col("score") >= threshold)
+      .filter(col("rn") <= topK)
       .withColumn("rank", dense_rank().over(byUserScore))
       .withColumn("match_type", RankLabels(col("rank")))
   }
+
+  /** Top-k >= threshold matches per username, dense-rank labeled. */
+  def rankedMatches(usernames: DataFrame, employees: DataFrame,
+                    topK: Int = TopK, threshold: Double = ScoreThreshold): DataFrame =
+    rankedTopK(usernames, employees, topK).filter(col("score") >= threshold)
 
   /**
    * Full output contract of the reference (username, emp_id, emp_name,
@@ -90,23 +112,32 @@ object MatchPipeline {
    */
   def matchOutput(usernames: DataFrame, employees: DataFrame,
                   topK: Int = TopK, threshold: Double = ScoreThreshold): DataFrame = {
-    val found = rankedMatches(usernames, employees, topK, threshold)
+    // Single pass over the scored top-k: a username whose BEST candidate
+    // (rn=1) is below threshold has no qualifying match at all, so its rn=1
+    // row becomes the USER NOT FOUND sentinel in the same projection.
+    val qualifies = col("score") >= threshold
+    val fromPairs = rankedTopK(usernames, employees, topK)
+      .filter(qualifies || col("rn") === 1)
       .select(
         col("username"),
-        col("emp_id"),
-        col("employee_name").as("emp_name"),
-        format_string("%.2f%%", col("score")).as("confidence_score"),
-        col("match_type"))
-    val notFound = usernames
+        when(qualifies, col("emp_id")).otherwise("N/A").as("emp_id"),
+        when(qualifies, col("employee_name")).otherwise("USER NOT FOUND").as("emp_name"),
+        when(qualifies, format_string("%.2f%%", col("score"))).otherwise("0.00%").as("confidence_score"),
+        when(qualifies, col("match_type")).otherwise("USER NOT FOUND").as("match_type"))
+    // Empty-roster edge: the cross join then emits NOTHING, so every
+    // username needs a sentinel. The anti-join probe is against roster
+    // .limit(1) — O(1), never the scored pairs.
+    val emptyRosterSentinels = usernames
       .select(col("username").cast("string").as("username"))
-      .join(found.select("username"), Seq("username"), "left_anti")
+      .join(broadcast(employees.limit(1).select(lit(1).as("__probe"))),
+        lit(true), "left_anti")
       .select(
         col("username"),
         lit("N/A").as("emp_id"),
         lit("USER NOT FOUND").as("emp_name"),
         lit("0.00%").as("confidence_score"),
         lit("USER NOT FOUND").as("match_type"))
-    found.unionByName(notFound)
+    fromPairs.unionByName(emptyRosterSentinels)
   }
 
   /** CSV sink with the reference's blank separator rows between username
