@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, SimilaritySearch, TopK}
+
+/** Dedup / similarity-search / top-k operator semantics (SURVEY.md §7.5). */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val docText =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+
+  private lazy val docs = Seq(
+    (1L, docText),
+    (2L, docText),                                        // exact dup of 1
+    (3L, docText.replace("theta", "sigma")),              // near dup of 1
+    (4L, "completely different text about spark engines and shuffles and joins"),
+    (5L, "yet another unrelated document mentioning parquet files and codegen")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val agg = Dedup.exact(docs, "text", "doc_id").collect()
+    assert(agg.length === 4) // 5 docs, one exact pair
+    val dupRow = agg.find(_.getLong(2) == 2L).get
+    assert(dupRow.getLong(1) === 1L) // keep_id = min(doc_id)
+    val kept = Dedup.exactKeepRows(docs, "text", "doc_id").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH surfaces exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id",
+      shingleW = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing from $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near dup pair missing from $pairs")
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) && Set(a, b).intersect(Set(1L, 2L, 3L)).nonEmpty },
+      s"unrelated doc paired: $pairs")
+  }
+
+  test("simhash near-dup finds exact duplicates at hamming 0") {
+    val pairs = Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 },
+      s"exact dup not at hamming 0: ${pairs.mkString(",")}")
+  }
+
+  test("embedding near-dup pairs identical vectors at cosine 1") {
+    val v1 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val v2 = Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
+    val emb = Seq((1L, v1), (2L, v1), (3L, v2)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(emb, "embedding", "vec_id", threshold = 0.95)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (a, b, c) => a == 1L && b == 2L && c > 0.9999 },
+      s"identical vectors not paired: ${pairs.mkString(",")}")
+    assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) })
+  }
+
+  test("brute-force kNN: self-match ranks first at cosine 1") {
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
+    val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val nQueries = queries.count()
+    val res = SimilaritySearch.bruteForceKnn(corpus, queries, 5).cache()
+    assert(res.count() === nQueries * 5)
+    val top1 = res.filter(col("rn") === 1)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    top1.foreach { case (q, v, c) =>
+      assert(q === v, s"query $q top-1 is $v, not itself")
+      assert(math.abs(c - 1.0) < 1e-9)
+    }
+    res.unpersist()
+  }
+
+  test("LSH kNN: self-match always survives bucketing; scores agree with brute force") {
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
+    val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val lsh = SimilaritySearch.lshKnn(corpus, queries, 5, planes = 4, dim = 64)
+    val self = lsh.filter(col("query_id") === col("vec_id"))
+      .select("query_id", "cosine").as[(Long, Double)].collect()
+    assert(self.length === queries.count(),
+      "a query's own vector shares its bucket by construction and must appear")
+    self.foreach { case (_, c) => assert(math.abs(c - 1.0) < 1e-9) }
+  }
+
+  test("per-group and global top-k") {
+    val li = spark.read.parquet(s"${SparkTestBase.Sf0001}/lineitem.parquet")
+    val grouped = TopK.topK(li, 2, Seq(col("l_returnflag")),
+      Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc))
+    val counts = grouped.groupBy("l_returnflag").count().as[(String, Long)].collect()
+    counts.foreach { case (_, n) => assert(n <= 2) }
+    val expectTop = li.orderBy(col("l_extendedprice").desc, col("l_orderkey").asc)
+      .select("l_orderkey").limit(3).as[Long].collect().toSeq
+    val gotTop = TopK.globalTopK(li, 3, Seq(col("l_extendedprice").desc, col("l_orderkey").asc))
+      .select("l_orderkey").as[Long].collect().toSeq
+    assert(gotTop === expectTop)
+  }
+
+  test("multimodal: deterministic stub decode over mapPartitions") {
+    val media = Multimodal.synthetic(spark, 50)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 50)
+    assert(feats.forall(_.decode_ok))
+    assert(feats.forall(_.feat_dim === Multimodal.MediaDecoder.FeatDim))
+    val again = Multimodal.extractFeatures(Multimodal.synthetic(spark, 50)).collect()
+    val byId = again.map(f => f.media_id -> f.features.toSeq).toMap
+    feats.foreach(f => assert(byId(f.media_id) === f.features.toSeq, s"media ${f.media_id} not deterministic"))
+  }
+}

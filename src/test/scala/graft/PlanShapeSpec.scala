@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape assertions — the properties that decide whether these
+  * operators survive a 1000-executor / 100 TB scale-up (SURVEY.md §4.2):
+  * filters and projections must reach the parquet scan, dimension joins must
+  * broadcast, the similarity join must broadcast the roster (never shuffle
+  * the username side into a sort-merge join), and rank-limit windows must
+  * install the pre-shuffle WindowGroupLimit so each map task emits at most k
+  * rows per group. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.Sf0001
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q2: predicate pushdown and column pruning reach the parquet scan") {
+    val df = SparkEntry.queries("q2_filter_pushdown")(spark, sf)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThan(l_discount,0.05)"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,10.0)"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    // only the 6 referenced columns are read, not all 11
+    val readSchema = scans.head.metadata("ReadSchema")
+    assert(!readSchema.contains("l_returnflag"),
+      s"scan reads unprojected columns: $readSchema")
+    assert(readSchema.contains("l_discount"), readSchema)
+  }
+
+  test("q3: dimension joins broadcast; no sort-merge on the fact side") {
+    val p = plan(SparkEntry.queries("q3_join_agg")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("match pipeline: roster broadcasts into a nested-loop join") {
+    val p = plan(SparkEntry.queries("nm_match_topk")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"similarity join must never shuffle-sort the username side:\n$p")
+  }
+
+  test("per-group top-k installs the pre-shuffle WindowGroupLimit") {
+    val p = plan(SparkEntry.queries("q4_topk_pergroup")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan(SparkEntry.queries("q6_global_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("aggregations run partial (map-side) before the exchange") {
+    val p = plan(SparkEntry.queries("q1_pricing_summary")(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregate pair:\n$p")
+  }
+
+  test("similarity kernels stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("nm_fuzz_vectors")(spark, sf)
+    // executedPlan renders codegen'd spans with the "*(id)" marker; the
+    // custom fuzz expressions must not force a fallback (unstarred) project
+    val p = plan(df)
+    assert(p.contains("*(1) Project"), p)
+    val codegenSpans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenSpans.nonEmpty, p)
+  }
+}
