@@ -65,8 +65,11 @@ object MatchPipeline {
     * the repartition costs nothing relative to the scoring it spreads. */
   def scoredPairs(usernames: DataFrame, employees: DataFrame): DataFrame = {
     val spark = usernames.sparkSession
+    // 4 waves of fine-grained tasks: with one task per core a single
+    // straggler (GC pause, CPU steal) stretches the whole stage; finer
+    // slices rebalance. The shuffled rows are bare username strings.
     val u = prepareUsernames(
-      usernames.repartition(spark.sparkContext.defaultParallelism))
+      usernames.repartition(4 * spark.sparkContext.defaultParallelism))
     val e = prepareEmployees(employees)
     u.crossJoin(broadcast(e))
       .withColumn("score",
@@ -75,7 +78,7 @@ object MatchPipeline {
           col("u_initial"), col("u_dot2_initial"),
           col("e_first"), col("e_last"), col("e_full"),
           col("e_sdx_first"), col("e_sdx_last"), col("e_mp_first"), col("e_mp_last"),
-          col("e_first_initial")))
+          col("e_first_initial"), col("e_patterns")))
   }
 
   /** Top-k rows per username (NO threshold), dense-rank labeled. Keeping the

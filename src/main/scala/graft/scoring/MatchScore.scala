@@ -65,7 +65,16 @@ object MatchScore {
       "e_sdx_last" -> soundex_jf(l),
       "e_mp_first" -> metaphone(f),
       "e_mp_last" -> metaphone(l),
-      "e_first_initial" -> substring(f, 1, 1)
+      "e_first_initial" -> substring(f, 1, 1),
+      // the 8 exact username patterns (main.py:36-45) are employee-side
+      // invariants: building them once per employee (not once per PAIR) and
+      // probing with array_contains removes 8 string allocations from every
+      // cross-join row
+      "e_patterns" -> array(
+        concat(f, lit("."), l), concat(l, lit("."), f),
+        concat(f, lit("_"), l), concat(l, lit("_"), f),
+        concat(f, l), concat(l, f),
+        concat(f, lit(" "), l), concat(l, lit(" "), f))
     )
   }
 
@@ -78,14 +87,10 @@ object MatchScore {
       uInitial: Column, uDot2Initial: Column,
       f: Column, l: Column, en: Column,
       eSdxFirst: Column, eSdxLast: Column, eMpFirst: Column, eMpLast: Column,
-      eFirstInitial: Column,
+      eFirstInitial: Column, ePatterns: Column,
       enableEmpIdBonus: Boolean = false, empId: Column = lit("")): Column = {
 
-    val isPattern =
-      (u === concat(f, lit("."), l)) || (u === concat(l, lit("."), f)) ||
-      (u === concat(f, lit("_"), l)) || (u === concat(l, lit("_"), f)) ||
-      (u === concat(f, l)) || (u === concat(l, f)) ||
-      (u === concat(f, lit(" "), l)) || (u === concat(l, lit(" "), f))
+    val isPattern = array_contains(ePatterns, u)
 
     val splitBonus = when(
       (uPart1 === f && uPart2 === l) || (uPart2 === f && uPart1 === l), lit(10)
@@ -140,6 +145,11 @@ object MatchScore {
       when(size(dotParts) > 1, substring(try_element_at(dotParts, lit(2)), 1, 1)).otherwise(lit("")),
       f, l, en,
       soundex_jf(f), soundex_jf(l), metaphone(f), metaphone(l),
-      substring(f, 1, 1))
+      substring(f, 1, 1),
+      array(
+        concat(f, lit("."), l), concat(l, lit("."), f),
+        concat(f, lit("_"), l), concat(l, lit("_"), f),
+        concat(f, l), concat(l, f),
+        concat(f, lit(" "), l), concat(l, lit(" "), f)))
   }
 }

@@ -118,6 +118,22 @@ class FuzzSpec extends AnyFunSuite {
     assert(agree > 8, s"minhash agreement $agree/32 too low for near-dups")
   }
 
+  test("bit-parallel LLCS equals the DP LLCS on random ASCII inputs") {
+    val rng = new scala.util.Random(42)
+    val alphabet = "abcdefgh._- 0123456789"
+    def randStr(maxLen: Int): String =
+      Array.fill(rng.nextInt(maxLen + 1))(alphabet(rng.nextInt(alphabet.length))).mkString
+    (1 to 2000).foreach { _ =>
+      val a = randStr(30); val b = randStr(30)
+      val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+      val masks = Fuzz.asciiMasks(s)
+      if (s.nonEmpty) {
+        assert(Fuzz.llcsBit(s.length, masks, t) === Fuzz.llcsDp(s, t),
+          s"llcs mismatch for '$a' vs '$b'")
+      }
+    }
+  }
+
   test("langId: english vs non-latin") {
     assert(TextAlgos.langId("the quick brown fox is on the table and it is fast") === "en")
     assert(TextAlgos.langId("") === "unknown")
