@@ -248,6 +248,12 @@ object SparkEntry {
     "nm_match_topk" -> ((s, dir) =>
       MatchPipeline.matchOutput(usernames(s, dir), roster(s, dir))),
 
+    // approximate candidate-blocking scale path (SURVEY §4.2): equi-join on
+    // cheap keys instead of the O(U*E) cross join; recall pinned by
+    // MatchBlockingSpec
+    "nm_match_topk_blocked" -> ((s, dir) =>
+      graft.pipeline.MatchBlocking.matchOutput(usernames(s, dir), roster(s, dir))),
+
     "nm_fuzz_vectors" -> ((s, dir) =>
       t(s, dir, "part").select(
         col("p_partkey"), col("p_name"),

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.scoring.MatchScore
+
+/**
+ * Candidate blocking for the similarity join — the 100 TB escape hatch from
+ * the O(U*E) cross join (SURVEY.md §4.2 "candidate blocking", kept OUT of the
+ * default pipeline because it is approximate).
+ *
+ * Instead of scoring every (username, employee) pair, each side derives a
+ * small set of cheap BLOCKING KEYS, and only pairs sharing a key are scored:
+ *
+ *   username keys:  normalized username (hits the 8 exact patterns),
+ *                   its soundex + metaphone codes, its two split parts
+ *   employee keys:  the 8 exact pattern strings, first/last tokens,
+ *                   soundex + metaphone of first/last
+ *
+ * The key join is a plain shuffled equi-join (hash-partitioned on the key),
+ * so the pair count is bounded by key collisions rather than |U|*|E| — the
+ * property that lets a billion-username corpus meet a million-employee roster
+ * without a nested loop. Every pattern-match (score=100) pair shares the
+ * username itself as a key, so the short-circuit tier is captured EXACTLY;
+ * what can be missed are pairs whose >= 50 score comes purely from fuzzy
+ * ratios with no token/phonetic agreement. Recall against the exact pipeline
+ * is pinned by MatchBlockingSpec on the full reference workload.
+ */
+object MatchBlocking {
+
+  /** Distinct candidate (username, emp_id) pairs sharing >= 1 blocking key.
+    *
+    * Key tiers (each tier rescues a class of true matches the previous one
+    * misses; measured recall on the reference workload is pinned by
+    * MatchBlockingSpec):
+    *  1. the whole normalized username vs the 8 employee pattern strings —
+    *     captures the score-100 short-circuit tier EXACTLY;
+    *  2. split parts + soundex + metaphone vs name tokens and their codes —
+    *     separator-structured usernames (`kul_sanjay`) and misspellings that
+    *     preserve phonetics;
+    *  3. every char `gram`-gram of the username vs the `gram`-char prefix of
+    *     first/last — embedded and truncated tokens (`iamkulkarni`,
+    *     `bhatiaX`, `deepz`). `gram`=3 favors recall; raise to 4 at larger
+    *     rosters to shrink bucket collision volume (the recall/cost knob).
+    */
+  def candidatePairs(usernames: DataFrame, employees: DataFrame,
+                     gram: Int = 3): DataFrame = {
+    val u = MatchPipeline.prepareUsernames(usernames)
+    val e = MatchPipeline.prepareEmployees(employees)
+    val uGrams = expr(
+      s"transform(sequence(1, greatest(length(u_norm) - ${gram - 1}, 1)), i -> substring(u_norm, i, $gram))")
+    val uKeys = u.select(col("username"),
+        explode(array_distinct(concat(
+          array(col("u_norm"), col("u_sdx"), col("u_mp"), col("u_part1"), col("u_part2")),
+          uGrams)))
+          .as("block_key"))
+      .filter(length(col("block_key")) > 0)
+    val eKeys = e.select(col("emp_id"),
+        explode(array_distinct(concat(col("e_patterns"), array(
+          col("e_first"), col("e_last"),
+          substring(col("e_first"), 1, gram), substring(col("e_last"), 1, gram),
+          col("e_sdx_first"), col("e_sdx_last"),
+          col("e_mp_first"), col("e_mp_last")))))
+          .as("block_key"))
+      .filter(length(col("block_key")) > 0)
+    uKeys.join(eKeys, "block_key")
+      .select("username", "emp_id")
+      .distinct()
+  }
+
+  /** [[MatchPipeline.matchOutput]] semantics over blocked candidates only.
+    * Approximate: a username whose every true match lacks any shared key
+    * degrades to USER NOT FOUND. */
+  def matchOutput(usernames: DataFrame, employees: DataFrame,
+                  topK: Int = MatchPipeline.TopK,
+                  threshold: Double = MatchPipeline.ScoreThreshold): DataFrame = {
+    val cand = candidatePairs(usernames, employees)
+    val u = MatchPipeline.prepareUsernames(usernames)
+    val e = MatchPipeline.prepareEmployees(employees)
+    val scored = cand
+      .join(u, "username")
+      .join(broadcast(e), "emp_id")
+      .withColumn("score",
+        MatchScore.scoreFromInvariants(
+          col("u_norm"), col("u_part1"), col("u_part2"), col("u_sdx"), col("u_mp"),
+          col("u_initial"), col("u_dot2_initial"),
+          col("e_first"), col("e_last"), col("e_full"),
+          col("e_sdx_first"), col("e_sdx_last"), col("e_mp_first"), col("e_mp_last"),
+          col("e_first_initial"), col("e_patterns")))
+      .select("username", "emp_id", "employee_name", "score")
+    val byUser = Window.partitionBy(col("username"))
+      .orderBy(col("score").desc, col("emp_id").asc)
+    val byUserScore = Window.partitionBy(col("username")).orderBy(col("score").desc)
+    val qualifies = col("score") >= threshold
+    val ranked = scored
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= topK)
+      .withColumn("rank", dense_rank().over(byUserScore))
+      .filter(qualifies || col("rn") === 1)
+      .select(
+        col("username"),
+        when(qualifies, col("emp_id")).otherwise("N/A").as("emp_id"),
+        when(qualifies, col("employee_name")).otherwise("USER NOT FOUND").as("emp_name"),
+        when(qualifies, format_string("%.2f%%", col("score"))).otherwise("0.00%").as("confidence_score"),
+        when(qualifies, MatchPipeline.rankLabel(col("rank"))).otherwise("USER NOT FOUND").as("match_type"))
+    // usernames with zero candidates -> sentinel (cheap: the anti join probes
+    // the key-join output, which contains no similarity kernels)
+    val noCandidates = usernames
+      .select(col("username").cast("string").as("username"))
+      .join(cand.select("username"), Seq("username"), "left_anti")
+      .select(
+        col("username"),
+        lit("N/A").as("emp_id"),
+        lit("USER NOT FOUND").as("emp_name"),
+        lit("0.00%").as("confidence_score"),
+        lit("USER NOT FOUND").as("match_type"))
+    ranked.unionByName(noCandidates)
+  }
+}

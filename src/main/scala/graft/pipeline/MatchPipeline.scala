@@ -34,7 +34,8 @@ object MatchPipeline {
   val TopK = 4               // NUM_TOP_GROUP_MATCHES + NUM_ADDITIONAL (main.py:19-21)
   val ScoreThreshold = 50.0  // main.py:22
 
-  private val RankLabels: Column => Column = r =>
+  /** Dense-rank -> confidence label decode (main.py:181-186). */
+  def rankLabel(r: Column): Column =
     when(r === 1, "HIGH CONFIDENCE")
       .when(r === 2, "2nd HIGH CONFIDENCE")
       .when(r === 3, "3rd HIGH CONFIDENCE")
@@ -99,7 +100,7 @@ object MatchPipeline {
       .withColumn("rn", row_number().over(byUser))
       .filter(col("rn") <= topK)
       .withColumn("rank", dense_rank().over(byUserScore))
-      .withColumn("match_type", RankLabels(col("rank")))
+      .withColumn("match_type", rankLabel(col("rank")))
   }
 
   /** Top-k >= threshold matches per username, dense-rank labeled. */
