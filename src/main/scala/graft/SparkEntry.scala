@@ -213,6 +213,12 @@ object SparkEntry {
     "ev_sessionize" -> ((s, dir) =>
       EventPipelines.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)),
 
+    // custom per-key state machine (flatMapGroupsWithState in streaming form;
+    // this batch replay shares the transition function — StatefulPipelinesSpec
+    // pins stream == batch)
+    "ev_stateful_alerts" -> ((s, dir) =>
+      graft.streaming.StatefulPipelines.alertsBatch(t(s, dir, "events")).toDF()),
+
     "ev_props_extract" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_id"),

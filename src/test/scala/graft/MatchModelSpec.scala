@@ -19,6 +19,24 @@ class MatchModelSpec extends AnyFunSuite {
     assert(acc >= 0.85, f"accuracy $acc%.4f below the 0.85 reference band")
   }
 
+  test("model persistence roundtrip (M5)") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("john.smith", "John Smith", 1), ("jsmith", "John Smith", 1),
+      ("xqzvw", "John Smith", 0), ("adoe", "Alice Doe", 1),
+      ("zz9", "Alice Doe", 0), ("alice_doe", "Alice Doe", 1),
+      ("bobk", "Bob Kumar", 1), ("qqq", "Bob Kumar", 0)
+    ).toDF("username", "employee_name", "label")
+    val feats = MatchModel.buildFeatures(pairs).withColumn("label", col("label").cast("double"))
+    val model = MatchModel.pipeline(numTrees = 5).fit(feats)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    MatchModel.save(model, dir)
+    val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val a = model.transform(feats).select("prediction").collect().map(_.getDouble(0)).toSeq
+    val b = loaded.transform(feats).select("prediction").collect().map(_.getDouble(0)).toSeq
+    assert(a === b)
+  }
+
   test("feature builder emits the 5 reference features with raw-string semantics") {
     import spark.implicits._
     val df = Seq(("john.smith", "John Smith")).toDF("username", "employee_name")
