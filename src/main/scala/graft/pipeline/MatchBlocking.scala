@@ -26,6 +26,16 @@ import graft.scoring.MatchScore
  * what can be missed are pairs whose >= 50 score comes purely from fuzzy
  * ratios with no token/phonetic agreement. Recall against the exact pipeline
  * is pinned by MatchBlockingSpec on the full reference workload.
+ *
+ * When blocking pays off: candidate volume is sum over keys of
+ * |U_key| * |E_key|, so the win depends on NAME CARDINALITY. A roster of a
+ * million distinct surnames spreads employees across millions of keys and the
+ * blocked join scores a vanishing fraction of U*E; a roster of 20k employees
+ * sharing 64 distinct names (the synthetic bench fixture) piles thousands of
+ * emp_ids onto each key and blocking approaches the cross product while also
+ * paying the key-explode shuffles — the exact broadcast path wins there.
+ * Frequency-capping hot keys (drop keys above a per-key employee count) is
+ * the standard mitigation if a production roster has pathological name skew.
  */
 object MatchBlocking {
 

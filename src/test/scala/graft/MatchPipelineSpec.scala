@@ -87,6 +87,47 @@ class MatchPipelineSpec extends AnyFunSuite {
     assert(highs.length === 2, out.mkString("\n"))
   }
 
+  test("empty roster (e.g. missing emp_id column) -> every username is USER NOT FOUND") {
+    val emptyRoster = EmployeeNormalizer.normalize(
+      Seq(("Ada", "Lovelace")).toDF("first name", "last name")) // no emp_id -> empty frame
+    val out = MatchPipeline.matchOutput(Seq("swati.patel", "testme").toDF("username"), emptyRoster)
+    val rows = out.collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[String]("match_type") == "USER NOT FOUND"))
+  }
+
+  test("null/empty usernames are USER NOT FOUND, never a match") {
+    // a blank CSV cell parses as null; it must not leak a null composite
+    // score through least() as a 100 match (see MatchScore coalesce guard)
+    val probe = Seq(Some("swati.patel"), None, Some("")).toDF("username")
+    val out = MatchPipeline.matchOutput(probe, employees).collect()
+    val nullRows = out.filter(r => r.getAs[String]("username") == null)
+    val emptyRows = out.filter(r => r.getAs[String]("username") == "")
+    assert(nullRows.nonEmpty && nullRows.forall(_.getAs[String]("match_type") == "USER NOT FOUND"))
+    assert(emptyRows.nonEmpty && emptyRows.forall(_.getAs[String]("match_type") == "USER NOT FOUND"))
+    assert(out.exists(_.getAs[String]("confidence_score") == "100.00%")) // real probe still matches
+  }
+
+  test("dead emp-id bonus (E5) stays 0 by default, +10 behind the flag") {
+    import graft.scoring.MatchScore
+    // identical invariants either way; only the flag differs — resurrects the
+    // reference's advertised-but-dead heuristic (main.py:54)
+    def score(flag: Boolean): Double = {
+      val expr = MatchScore.scoreFromInvariants(
+        lit("emp42user"), lit("emp42user"), lit(""),
+        lit("X000"), lit("Y"), lit("e"), lit(""),
+        lit("zz"), lit("qq"), lit("zz qq"),
+        lit("A000"), lit("B000"), lit("C"), lit("D"), lit("z"),
+        array((1 to 8).map(i => lit(s"p$i")): _*),
+        enableEmpIdBonus = flag, empId = lit("emp42"))
+      spark.range(1).select(expr.as("s")).head().getDouble(0)
+    }
+    val dflt = score(flag = false)
+    val withFlag = score(flag = true)
+    assert(withFlag === dflt + 10.0,
+      s"flagged $withFlag vs default $dflt: emp-id bonus must add exactly 10")
+  }
+
   test("scores are within [0,100] across the full cross product") {
     val scored = MatchPipeline.scoredPairs(usernames, employees)
     val mm = scored.agg(min("score"), max("score")).first()
