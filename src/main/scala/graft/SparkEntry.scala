@@ -197,6 +197,15 @@ object SparkEntry {
         reverse(col("p_name")).as("rev_name"),
         concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"))),
 
+    // salted equi-join (skew mitigation): must hash-match the PLAIN join's
+    // oracle — salting is internal and semantics-preserving
+    "q15_salted_skew_join" -> ((s, dir) =>
+      graft.operators.SkewJoin.saltedJoin(
+          t(s, dir, "lineitem"), t(s, dir, "supplier"),
+          "l_suppkey", "s_suppkey", buckets = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"), decSum("l_extendedprice").as("revenue"))),
+
     "q14_month_agg" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
@@ -447,6 +456,12 @@ object SparkEntry {
                 reverse(p_name) AS rev_name,
                 p_brand || ':' || p_type AS brand_type
          FROM part""",
+
+    "q15_salted_skew_join" ->
+      """SELECT s_name, COUNT(*) AS n_items,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name""",
 
     "q14_month_agg" ->
       """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
