@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
@@ -8,16 +8,27 @@ import graft.functions._
 /**
  * Deduplication operators for the large-scale training-data surface
  * (SURVEY.md §7.5). Every variant is expressed so the expensive comparison is
- * an EQUI-join on a derived key (hash / LSH band / simhash block), never an
- * all-pairs cross join — the property that keeps these O(n·k) with hash
- * shuffles at 100 TB instead of O(n²):
+ * bounded by BUCKET collisions (hash / LSH band / simhash block), never an
+ * all-pairs cross join — the property that keeps these O(n·k) at 100 TB.
  *
- *  - exact: groupBy(hash(text)) — one shuffle on a 64/128-bit key;
- *  - MinHash+LSH: shingle -> k-hash signature -> band keys -> explode ->
- *    self-equi-join on (band, key) -> verify with exact Jaccard;
- *  - SimHash: 64-bit fingerprint, candidates = equal 16-bit blocks
- *    (Hamming<=3 guarantee via pigeonhole over 4 blocks);
- *  - n-gram Jaccard: exact verifier used on LSH candidates only.
+ * Candidate generation shape (shared by all near-dup variants):
+ *
+ *   1. one pass computes each row's signature and explodes it to NARROW
+ *      (id, bucket-key) rows — fat payloads (text, vectors) do NOT enter
+ *      this shuffle, and the signature kernel runs exactly once per row;
+ *   2. groupBy(bucket-key) + collect_list(id) gathers each bucket, and pairs
+ *      are generated INSIDE the bucket (array combinatorics in codegen) —
+ *      no self-join, hence no duplicated signature computation (Spark does
+ *      not reuse exchanges across self-join sides) and no key-explode of
+ *      payloads;
+ *   3. candidate (id_a, id_b) pairs are de-duplicated (a pair can collide in
+ *      several buckets) while still narrow, and only then are payloads
+ *      joined back by id for exact verification.
+ *
+ * Degenerate buckets (a boilerplate string shared by millions of docs) are
+ * frequency-capped via `maxBucketSize`: such buckets are all-duplicates by
+ * construction and are better handled by the exact pass; capping bounds the
+ * s² pair blowup of a hot bucket.
  */
 object Dedup {
 
@@ -33,38 +44,49 @@ object Dedup {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** In-bucket ordered pairs from a sorted id array: (a, b) with a < b. */
+  private def bucketPairs(ids: Column): Column =
+    filter(
+      flatten(transform(ids, x => transform(ids, y => struct(x.as("a"), y.as("b"))))),
+      p => p.getField("a") < p.getField("b"))
+
+  /** Distinct candidate pairs for buckets of (id, bucket key) rows. */
+  private def candidatesFromKeyed(keyed: DataFrame, keyCols: Seq[String],
+                                  maxBucketSize: Int): DataFrame =
+    keyed.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(bucketPairs(sort_array(col("ids")))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+
   /**
    * MinHash-LSH near-duplicate candidate pairs with exact-Jaccard
    * verification. Signature: `numHashes` minhashes over word `shingleW`-
-   * shingles; `bands` bands of `numHashes/bands` rows each.
-   *
-   * The self-join is an equi-join on the band key -> sort-merge/hash join on
-   * a shuffled key; candidate volume is bounded by bucket collisions, not n².
-   * Verified pairs carry the exact word-shingle Jaccard for thresholding.
+   * shingles; `bands` bands of `numHashes/bands` rows each. Verified pairs
+   * carry the exact word-shingle Jaccard for thresholding.
    */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleW: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                 jaccardThreshold: Double = 0.8): DataFrame = {
+                 jaccardThreshold: Double = 0.8,
+                 maxBucketSize: Int = 10000): DataFrame = {
     val rows = numHashes / bands
-    val withBands = df.select(
-        col(idCol).as("id"), col(textCol).as("text"),
+    val keyed = df.select(
+        col(idCol).as("id"),
         minhash_sig(col(textCol), lit(shingleW), lit(numHashes)).as("sig"))
-      .select(col("id"), col("text"),
+      .select(col("id"),
         posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "band_key")))
-    val a = withBands.select(col("band"), col("band_key"),
-      col("id").as("id_a"), col("text").as("text_a"))
-    val b = withBands.select(col("band"), col("band_key"),
-      col("id").as("id_b"), col("text").as("text_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
-      .distinct() // a pair may collide in several bands
+    val cand = candidatesFromKeyed(keyed, Seq("band", "band_key"), maxBucketSize)
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    cand
+      .join(texts.withColumnsRenamed(Map("id" -> "id_a", "text" -> "text_a")), "id_a")
+      .join(texts.withColumnsRenamed(Map("id" -> "id_b", "text" -> "text_b")), "id_b")
       .withColumn("jaccard", ngram_jaccard(col("text_a"), col("text_b"), lit(shingleW)))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  private def bandKeys(sig: org.apache.spark.sql.Column, bands: Int, rows: Int) =
+  private def bandKeys(sig: Column, bands: Int, rows: Int) =
     array((0 until bands).map { b =>
       hash((0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*).cast("long")
     }: _*)
@@ -74,25 +96,21 @@ object Dedup {
    * 16-bit blocks; docs sharing any block are candidates (pigeonhole: any
    * pair within Hamming distance 3 shares at least one block). Candidates
    * are verified with the true Hamming distance — a codegen'd bit_count.
+   * The fingerprint rides along with the id, so verification needs no
+   * payload re-join at all.
    */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
-                     maxHamming: Int = 3): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
-    val blocks = withSim.select(col("id"), col("sim"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("block_idx", "block_val")))
-    val a = blocks.select(col("block_idx"), col("block_val"),
-      col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = blocks.select(col("block_idx"), col("block_val"),
-      col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("block_idx", "block_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+                     maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+      .select(struct(col("id"), col("sim")).as("id"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("block_idx", "block_val")))
+    candidatesFromKeyed(keyed, Seq("block_idx", "block_val"), maxBucketSize)
+      .select(
+        col("id_a.id").as("id_a"), col("id_b.id").as("id_b"),
+        bit_count(col("id_a.sim").bitwiseXOR(col("id_b.sim"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /**
@@ -102,12 +120,16 @@ object Dedup {
    */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double = 0.95, planes: Int = 8,
-                       dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val bucketed = SimilaritySearch.withHyperplaneBucket(df, vecCol, planes, dim, seed)
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+                       dim: Int = 64, seed: Long = 42L,
+                       maxBucketSize: Int = 10000): DataFrame = {
+    val keyed = SimilaritySearch.withHyperplaneBucket(
+        df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", planes, dim, seed)
+      .select(col("id"), col("bucket"))
+    val cand = candidatesFromKeyed(keyed, Seq("bucket"), maxBucketSize)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    cand
+      .join(vecs.withColumnsRenamed(Map("id" -> "id_a", "vec" -> "vec_a")), "id_a")
+      .join(vecs.withColumnsRenamed(Map("id" -> "id_b", "vec" -> "vec_b")), "id_b")
       .withColumn("cosine", cosine_sim(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
