@@ -311,12 +311,16 @@ object SparkEntry {
           col("stopword_ratio_q").as("stopword_ratio"),
           col("quality_score"))),
 
-    "tx_profile" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      TextAnalysis.profile(docs, "text", "doc_id")
-        .join(docs.select(col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords")),
-          Seq("doc_id"))
-    }),
+    "tx_profile" -> ((s, dir) =>
+      // all five profile columns are row-local projections of `text` — one
+      // scan, one codegen stage, no join
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        lang_id(col("text")).as("lang_pred"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        simhash64(col("text")).as("simhash"),
+        rolling_fingerprint(col("text"), lit(16)).as("fingerprint"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
 
     // ---------- deduplication (scale surface) ----------
 
