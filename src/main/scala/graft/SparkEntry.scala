@@ -349,6 +349,19 @@ object SparkEntry {
           round(col("cosine"), 5).as("cosine"), col("rn").cast("long").as("rn"))
     }),
 
+    // vector math via built-in higher-order functions (zip_with + aggregate)
+    // — the no-custom-expression path; norms and dot in one pass per side
+    "ss_dot_hof" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id"),
+          round(expr(
+            "aggregate(zip_with(embedding, reverse(embedding), (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
+            5).as("dot_rev"),
+          round(expr(
+            "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"),
+            5).as("l2_norm"))),
+
     "ss_knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
@@ -576,6 +589,13 @@ object SparkEntry {
     "dd_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY md5(text)""",
+
+    "ss_dot_hof" ->
+      """SELECT vec_id,
+                round(list_sum(list_transform(range(1, len(embedding) + 1),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[len(embedding) - i + 1] AS DOUBLE))), 5) AS dot_rev,
+                round(sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 5) AS l2_norm
+         FROM embeddings WHERE vec_id % 10 = 0""",
 
     "ss_knn_brute" ->
       """SELECT query_id, vec_id, round(cosine, 5) AS cosine, rn FROM (
