@@ -152,6 +152,20 @@ object SparkEntry {
         .unionByName(y98.except(y99).withColumn("tag", lit("only_1998")))
     }),
 
+    // same result as q8 via one scan + one shuffle: the intersect + except
+    // branches above re-scan orders 4x (Spark has no cross-branch
+    // common-subplan reuse), while a per-key year-flag aggregation derives
+    // both outputs from a single pass — the shape to prefer at 100 TB
+    "q8_setops_fused" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupBy(col("o_custkey")).agg(
+          max(when(year(col("o_orderdate")) === 1998, 1).otherwise(0)).as("y98"),
+          max(when(year(col("o_orderdate")) === 1999, 1).otherwise(0)).as("y99"))
+        .filter(col("y98") === 1)
+        .select(col("o_custkey"),
+          when(col("y99") === 1, "both").otherwise("only_1998").as("tag"))
+    }),
+
     "q9_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -210,6 +224,16 @@ object SparkEntry {
       t(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(count(lit(1)).as("n_orders"), decSum("o_totalprice").as("revenue"))),
+
+    // approximate analytics sketches (HLL distinct, quantile sketch) —
+    // deterministic for fixed input/params but engine-specific, so rows-only
+    "q16_sketches" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))),
 
     // ---------- events / streaming-batch surface (§2.9 extension) ----------
 
@@ -429,6 +453,17 @@ object SparkEntry {
          FROM orders GROUP BY o_orderstatus""",
 
     "q8_setops" ->
+      """SELECT o_custkey, 'both' AS tag FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+           INTERSECT
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1999)
+         UNION ALL
+         SELECT o_custkey, 'only_1998' AS tag FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+           EXCEPT
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1999)""",
+
+    "q8_setops_fused" ->
       """SELECT o_custkey, 'both' AS tag FROM (
            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998
            INTERSECT
