@@ -9,12 +9,17 @@ import graft.schema.EmployeeNormalizer
  * of the reference's HTTP upload endpoint (/root/reference/main.py:136-221):
  * two CSVs in, ranked-match CSV out.
  *
- * Usage: MatchCli <employees.csv> <usernames.csv> <outDir>
+ * Usage: MatchCli <employees.csv> <usernames.csv> <outDir> [--separators]
+ * (--separators reproduces the reference's blank row between username
+ * groups, main.py:209)
  */
 object MatchCli {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: MatchCli <employees.csv> <usernames.csv> <outDir>")
-    val Array(employeesPath, usernamesPath, outDir) = args
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    require(positional.length == 3,
+      "usage: MatchCli <employees.csv> <usernames.csv> <outDir> [--separators]")
+    val Array(employeesPath, usernamesPath, outDir) = positional
+    val separators = flags.contains("--separators")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions",
@@ -33,7 +38,7 @@ object MatchCli {
       "usernames CSV must contain a 'username' column (main.py:153)")
 
     val out = MatchPipeline.matchOutput(lowered.select("username"), employees)
-    MatchPipeline.writeCsv(out.orderBy("username", "confidence_score"), outDir)
+    MatchPipeline.writeCsv(out, outDir, separators)
     println(s"[match] wrote ${out.count()} rows to $outDir")
     spark.stop()
   }

@@ -144,8 +144,25 @@ object MatchPipeline {
     fromPairs.unionByName(emptyRosterSentinels)
   }
 
-  /** CSV sink with the reference's blank separator rows between username
-    * groups (main.py:209-221). */
-  def writeCsv(out: DataFrame, path: String): Unit =
-    out.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+  /** CSV sink. With `separators = true`, reproduces the reference's blank
+    * row between username groups (main.py:209-221) by unioning one all-empty
+    * row per username, sort-keyed to land after its group — presentation
+    * only, so it stays out of the relational [[matchOutput]] result. */
+  def writeCsv(out: DataFrame, path: String, separators: Boolean = false): Unit = {
+    val rows =
+      if (!separators) out.orderBy(col("username"), col("confidence_score"))
+      else {
+        val data = out.withColumn("__grp", col("username")).withColumn("__sep", lit(0))
+        val nul = lit(null).cast("string")
+        val seps = out.select(col("username").as("__grp")).distinct()
+          .select(
+            nul.as("username"), nul.as("emp_id"), nul.as("emp_name"),
+            nul.as("confidence_score"), nul.as("match_type"),
+            col("__grp"), lit(1).as("__sep"))
+        data.unionByName(seps)
+          .orderBy(col("__grp"), col("__sep"), col("confidence_score"))
+          .drop("__grp", "__sep")
+      }
+    rows.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+  }
 }
