@@ -222,7 +222,7 @@ object SparkEntry {
 
     "q14_month_agg" -> ((s, dir) =>
       t(s, dir, "orders")
-        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
         .agg(count(lit(1)).as("n_orders"), decSum("o_totalprice").as("revenue"))),
 
     // approximate analytics sketches (HLL distinct, quantile sketch) —
@@ -245,6 +245,18 @@ object SparkEntry {
 
     "ev_sessionize" -> ((s, dir) =>
       EventPipelines.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)),
+
+    // point-in-time join: each event sees only the latest order at-or-before
+    // its timestamp (the no-future-leakage primitive for feature pipelines);
+    // oracled against DuckDB's native ASOF LEFT JOIN
+    "ev_asof_join" -> ((s, dir) =>
+      graft.operators.AsofJoin.asof(
+          t(s, dir, "events").select("event_id", "user_id", "ts"),
+          t(s, dir, "orders"),
+          "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("o_orderdate"), "o_orderkey")
+        .withColumn("asof_orderdate", date_format(col("asof_o_orderdate"), "yyyy-MM-dd"))
+        .drop("asof_o_orderdate")),
 
     // custom per-key state machine (flatMapGroupsWithState in streaming form;
     // this batch replay shares the transition function — StatefulPipelinesSpec
@@ -516,7 +528,7 @@ object SparkEntry {
          GROUP BY s_name""",
 
     "q14_month_agg" ->
-      """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
 
@@ -550,6 +562,11 @@ object SparkEntry {
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM sess GROUP BY user_id, session_seq""",
+
+    "ev_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, strftime(o.o_orderdate, '%Y-%m-%d') AS asof_orderdate
+         FROM events e ASOF LEFT JOIN orders o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
 
     "ev_props_extract" ->
       """SELECT * FROM (

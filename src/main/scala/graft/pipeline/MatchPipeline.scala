@@ -15,7 +15,7 @@ import graft.scoring.MatchScore
  *     -> per-username top-k (row_number window, k=4) with threshold >= 50
  *     -> dense-rank confidence labels (ties share a rank — golden semantics
  *        pinned by the reference's assets/example.png)
- *     -> NOT-FOUND sentinel rows via left-anti join
+ *     -> NOT-FOUND sentinels derived from the rn=1 row in the same pass
  *
  * Scale design (100 TB usernames, roster-sized employees):
  *  - the employee side is hoisted+broadcast, so the cross join is a

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+import graft.operators.AsofJoin
+
+/** Point-in-time join semantics on a hand-built fixture. */
+class AsofJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("each left row gets the most recent right row at or before its time") {
+    val quotes = Seq( // (key, time, price)
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (1L, ts("2024-01-01 10:10:00"), 102.0),
+      (2L, ts("2024-01-01 10:07:00"), 50.0)
+    ).toDF("qkey", "qtime", "price")
+    val trades = Seq( // (key, time, qty)
+      (1L, ts("2024-01-01 10:03:00"), 5L),  // -> 100.0
+      (1L, ts("2024-01-01 10:05:00"), 6L),  // exact tie -> inclusive, 101.0
+      (1L, ts("2024-01-01 10:59:00"), 7L),  // -> 102.0
+      (2L, ts("2024-01-01 10:06:00"), 8L),  // before any quote -> null
+      (3L, ts("2024-01-01 10:06:00"), 9L)   // key never quoted -> null
+    ).toDF("tkey", "ttime", "qty")
+
+    val out = AsofJoin.asof(trades, quotes,
+        "tkey", "qkey", "ttime", "qtime", Seq("price"), "qtime")
+      .select("tkey", "qty", "asof_price")
+      .as[(Long, Long, Option[Double])].collect().toSet
+
+    assert(out === Set(
+      (1L, 5L, Some(100.0)),
+      (1L, 6L, Some(101.0)),
+      (1L, 7L, Some(102.0)),
+      (2L, 8L, None),
+      (3L, 9L, None)))
+  }
+
+  test("ties on right time resolve to the last tiebreak value deterministically") {
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, ts("2024-01-01 00:00:00"), "b")
+    ).toDF("k", "t", "v")
+    val left = Seq((1L, ts("2024-01-01 00:00:01"))).toDF("k2", "t2")
+    val out = AsofJoin.asof(left, right, "k2", "k", "t2", "t", Seq("v"), "v")
+      .select("asof_v").as[String].collect()
+    assert(out.toSeq === Seq("b"))
+  }
+}
