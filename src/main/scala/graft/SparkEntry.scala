@@ -246,6 +246,19 @@ object SparkEntry {
     "ev_sessionize" -> ((s, dir) =>
       EventPipelines.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)),
 
+    // bucketized range join: events inside the 1-hour window after an error
+    // event of the same user — equi-join on (key, time-bin) + exact filter,
+    // never a nested loop; oracled against DuckDB's inequality join
+    "ev_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val points = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val intervals = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("iu"), col("event_id").as("error_id"),
+          col("ts").as("ws"), (col("ts") + expr("INTERVAL 1 HOUR")).as("we"))
+      graft.operators.RangeJoin.pointInInterval(points, intervals,
+        "user_id", "iu", "ts", "ws", "we", Seq("error_id"), binSeconds = 3600)
+    }),
+
     // point-in-time join: each event sees only the latest order at-or-before
     // its timestamp (the no-future-leakage primitive for feature pipelines);
     // oracled against DuckDB's native ASOF LEFT JOIN
@@ -562,6 +575,12 @@ object SparkEntry {
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM sess GROUP BY user_id, session_seq""",
+
+    "ev_range_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, e.event_id AS ivl_error_id
+         FROM events p JOIN events e
+           ON p.user_id = e.user_id AND e.event_type = 'error'
+          AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL '1 hour'""",
 
     "ev_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts, strftime(o.o_orderdate, '%Y-%m-%d') AS asof_orderdate
