@@ -383,6 +383,18 @@ object SparkEntry {
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhashNearDup(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)),
 
+    // pairwise matches -> dedup groups: iterative min-label propagation,
+    // oracled against a recursive-CTE reachability closure in DuckDB
+    "dd_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keyed = docs.select(col("doc_id"), substring(col("text"), 1, 12).as("pfx"))
+      val edges = keyed.alias("a").join(keyed.alias("b"), "pfx")
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.clusters(docs.select("doc_id"), edges, "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "dd_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
         threshold = 0.8, planes = 8, dim = 64)),
@@ -660,6 +672,19 @@ object SparkEntry {
     "dd_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY md5(text)""",
+
+    "dd_clusters" ->
+      """WITH RECURSIVE edges AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM documents a JOIN documents b
+             ON substr(a.text, 1, 12) = substr(b.text, 1, 12)
+            AND a.doc_id < b.doc_id),
+         bi AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT bi.src, r.lbl FROM bi JOIN reach r ON bi.dst = r.id)
+         SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id""",
 
     "ss_dot_hof" ->
       """SELECT vec_id,

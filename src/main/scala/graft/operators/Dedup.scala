@@ -114,6 +114,46 @@ object Dedup {
   }
 
   /**
+   * Connected components over verified near-dup pairs: every document gets
+   * the MINIMUM id reachable through the duplicate graph as its `cluster`
+   * label — the step that turns pairwise matches into dedup groups (keep one
+   * representative per cluster).
+   *
+   * Iterative min-label propagation: each round every node adopts the
+   * smallest label among itself and its neighbors; convergence needs
+   * O(graph diameter) rounds — near-dup graphs are shallow (dup groups are
+   * cliques or short chains), so the default cap is generous. Each round is
+   * two hash joins + one aggregation, all on narrow (id, label) rows.
+   * Deterministic output regardless of execution order.
+   */
+  def clusters(ids: DataFrame, pairs: DataFrame, idCol: String,
+               pairA: String = "id_a", pairB: String = "id_b",
+               maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(pairA).as("src"), col(pairB).as("dst"))
+      .unionByName(pairs.select(col(pairB).as("src"), col(pairA).as("dst")))
+      .distinct()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborLabels = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "dst", "cluster" -> "n_cluster")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("n_cluster")).as("min_n"))
+      val next = labels.join(neighborLabels, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("min_n"), col("cluster"))).as("cluster"))
+        .localCheckpoint() // truncate lineage: iterative plans otherwise grow exponentially
+      val changed = next.alias("n").join(labels.alias("p"), "id")
+        .filter(col("n.cluster") =!= col("p.cluster")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /**
    * Embedding-cosine near-duplicates above `threshold`, bucketed by random
    * hyperplane signs (LSH) so the pairwise check happens only inside
    * buckets. `planes` sign bits -> 2^planes buckets.

@@ -59,6 +59,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) })
   }
 
+  test("dedup clustering: connected components get the min reachable id") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // components: {1,2,3} via chain 1-2, 2-3; {4,5}; singletons 6, 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
+  }
+
+  test("dedup clustering converges on a long chain (diameter > 2)") {
+    val n = 12
+    val ids = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, pairs, "doc_id").as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(1L), s"chain must collapse to one cluster: $got")
+  }
+
   test("brute-force kNN: self-match ranks first at cosine 1") {
     val corpus = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
     val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
