@@ -62,6 +62,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected partial+final aggregate pair:\n$p")
   }
 
+  test("as-of join: union-window form, one hash exchange, no nested loop") {
+    val df = SparkEntry.queries("ev_asof_join")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$p")
+  }
+
+  test("range join: equi-join on (key, bin), never a nested loop") {
+    val df = SparkEntry.queries("ev_range_join")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("similarity kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("nm_fuzz_vectors")(spark, sf)
     // executedPlan renders codegen'd spans with the "*(id)" marker; the
