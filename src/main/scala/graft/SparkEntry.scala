@@ -225,6 +225,16 @@ object SparkEntry {
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
         .agg(count(lit(1)).as("n_orders"), decSum("o_totalprice").as("revenue"))),
 
+    // window aggregate as an analytic predicate: customers above their
+    // nation's average balance (exact decimal window sum on both sides)
+    "q17_window_agg" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("nation_avg", expr(
+          "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_nationkey) AS DOUBLE)" +
+            " / COUNT(*) OVER (PARTITION BY c_nationkey)"))
+        .filter(col("c_acctbal") > col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal", "nation_avg")),
+
     // approximate analytics sketches (HLL distinct, quantile sketch) —
     // deterministic for fixed input/params but engine-specific, so rows-only
     "q16_sketches" -> ((s, dir) =>
@@ -556,6 +566,14 @@ object SparkEntry {
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
+
+    "q17_window_agg" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal, nation_avg FROM (
+           SELECT c_custkey, c_nationkey, c_acctbal,
+                  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+                    / COUNT(*) OVER (PARTITION BY c_nationkey) AS nation_avg
+           FROM customer)
+         WHERE c_acctbal > nation_avg""",
 
     "ev_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -46,6 +46,26 @@ object EventPipelines {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup on an id column: state is bounded by the
+    * watermark via dropDuplicatesWithinWatermark (a duplicate arriving
+    * later than the watermark delay may pass — the documented tradeoff
+    * that keeps dedup state finite on an unbounded stream). */
+  def dedupStreaming(spark: SparkSession, sourceDir: String,
+                     idCols: Seq[String], watermark: String = "2 hours",
+                     queryName: String = "events_dedup"): DataFrame = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Sliding-window per-type event rates (batch). */
   def slidingBatch(events: DataFrame, width: String = "1 hour",
                    slide: String = "30 minutes"): DataFrame =

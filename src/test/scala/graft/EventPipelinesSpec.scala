@@ -44,6 +44,17 @@ class EventPipelinesSpec extends AnyFunSuite {
       s"batch-only: ${(batch -- stream).take(3)}; stream-only: ${(stream -- batch).take(3)}")
   }
 
+  test("streaming dedup within watermark equals batch distinct on duplicated input") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_dup").toString
+    val ev = Tables.events(spark, SparkTestBase.Sf0001)
+    ev.unionAll(ev.limit(200)).write.mode("overwrite").parquet(dir) // inject dups
+    val deduped = EventPipelines.dedupStreaming(spark, dir, Seq("event_id"),
+      queryName = s"dedup_${System.nanoTime()}")
+    assert(deduped.count() === ev.count())
+    assert(deduped.select(col("event_id")).distinct().count() === ev.count())
+  }
+
   test("sliding windows cover each event exactly width/slide times") {
     val ev = Tables.events(spark, SparkTestBase.Sf0001)
     val total = ev.count()
