@@ -225,6 +225,25 @@ object SparkEntry {
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
         .agg(count(lit(1)).as("n_orders"), decSum("o_totalprice").as("revenue"))),
 
+    // native pivot: order counts per nation spread across status columns
+    "q18_pivot" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+    }),
+
+    // native unpivot (melt): wide per-part numeric columns to long form
+    "q19_unpivot" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "value")),
+
     // window aggregate as an analytic predicate: customers above their
     // nation's average balance (exact decimal window sum on both sides)
     "q17_window_agg" -> ((s, dir) =>
@@ -566,6 +585,20 @@ object SparkEntry {
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
+
+    "q18_pivot" ->
+      """SELECT n_name,
+                COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+                COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+                COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "q19_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+         UNION ALL
+         SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part""",
 
     "q17_window_agg" ->
       """SELECT c_custkey, c_nationkey, c_acctbal, nation_avg FROM (
