@@ -225,6 +225,20 @@ object SparkEntry {
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
         .agg(count(lit(1)).as("n_orders"), decSum("o_totalprice").as("revenue"))),
 
+    // custom bounded-heap top-k AGGREGATE (TypedImperativeAggregate with
+    // partial/map-side reduction) — must hash-match the window form's oracle
+    "q20_topk_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(topk_by(col("o_totalprice"), col("o_orderkey"), 3).as("topk"))
+        .select(col("c_mktsegment"), posexplode(col("topk")).as(Seq("pos", "p")))
+        .select(col("c_mktsegment"),
+          col("p.id").as("o_orderkey"),
+          col("p.ord").as("o_totalprice"),
+          (col("pos") + 1).cast("long").as("rn"))
+    }),
+
     // native pivot: order counts per nation spread across status columns
     "q18_pivot" -> ((s, dir) => {
       val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
@@ -585,6 +599,13 @@ object SparkEntry {
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1""",
+
+    "q20_topk_agg" ->
+      """SELECT * FROM (
+           SELECT c_mktsegment, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         WHERE rn <= 3""",
 
     "q18_pivot" ->
       """SELECT n_name,

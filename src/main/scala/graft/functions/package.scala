@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graftshim.ColumnShim
 
@@ -44,6 +45,12 @@ package object functions {
   def hyperplane_bucket(v: Column, planes: Column, seed: Column): Column =
     c(HyperplaneBucket(e(v), e(planes), e(seed)))
 
+  // ---- aggregates ----
+  /** Bounded-heap top-k aggregate: k best (ord, id) pairs per group,
+    * ordered (ord desc, id asc), as array<struct<ord,id>>. */
+  def topk_by(ord: Column, id: Column, k: Int): Column =
+    c(TopKByOrd(e(ord), e(id), e(lit(k))).toAggregateExpression())
+
   /** Register every engine function with the session's SQL function registry.
     * Idempotent; cheap enough to call at the top of every query builder. */
   def registerAll(spark: SparkSession): Unit = {
@@ -63,5 +70,6 @@ package object functions {
     reg2("ngram_jaccard", a => NGramJaccard(a(0), a(1), a(2)))
     reg2("cosine_sim", a => CosineSim(a(0), a(1)))
     reg2("hyperplane_bucket", a => HyperplaneBucket(a(0), a(1), a(2)))
+    reg2("topk_by", a => TopKByOrd(a(0), a(1), a(2)).toAggregateExpression())
   }
 }

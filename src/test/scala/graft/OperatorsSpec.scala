@@ -105,6 +105,38 @@ class OperatorsSpec extends AnyFunSuite {
     self.foreach { case (_, c) => assert(math.abs(c - 1.0) < 1e-9) }
   }
 
+  test("bounded-heap top-k aggregate equals the rank-limit window form") {
+    import graft.functions.topk_by
+    val li = spark.read.parquet(s"${SparkTestBase.Sf0001}/lineitem.parquet")
+    val viaAgg = li.groupBy("l_returnflag")
+      .agg(topk_by(col("l_extendedprice"), col("l_orderkey"), 5).as("topk"))
+      .select(col("l_returnflag"), explode(col("topk")).as("p"))
+      .select(col("l_returnflag"), col("p.ord"), col("p.id"))
+      .as[(String, Double, Long)].collect().toSet
+    val viaWindow = TopK.topK(
+        li.select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey")),
+        5, Seq(col("l_returnflag")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey").asc))
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(viaAgg === viaWindow)
+  }
+
+  test("topk_by works from SQL and survives partial aggregation") {
+    import graft.functions.topk_by
+    val df = spark.range(1000).select(
+      (col("id") % 7).cast("string").as("g"),
+      col("id").cast("double").as("ord"), col("id").as("id"))
+      .repartition(8) // force multi-partition partial aggregation + merge
+    val out = df.groupBy("g").agg(topk_by(col("ord"), col("id"), 2).as("topk"))
+      .select(col("g"), col("topk").getItem(0).getField("id").as("best"))
+      .as[(String, Long)].collect().toMap
+    (0 until 7).foreach { g =>
+      val expected = (0L until 1000L).filter(_ % 7 == g).max
+      assert(out(g.toString) === expected, s"group $g")
+    }
+  }
+
   test("per-group and global top-k") {
     val li = spark.read.parquet(s"${SparkTestBase.Sf0001}/lineitem.parquet")
     val grouped = TopK.topK(li, 2, Seq(col("l_returnflag")),
