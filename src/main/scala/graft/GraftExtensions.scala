@@ -42,5 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("ngram_jaccard", "exact word-shingle Jaccard similarity")(a => NGramJaccard(a(0), a(1), a(2)))
     inject("cosine_sim", "cosine similarity of float arrays")(a => CosineSim(a(0), a(1)))
     inject("hyperplane_bucket", "sign-bit LSH bucket of hyperplane projections")(a => HyperplaneBucket(a(0), a(1), a(2)))
+    inject("topk_by", "bounded-heap top-k aggregate: k best (ord, id) pairs per group")(
+      a => TopKByOrd(a(0), a(1), a(2)).toAggregateExpression())
   }
 }
