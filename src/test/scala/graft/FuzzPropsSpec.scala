@@ -10,7 +10,12 @@ import graft.functions.{Fuzz, Phonetics}
 class FuzzPropsSpec extends AnyFunSuite {
 
   private def check(prop: Prop): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    // fixed seed: the suite gates driver rounds, so a rare unlucky seed must
+    // not flake a run — new edge cases get added as explicit vectors instead
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(500)
+      .withInitialSeed(org.scalacheck.rng.Seed(20260812L))
+    val res = SCTest.check(params, prop)
     assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
   }
 
