@@ -44,20 +44,36 @@ object Dedup {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
-  /** In-bucket ordered pairs from a sorted id array: (a, b) with a < b. */
-  private def bucketPairs(ids: Column): Column =
-    filter(
-      flatten(transform(ids, x => transform(ids, y => struct(x.as("a"), y.as("b"))))),
-      p => p.getField("a") < p.getField("b"))
-
-  /** Distinct candidate pairs for buckets of (id, bucket key) rows. */
-  private def candidatesFromKeyed(keyed: DataFrame, keyCols: Seq[String],
-                                  maxBucketSize: Int): DataFrame =
+  /**
+   * Distinct candidate pairs for buckets of (id, bucket key) rows.
+   *
+   * Pair generation never materializes the s² pair set in one value: the
+   * sorted bucket array is exploded to one row PER MEMBER first, and each
+   * member then pairs only with the suffix that follows it (upper triangle,
+   * so a < b by construction). Peak per-row memory is O(s) — one copy of the
+   * bucket array plus one suffix slice — even for a bucket at the cap.
+   *
+   * Buckets above `maxBucketSize` are dropped (they are degenerate
+   * boilerplate: all-duplicates by construction, better handled by the exact
+   * pass) and surfaced through the `dedup_candidates` observed metric
+   * (`dropped_hot_buckets`, `dropped_hot_bucket_rows`) so a silent recall
+   * hole is visible to operators via QueryExecutionListener.
+   */
+  private[graft] def candidatesFromKeyed(keyed: DataFrame, keyCols: Seq[String],
+                                         maxBucketSize: Int): DataFrame =
     keyed.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("id")).as("ids"))
+      .observe("dedup_candidates",
+        sum(when(size(col("ids")) > maxBucketSize, 1L).otherwise(0L))
+          .as("dropped_hot_buckets"),
+        sum(when(size(col("ids")) > maxBucketSize, size(col("ids")).cast("long"))
+          .otherwise(0L)).as("dropped_hot_bucket_rows"))
       .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(explode(bucketPairs(sort_array(col("ids")))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .select(sort_array(col("ids")).as("ids"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")) // guards duplicate ids in a caller's input
       .distinct()
 
   /**
@@ -69,7 +85,7 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleW: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  jaccardThreshold: Double = 0.8,
-                 maxBucketSize: Int = 10000): DataFrame = {
+                 maxBucketSize: Int = 500): DataFrame = {
     val rows = numHashes / bands
     val keyed = df.select(
         col(idCol).as("id"),
@@ -100,7 +116,7 @@ object Dedup {
    * payload re-join at all.
    */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
-                     maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+                     maxHamming: Int = 3, maxBucketSize: Int = 500): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
       .select(struct(col("id"), col("sim")).as("id"),
         posexplode(array((0 until 4).map(i =>
@@ -161,7 +177,7 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double = 0.95, planes: Int = 8,
                        dim: Int = 64, seed: Long = 42L,
-                       maxBucketSize: Int = 10000): DataFrame = {
+                       maxBucketSize: Int = 500): DataFrame = {
     val keyed = SimilaritySearch.withHyperplaneBucket(
         df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", planes, dim, seed)
       .select(col("id"), col("bucket"))

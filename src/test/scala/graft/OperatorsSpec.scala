@@ -59,6 +59,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) })
   }
 
+  test("candidate pairs: exact upper triangle from an unsorted bucket") {
+    val keyed = Seq((0, 3L), (0, 1L), (0, 2L), (1, 9L)).toDF("k", "id")
+    val got = Dedup.candidatesFromKeyed(keyed, Seq("k"), maxBucketSize = 500)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("candidate generation stays bounded on a 5000-member hot bucket") {
+    // The old pair generator built s² structs inside ONE array value; at
+    // s=5000 that is 25M structs in a single row. The explode-first upper-
+    // triangle form keeps per-row memory O(s) and must complete comfortably.
+    val keyed = spark.range(5000).select(lit(0).as("k"), col("id"))
+    val n = Dedup.candidatesFromKeyed(keyed, Seq("k"), maxBucketSize = 5000).count()
+    assert(n === 5000L * 4999L / 2L)
+    // at the default cap the hot bucket is dropped (all-dups belong to the exact pass)
+    assert(Dedup.candidatesFromKeyed(keyed, Seq("k"), maxBucketSize = 500).count() === 0L)
+  }
+
   test("dedup clustering: connected components get the min reachable id") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
     // components: {1,2,3} via chain 1-2, 2-3; {4,5}; singletons 6, 7
