@@ -316,9 +316,12 @@ object SparkEntry {
 
     // custom per-key state machine (flatMapGroupsWithState in streaming form;
     // this batch replay shares the transition function — StatefulPipelinesSpec
-    // pins stream == batch)
+    // pins stream == batch). Spend accumulates in exact cents, so the fold is
+    // bit-equal to the DuckDB running-DECIMAL window oracle.
     "ev_stateful_alerts" -> ((s, dir) =>
-      graft.streaming.StatefulPipelines.alertsBatch(t(s, dir, "events")).toDF()),
+      graft.streaming.StatefulPipelines.alertsBatch(t(s, dir, "events")).toDF()
+        .select(col("user_id"), col("ts"), col("alert_type"), col("spend"),
+          col("consecutive_errors").cast("long").as("consecutive_errors"))),
 
     "ev_props_extract" -> ((s, dir) =>
       t(s, dir, "events")
@@ -676,6 +679,49 @@ object SparkEntry {
            SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
            FROM events)
          WHERE k > 90""",
+
+    // the per-key fold as window SQL: running DECIMAL spend (exact, matches
+    // the cents accumulator), consecutive-error runs via gaps-and-islands
+    "ev_stateful_alerts" ->
+      """WITH run AS (
+           SELECT user_id, ts, event_id, event_type,
+                  SUM(CAST(value AS DECIMAL(18,2))) OVER w AS spend,
+                  COUNT(CASE WHEN event_type <> 'error' THEN 1 END) OVER w AS grp
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+         errs AS (
+           SELECT user_id, ts, event_id, spend,
+                  CASE WHEN event_type = 'error'
+                       THEN ROW_NUMBER() OVER (PARTITION BY user_id, grp ORDER BY ts, event_id)
+                            - CASE WHEN grp > 0 THEN 1 ELSE 0 END
+                       ELSE 0 END AS consecutive_errors
+           FROM run),
+         spend_alerts AS (
+           SELECT user_id, ts, 'SPEND' AS alert_type, spend, consecutive_errors
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                 FROM errs WHERE spend >= 500) WHERE rn = 1),
+         err_alerts AS (
+           SELECT user_id, ts, 'ERRORS' AS alert_type, spend, consecutive_errors
+           FROM errs WHERE consecutive_errors = 3)
+         SELECT user_id, ts, alert_type, CAST(spend AS DOUBLE) AS spend,
+                CAST(consecutive_errors AS BIGINT) AS consecutive_errors
+         FROM spend_alerts
+         UNION ALL
+         SELECT user_id, ts, alert_type, CAST(spend AS DOUBLE) AS spend,
+                CAST(consecutive_errors AS BIGINT) AS consecutive_errors
+         FROM err_alerts""",
+
+    // the synthetic generator's metadata columns are closed-form functions of
+    // the row id (Multimodal.synthetic), so the whole feature row is
+    // SQL-predictable; payloads are always non-empty -> decode_ok true
+    "mm_media_features" ->
+      """SELECT id AS media_id,
+                CASE CAST(id % 3 AS INTEGER)
+                  WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                id % 193 + 64 AS n_bytes,
+                CAST(16 AS INTEGER) AS feat_dim,
+                TRUE AS decode_ok
+         FROM range(300) t(id)""",
 
     "nm_normalize" ->
       """SELECT CAST(p_partkey AS VARCHAR) AS emp_id,

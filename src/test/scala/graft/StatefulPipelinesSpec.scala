@@ -1,21 +1,23 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, to_timestamp}
 import graft.sources.Tables
 import graft.streaming.StatefulPipelines
 import graft.streaming.StatefulPipelines.{Alert, Event, UserState}
 
 /** flatMapGroupsWithState parity: the streaming state machine must replay
-  * the exact same transitions as the batch fold over identical data. */
+  * the exact same transitions as the batch fold over identical data — and
+  * its event-time timeout must actually evict idle keys' state. */
 class StatefulPipelinesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
   test("transition function: spend alert fires once, error alert on the 3rd consecutive") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    var st = UserState(0.0, 0, alertedSpend = false)
+    var st = UserState(0L, 0, alertedSpend = false)
     def feed(tpe: String, v: Double): List[Alert] = {
-      val (next, alerts) = StatefulPipelines.step(st, Event(1L, ts, tpe, v))
+      val (next, alerts) = StatefulPipelines.step(st, Event(0L, 1L, ts, tpe, v))
       st = next; alerts
     }
     assert(feed("click", 499.0).isEmpty)
@@ -27,6 +29,16 @@ class StatefulPipelinesSpec extends AnyFunSuite {
     assert(feed("error", 0.0).isEmpty) // 4th error: counter already past the edge
     assert(feed("view", 0.0).isEmpty)  // reset
     assert(st.consecutiveErrors === 0)
+  }
+
+  test("spend accumulates in exact cents (no float drift at the threshold)") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 0.1 + 0.2 style drift: 4999 events of 0.10 then one of 0.10 == 500.00
+    var st = UserState(49990L, 0, alertedSpend = false)
+    val (next, alerts) = StatefulPipelines.step(st, Event(0L, 1L, ts, "click", 0.10))
+    assert(next.spendCents === 50000L)
+    assert(alerts.map(_.alert_type) === List("SPEND"))
+    assert(alerts.head.spend === 500.0)
   }
 
   test("streaming state machine equals the batch replay on the events table") {
@@ -41,5 +53,49 @@ class StatefulPipelinesSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "expected some alerts from the fixture data")
     assert(stream === batch,
       s"batch-only: ${(batch -- stream).take(3)}; stream-only: ${(stream -- batch).take(3)}")
+  }
+
+  test("event-time timeout evicts an idle key's state (hasTimedOut path executes)") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = java.nio.file.Files.createTempDirectory("graft_evict").toString
+    val src = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    val sink = s"$base/out"
+    def write(rows: Seq[(Long, Long, String, String, Double)]): Unit =
+      rows.toDF("event_id", "user_id", "ts_s", "event_type", "value")
+        .select(col("event_id"), col("user_id"),
+          to_timestamp(col("ts_s")).as("ts"), col("event_type"), col("value"))
+        .write.mode(SaveMode.Append).parquet(src)
+    // file sink so the query can restart from the checkpoint between batches
+    def run(): Unit = {
+      val q = StatefulPipelines.alertsStream(spark, src,
+          watermark = "1 hour", retentionMs = 2L * 3600 * 1000,
+          emitEvictionMarkers = true)
+        .toDF().writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // batch 1: users 1 and 2 both active around midnight Jan 1
+    write(Seq((0L, 1L, "2024-01-01 00:00:00", "click", 1.0),
+              (1L, 2L, "2024-01-01 00:30:00", "click", 1.0)))
+    run()
+    // batch 2: only user 2 returns a day later -> watermark will advance
+    write(Seq((2L, 2L, "2024-01-02 00:00:00", "click", 1.0)))
+    run()
+    // batch 3: user 2 again; during this batch the watermark (Jan 1 23:00)
+    // is past user 1's timeout (Jan 1 02:00) -> user 1's state evicts
+    write(Seq((3L, 2L, "2024-01-02 02:00:00", "click", 1.0)))
+    run()
+    val all = spark.read.parquet(sink).as[Alert].collect()
+
+    val evicted = all.filter(_.alert_type == "EVICT").map(_.user_id).toSet
+    assert(evicted.contains(1L), s"expected user 1's idle state evicted, got: ${all.mkString(", ")}")
+    assert(!evicted.contains(2L), "active user 2 must keep its state")
   }
 }
