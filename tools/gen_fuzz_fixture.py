@@ -1,0 +1,290 @@
+#!/usr/bin/env python3
+"""Generate fixtures/fuzz_golden.csv: library-parity ground truth for the
+fuzz/phonetic kernels (E6-E10) over the FULL reference cross product
+(usernames.csv x employee.csv, lowercased as main.py:30-66 does).
+
+The reference's ground truth is `thefuzz` + `jellyfish`
+(/root/reference/requirements.txt). Neither is installable here (zero
+egress), so this script is an INDEPENDENT re-derivation of the published
+algorithms:
+
+ * thefuzz >= 0.20 delegates every scorer to rapidfuzz
+   (python-Levenshtein in the reference's requirements is only used by
+   thefuzz < 0.20); scores are 100x normalized indel similarities rounded
+   half-even by the thefuzz wrapper (`int(round(x))`).
+ * fuzz.ratio            -> rapidfuzz Indel.normalized_similarity, raw input
+ * fuzz.partial_ratio    -> best ratio of the shorter string against every
+   alignment window of the longer (full windows plus clipped windows at
+   both ends — rapidfuzz's boundary-character skip is a lossless pruning
+   of this same set).  s1 is "shorter" on length ties (documented
+   asymmetry).
+ * fuzz.token_set_ratio / token_sort_ratio -> rapidfuzz with
+   utils.default_process: lowercase, non-alphanumeric (underscore
+   included) -> space, trim.  token_set dedups tokens; intersection
+   non-empty + one empty difference short-circuits to 100.
+ * jellyfish.soundex / jellyfish.metaphone -> transcribed from
+   jellyfish/_jellyfish.py (pure-python reference implementation).
+
+Anything this transcription gets wrong is caught the same way anything
+the Scala kernels get wrong is: FuzzSpec asserts Scala == fixture on all
+~17k rows, and every disagreement was hand-adjudicated against the
+published algorithm text when the fixture was generated.
+
+Output is deterministic; regenerate with:
+    python3 tools/gen_fuzz_fixture.py
+"""
+import csv
+import unicodedata
+
+# ---------------------------------------------------------------- indel core
+
+
+def lcs_len(a: str, b: str) -> int:
+    if not a or not b:
+        return 0
+    m = len(a)
+    prev = [0] * (m + 1)
+    for tc in b:
+        curr = [0] * (m + 1)
+        for j in range(m):
+            curr[j + 1] = prev[j] + 1 if a[j] == tc else max(prev[j + 1], curr[j])
+        prev = curr
+    return prev[m]
+
+
+def ratio_f(a: str, b: str) -> float:
+    lensum = len(a) + len(b)
+    if lensum == 0:
+        return 100.0
+    return 200.0 * lcs_len(a, b) / lensum
+
+
+def intr(x: float) -> int:
+    return int(round(x))  # python 3 round: half-even, same as the thefuzz wrapper
+
+
+def ratio(a: str, b: str) -> int:
+    return intr(ratio_f(a, b))
+
+
+def partial_ratio(a: str, b: str) -> int:
+    if not a and not b:
+        return 100
+    if not a or not b:
+        return 0
+    shorter, longer = (a, b) if len(a) <= len(b) else (b, a)
+    m, n = len(shorter), len(longer)
+    best = 0.0
+    for start in range(-(m - 1), n):
+        window = longer[max(0, start):min(n, start + m)]
+        sc = ratio_f(shorter, window)
+        if sc > best:
+            best = sc
+            if best >= 100.0:
+                break
+    return intr(best)
+
+
+def default_process(s: str) -> str:
+    # rapidfuzz utils.default_process: non-alphanumeric -> space (this
+    # includes '_': Python isalnum is false for it), lowercase, strip
+    return "".join(c.lower() if c.isalnum() else " " for c in s).strip()
+
+
+def token_sort_ratio(a: str, b: str) -> int:
+    ta = sorted(default_process(a).split())
+    tb = sorted(default_process(b).split())
+    if not ta or not tb:
+        return 0
+    return intr(ratio_f(" ".join(ta), " ".join(tb)))
+
+
+def token_set_ratio(a: str, b: str) -> int:
+    ta = set(default_process(a).split())
+    tb = set(default_process(b).split())
+    if not ta or not tb:
+        return 0
+    sect = ta & tb
+    da = sorted(ta - tb)
+    db = sorted(tb - ta)
+    if sect and (not da or not db):
+        return 100
+    t0 = " ".join(sorted(sect))
+    t1 = (t0 + " " + " ".join(da)).strip()
+    t2 = (t0 + " " + " ".join(db)).strip()
+    return intr(max(ratio_f(t0, t1), ratio_f(t0, t2), ratio_f(t1, t2)))
+
+
+# ---------------------------------------------------------------- jellyfish
+
+_SOUNDEX_SETS = (("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+                 ("L", "4"), ("MN", "5"), ("R", "6"))
+
+
+def soundex(s: str) -> str:
+    if not s:
+        return ""
+    s = unicodedata.normalize("NFKD", s).upper()
+    result = [s[0]]
+    count = 1
+    last = None
+    for lset, sub in _SOUNDEX_SETS:
+        if s[0] in lset:
+            last = sub
+            break
+    for letter in s[1:]:
+        if count == 4:
+            break
+        matched = False
+        for lset, sub in _SOUNDEX_SETS:
+            if letter in lset:
+                if sub != last:
+                    result.append(sub)
+                    count += 1
+                last = sub
+                matched = True
+                break
+        if not matched and letter not in "HW":
+            # vowels, digits, punctuation break a run; H/W are transparent
+            last = None
+    result += "0" * (4 - count)
+    return "".join(result)
+
+
+def metaphone(s: str) -> str:
+    """Transcribed from jellyfish/_jellyfish.py metaphone()."""
+    result = []
+    s = unicodedata.normalize("NFKD", s).lower()
+
+    # skip first character if s starts with these
+    if s.startswith(("kn", "gn", "pn", "wr", "ae")):
+        s = s[1:]
+    elif s.startswith("x"):
+        s = "s" + s[1:]
+    elif s.startswith("wh"):
+        s = "w" + s[2:]
+
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        nxt = s[i + 1] if i < n - 1 else "*****"
+        nxtnxt = s[i + 2] if i < n - 2 else "*****"
+        # skip doubles except for cc
+        if c == nxt and c != "c":
+            i += 1
+            continue
+        if c in "aeiou":
+            if i == 0 or s[i - 1] == " ":
+                result.append(c.upper())
+        elif c == "b":
+            if not (i == n - 1 and i > 0 and s[i - 1] == "m"):
+                result.append("B")
+        elif c == "c":
+            if (nxt == "i" and nxtnxt == "a") or nxt == "h":
+                result.append("X")
+                i += 1
+            elif nxt in "iey":
+                result.append("S")
+                i += 1
+            else:
+                result.append("K")
+        elif c == "d":
+            if nxt == "g" and nxtnxt in "iey":
+                result.append("J")
+                i += 2
+            else:
+                result.append("T")
+        elif c in "fjlmnr":
+            result.append(c.upper())
+        elif c == "g":
+            if nxt == "h":
+                # gh: silent at end / before a consonant (knight -> NT),
+                # hard K otherwise (ghost -> KST); the h is consumed either way
+                if i > 0 and (i + 1 == n - 1 or s[i + 2] not in "aeiou"):
+                    pass
+                else:
+                    result.append("K")
+                i += 1
+            elif nxt == "n":
+                # silent in terminal -gn / -gned
+                if i + 1 == n - 1 or (s[i + 1:i + 4] == "ned" and i + 3 == n - 1):
+                    pass
+                else:
+                    result.append("K")
+            elif nxt in "iey":
+                result.append("J")
+            else:
+                result.append("K")
+        elif c == "h":
+            # silent after a vowel with no vowel following
+            if i > 0 and s[i - 1] in "aeiou" and nxt not in "aeiou":
+                pass
+            else:
+                result.append("H")
+        elif c == "k":
+            if i == 0 or s[i - 1] != "c":
+                result.append("K")
+        elif c == "p":
+            if nxt == "h":
+                result.append("F")
+                i += 1
+            else:
+                result.append("P")
+        elif c == "q":
+            result.append("K")
+        elif c == "s":
+            if nxt == "h":
+                result.append("X")
+                i += 1
+            elif nxt == "i" and nxtnxt in ("o", "a"):
+                result.append("X")
+            else:
+                result.append("S")
+        elif c == "t":
+            if nxt == "h":
+                result.append("0")
+                i += 1
+            elif nxt == "i" and nxtnxt in ("o", "a"):
+                result.append("X")
+            else:
+                result.append("T")
+        elif c == "v":
+            result.append("F")
+        elif c in "wy":
+            if nxt in "aeiou":
+                result.append(c.upper())
+        elif c == "x":
+            result.append("KS")
+        elif c == "z":
+            result.append("S")
+        i += 1
+    return "".join(result)
+
+
+# ---------------------------------------------------------------- generate
+
+def main() -> None:
+    with open("/root/reference/usernames.csv") as f:
+        usernames = [r["username"] for r in csv.DictReader(f)]
+    with open("/root/reference/employee.csv") as f:
+        employees = [f'{r["First_Name"]} {r["Last_Name"]}' for r in csv.DictReader(f)]
+
+    with open("fixtures/fuzz_golden.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["username", "employee_name", "ratio", "partial_ratio",
+                    "token_set_ratio", "token_sort_ratio",
+                    "soundex_u", "soundex_n", "metaphone_u", "metaphone_n"])
+        for u in usernames:
+            ul = u.lower()
+            su, mu = soundex(ul), metaphone(ul)
+            for e in employees:
+                el = e.lower()
+                w.writerow([u, e, ratio(ul, el), partial_ratio(ul, el),
+                            token_set_ratio(ul, el), token_sort_ratio(ul, el),
+                            su, soundex(el), mu, metaphone(el)])
+    print(f"wrote {len(usernames) * len(employees)} rows")
+
+
+if __name__ == "__main__":
+    main()
