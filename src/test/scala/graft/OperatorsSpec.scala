@@ -123,6 +123,23 @@ class OperatorsSpec extends AnyFunSuite {
     self.foreach { case (_, c) => assert(math.abs(c - 1.0) < 1e-9) }
   }
 
+  test("multi-probe LSH kNN: recall@5 >= 0.9 vs brute force on the embeddings fixture") {
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
+    val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(SimilaritySearch.bruteForceKnn(corpus, queries, 5))
+    val multi = pairs(SimilaritySearch.lshKnn(corpus, queries, 5, planes = 4, dim = 64))
+    val single = pairs(SimilaritySearch.lshKnn(corpus, queries, 5, planes = 4, dim = 64,
+      multiProbe = false))
+    val recallMulti = (exact & multi).size.toDouble / exact.size
+    val recallSingle = (exact & single).size.toDouble / exact.size
+    assert(recallMulti >= 0.9, f"multi-probe recall@5 $recallMulti%.3f < 0.9")
+    assert(recallMulti >= recallSingle,
+      f"multi-probe ($recallMulti%.3f) must not lose recall vs single-probe ($recallSingle%.3f)")
+  }
+
   test("bounded-heap top-k aggregate equals the rank-limit window form") {
     import graft.functions.topk_by
     val li = spark.read.parquet(s"${SparkTestBase.Sf0001}/lineitem.parquet")
