@@ -26,11 +26,22 @@ import graft.functions._
  *      joined back by id for exact verification.
  *
  * Degenerate buckets (a boilerplate string shared by millions of docs) are
- * frequency-capped via `maxBucketSize`: such buckets are all-duplicates by
- * construction and are better handled by the exact pass; capping bounds the
- * s² pair blowup of a hot bucket.
+ * frequency-capped via `maxBucketSize`. The cap is a RECALL/COST tradeoff,
+ * not a lossless delegation: a band/block collision does not imply
+ * duplication, so pairs whose only shared bucket is above the cap are lost
+ * (for [[simhashNearDup]] the Hamming<=3 pigeonhole completeness guarantee
+ * only holds below the cap). Dropped buckets are surfaced via the observed
+ * `dropped_hot_buckets` metrics so the hole is visible, and the default cap
+ * is high (10k members ~ 50M generated pairs per bucket) because the
+ * explode-first generator keeps per-row memory O(s) even at the cap.
  */
 object Dedup {
+
+  /** Suffix for observed-metric names: Spark requires every `observe` name
+    * in one query to be unique, so two candidate generations composed into
+    * a single query (e.g. minhash + simhash pair unions) must not share
+    * one. */
+  private val observeSeq = new java.util.concurrent.atomic.AtomicInteger
 
   /** Exact dedup: first row (min orderCol) per identical `textCol` wins.
     * Hash-groupBy, single shuffle; map-side partial aggregation applies. */
@@ -53,17 +64,23 @@ object Dedup {
    * so a < b by construction). Peak per-row memory is O(s) — one copy of the
    * bucket array plus one suffix slice — even for a bucket at the cap.
    *
-   * Buckets above `maxBucketSize` are dropped (they are degenerate
-   * boilerplate: all-duplicates by construction, better handled by the exact
-   * pass) and surfaced through the `dedup_candidates` observed metric
-   * (`dropped_hot_buckets`, `dropped_hot_bucket_rows`) so a silent recall
-   * hole is visible to operators via QueryExecutionListener.
+   * Buckets above `maxBucketSize` are dropped — a recall/cost tradeoff (see
+   * the object doc: an over-cap LSH bucket can hide true pairs the exact
+   * pass will NOT recover) — and surfaced through the
+   * `dedup_candidates_<tag>_<n>` observed metric (`dropped_hot_buckets`,
+   * `dropped_hot_bucket_rows`) so the hole is visible to operators via
+   * QueryExecutionListener. The metric name carries a per-invocation
+   * sequence number: Spark rejects a query containing two `observe` nodes
+   * with the same name (DUPLICATED_METRICS_NAME), and one query may well
+   * compose several candidate generations (e.g. union of minhash and
+   * simhash pairs fed to [[clusters]]).
    */
   private[graft] def candidatesFromKeyed(keyed: DataFrame, keyCols: Seq[String],
-                                         maxBucketSize: Int): DataFrame =
+                                         maxBucketSize: Int,
+                                         metricTag: String = "pairs"): DataFrame =
     keyed.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("id")).as("ids"))
-      .observe("dedup_candidates",
+      .observe(s"dedup_candidates_${metricTag}_${observeSeq.incrementAndGet()}",
         sum(when(size(col("ids")) > maxBucketSize, 1L).otherwise(0L))
           .as("dropped_hot_buckets"),
         sum(when(size(col("ids")) > maxBucketSize, size(col("ids")).cast("long"))
@@ -85,14 +102,14 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleW: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  jaccardThreshold: Double = 0.8,
-                 maxBucketSize: Int = 500): DataFrame = {
+                 maxBucketSize: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     val keyed = df.select(
         col(idCol).as("id"),
         minhash_sig(col(textCol), lit(shingleW), lit(numHashes)).as("sig"))
       .select(col("id"),
         posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "band_key")))
-    val cand = candidatesFromKeyed(keyed, Seq("band", "band_key"), maxBucketSize)
+    val cand = candidatesFromKeyed(keyed, Seq("band", "band_key"), maxBucketSize, "minhash")
     val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
     cand
       .join(texts.withColumnsRenamed(Map("id" -> "id_a", "text" -> "text_a")), "id_a")
@@ -116,13 +133,13 @@ object Dedup {
    * payload re-join at all.
    */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
-                     maxHamming: Int = 3, maxBucketSize: Int = 500): DataFrame = {
+                     maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
       .select(struct(col("id"), col("sim")).as("id"),
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("block_idx", "block_val")))
-    candidatesFromKeyed(keyed, Seq("block_idx", "block_val"), maxBucketSize)
+    candidatesFromKeyed(keyed, Seq("block_idx", "block_val"), maxBucketSize, "simhash")
       .select(
         col("id_a.id").as("id_a"), col("id_b.id").as("id_b"),
         bit_count(col("id_a.sim").bitwiseXOR(col("id_b.sim"))).as("hamming"))
@@ -177,11 +194,11 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double = 0.95, planes: Int = 8,
                        dim: Int = 64, seed: Long = 42L,
-                       maxBucketSize: Int = 500): DataFrame = {
+                       maxBucketSize: Int = 10000): DataFrame = {
     val keyed = SimilaritySearch.withHyperplaneBucket(
         df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", planes, dim, seed)
       .select(col("id"), col("bucket"))
-    val cand = candidatesFromKeyed(keyed, Seq("bucket"), maxBucketSize)
+    val cand = candidatesFromKeyed(keyed, Seq("bucket"), maxBucketSize, "embedding")
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     cand
       .join(vecs.withColumnsRenamed(Map("id" -> "id_a", "vec" -> "vec_a")), "id_a")
