@@ -7,8 +7,36 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is materialized through the `noop` sink — a plain `count()`
   * would let Catalyst prune away the projections under test, benchmarking
-  * the scan instead of the operator. */
+  * the scan instead of the operator.
+  *
+  * Wall-clock on a shared box has shown 4x run-to-run variance on identical
+  * code (round-2 adjudication), so every query reports BOTH:
+  *  - `queries`     — min wall seconds over `Reps` runs (the standard
+  *    minimum estimator of intrinsic cost), and
+  *  - `queries_cpu` — min PROCESS-CPU seconds over the same runs, which is
+  *    robust to outside load: CPU stolen by other processes never lands in
+  *    this JVM's counter. When wall >> cpu/32 on local[32], the gap is
+  *    scheduling noise, not operator cost.
+  * `loadavg` (1/5/15-min, captured at start and end) records the box state
+  * so a regression can be adjudicated against contention directly.
+  */
 object Bench {
+
+  private val Reps = 3
+
+  private def processCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  private def loadavg(): String =
+    try {
+      val parts = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      s"[$parts]"
+    } catch { case _: Throwable => "[]" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -19,6 +47,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadavg()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // Warmup pass: pays the one-time janino codegen compile + C2 JIT of the
     // custom kernels, so the timed pass measures steady-state operator cost
@@ -29,24 +58,28 @@ object Bench {
       try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // min of 2 timed runs: wall-clock on a shared box is noisy (background
-    // load, GC, JIT recompilation); the minimum is the standard estimator of
-    // the query's actual cost
     val results = ordered.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to Reps).map { _ =>
+        val c0 = processCpuNs()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = if (c0 < 0) -1.0 else (processCpuNs() - c0) / 1e9
+        (wall, cpu)
       }
-      name -> times.min
+      (name, runs.map(_._1).min, runs.map(_._2).min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val loadEnd = loadavg()
+    val qs = results.map { case (k, w, _) => "\"" + k + "\":" + f"$w%.3f" }
+      .mkString("{", ",", "}")
+    val qsCpu = results.map { case (k, _, c) => "\"" + k + "\":" + f"$c%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalCpu = results.map(_._3).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"total_cpu":$totalCpu%.3f,"reps":$Reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

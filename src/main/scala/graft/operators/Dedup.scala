@@ -37,12 +37,6 @@ import graft.functions._
  */
 object Dedup {
 
-  /** Suffix for observed-metric names: Spark requires every `observe` name
-    * in one query to be unique, so two candidate generations composed into
-    * a single query (e.g. minhash + simhash pair unions) must not share
-    * one. */
-  private val observeSeq = new java.util.concurrent.atomic.AtomicInteger
-
   /** Exact dedup: first row (min orderCol) per identical `textCol` wins.
     * Hash-groupBy, single shuffle; map-side partial aggregation applies. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -67,20 +61,22 @@ object Dedup {
    * Buckets above `maxBucketSize` are dropped — a recall/cost tradeoff (see
    * the object doc: an over-cap LSH bucket can hide true pairs the exact
    * pass will NOT recover) — and surfaced through the
-   * `dedup_candidates_<tag>_<n>` observed metric (`dropped_hot_buckets`,
+   * `dedup_candidates_<tag>` observed metric (`dropped_hot_buckets`,
    * `dropped_hot_bucket_rows`) so the hole is visible to operators via
-   * QueryExecutionListener. The metric name carries a per-invocation
-   * sequence number: Spark rejects a query containing two `observe` nodes
-   * with the same name (DUPLICATED_METRICS_NAME), and one query may well
-   * compose several candidate generations (e.g. union of minhash and
-   * simhash pairs fed to [[clusters]]).
+   * QueryExecutionListener. The metric name is DETERMINISTIC per
+   * composition site (the caller-supplied `metricTag`), so listeners can
+   * subscribe to a stable name across plan rebuilds. Spark rejects a query
+   * containing two `observe` nodes with the same name
+   * (DUPLICATED_METRICS_NAME), so a query that composes the SAME variant
+   * twice (e.g. two minhash passes unioned) must pass distinct tags —
+   * each public entry point exposes `metricTag` for exactly that.
    */
   private[graft] def candidatesFromKeyed(keyed: DataFrame, keyCols: Seq[String],
                                          maxBucketSize: Int,
                                          metricTag: String = "pairs"): DataFrame =
     keyed.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("id")).as("ids"))
-      .observe(s"dedup_candidates_${metricTag}_${observeSeq.incrementAndGet()}",
+      .observe(s"dedup_candidates_$metricTag",
         sum(when(size(col("ids")) > maxBucketSize, 1L).otherwise(0L))
           .as("dropped_hot_buckets"),
         sum(when(size(col("ids")) > maxBucketSize, size(col("ids")).cast("long"))
@@ -102,14 +98,15 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleW: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  jaccardThreshold: Double = 0.8,
-                 maxBucketSize: Int = 10000): DataFrame = {
+                 maxBucketSize: Int = 10000,
+                 metricTag: String = "minhash"): DataFrame = {
     val rows = numHashes / bands
     val keyed = df.select(
         col(idCol).as("id"),
         minhash_sig(col(textCol), lit(shingleW), lit(numHashes)).as("sig"))
       .select(col("id"),
         posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "band_key")))
-    val cand = candidatesFromKeyed(keyed, Seq("band", "band_key"), maxBucketSize, "minhash")
+    val cand = candidatesFromKeyed(keyed, Seq("band", "band_key"), maxBucketSize, metricTag)
     val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
     cand
       .join(texts.withColumnsRenamed(Map("id" -> "id_a", "text" -> "text_a")), "id_a")
@@ -133,13 +130,14 @@ object Dedup {
    * payload re-join at all.
    */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
-                     maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+                     maxHamming: Int = 3, maxBucketSize: Int = 10000,
+                     metricTag: String = "simhash"): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
       .select(struct(col("id"), col("sim")).as("id"),
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("block_idx", "block_val")))
-    candidatesFromKeyed(keyed, Seq("block_idx", "block_val"), maxBucketSize, "simhash")
+    candidatesFromKeyed(keyed, Seq("block_idx", "block_val"), maxBucketSize, metricTag)
       .select(
         col("id_a.id").as("id_a"), col("id_b.id").as("id_b"),
         bit_count(col("id_a.sim").bitwiseXOR(col("id_b.sim"))).as("hamming"))
@@ -161,7 +159,8 @@ object Dedup {
    */
   def clusters(ids: DataFrame, pairs: DataFrame, idCol: String,
                pairA: String = "id_a", pairB: String = "id_b",
-               maxIters: Int = 20): DataFrame = {
+               maxIters: Int = 20,
+               failOnNonConvergence: Boolean = false): DataFrame = {
     val edges = pairs.select(col(pairA).as("src"), col(pairB).as("dst"))
       .unionByName(pairs.select(col(pairB).as("src"), col(pairA).as("dst")))
       .distinct()
@@ -183,6 +182,16 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // Exiting the loop non-converged means some label has NOT reached its
+    // component minimum (graph diameter > maxIters) — the output is silently
+    // wrong for those chains, so it must never pass unnoticed.
+    if (!converged) {
+      val msg = s"Dedup.clusters did not converge after $maxIters iterations " +
+        "(graph diameter exceeds maxIters); labels are NOT component minima. " +
+        "Raise maxIters or pre-contract long chains."
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     labels
   }
 
@@ -194,11 +203,12 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double = 0.95, planes: Int = 8,
                        dim: Int = 64, seed: Long = 42L,
-                       maxBucketSize: Int = 10000): DataFrame = {
+                       maxBucketSize: Int = 10000,
+                       metricTag: String = "embedding"): DataFrame = {
     val keyed = SimilaritySearch.withHyperplaneBucket(
         df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", planes, dim, seed)
       .select(col("id"), col("bucket"))
-    val cand = candidatesFromKeyed(keyed, Seq("bucket"), maxBucketSize, "embedding")
+    val cand = candidatesFromKeyed(keyed, Seq("bucket"), maxBucketSize, metricTag)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     cand
       .join(vecs.withColumnsRenamed(Map("id" -> "id_a", "vec" -> "vec_a")), "id_a")

@@ -37,16 +37,61 @@ object Multimodal {
                           feat_dim: Int, features: Array[Float], decode_ok: Boolean)
 
   /**
-   * STUB decoder. A real deployment swaps this for an actual codec call; the
-   * signature (bytes -> fixed-dim float features) and the batch shape are the
-   * contract the pipeline is built against.
+   * Decoder behind the pipeline's bytes -> fixed-dim-features contract.
+   *
+   * IMAGE payloads are decoded FOR REAL: PNG (and any other format
+   * `javax.imageio` handles — pure JVM, no native codecs) is parsed to a
+   * BufferedImage and summarized as a 4x4 grid of mean luminances — the
+   * decode / resize / feature-extract path a production pipeline runs, at
+   * toy feature dimensionality. AUDIO/VIDEO payloads remain STUBBED (no
+   * codecs in this container) behind the deterministic byte-hash fake; the
+   * signature and batch shape are identical, so swapping in a real codec
+   * touches nothing Spark-side.
    */
   object MediaDecoder {
     val FeatDim = 16
-    /** Deterministic fake "decode": hashes payload windows into a feature
-      * vector. Returns None for null/empty payloads (decode failure path). */
-    def decodeToFeatures(payload: Array[Byte]): Option[Array[Float]] = {
-      if (payload == null || payload.isEmpty) return None
+
+    private val PngMagic: Array[Byte] =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    private[operators] def looksLikeImage(payload: Array[Byte]): Boolean =
+      payload != null && payload.length >= PngMagic.length &&
+        java.util.Arrays.equals(payload, 0, PngMagic.length, PngMagic, 0, PngMagic.length)
+
+    /** Real image decode: parse the payload with ImageIO and reduce to a
+      * 4x4 grid of mean luminances in [0,1] (row-major, 16 = FeatDim). */
+    private[operators] def decodeImage(payload: Array[Byte]): Option[Array[Float]] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+        else {
+          val grid = 4
+          val sums = new Array[Double](FeatDim)
+          val counts = new Array[Long](FeatDim)
+          var y = 0
+          while (y < img.getHeight) {
+            val gy = y * grid / img.getHeight
+            var x = 0
+            while (x < img.getWidth) {
+              val gx = x * grid / img.getWidth
+              val rgb = img.getRGB(x, y)
+              val lum = (0.299 * ((rgb >> 16) & 0xFF) +
+                         0.587 * ((rgb >> 8) & 0xFF) +
+                         0.114 * (rgb & 0xFF)) / 255.0
+              val cell = gy * grid + gx
+              sums(cell) += lum; counts(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          Some(Array.tabulate(FeatDim)(i =>
+            if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Deterministic fake "decode" for the stubbed modalities: hashes
+      * payload windows into a feature vector. */
+    private def fakeDecode(payload: Array[Byte]): Array[Float] = {
       val out = new Array[Float](FeatDim)
       var i = 0
       while (i < payload.length) {
@@ -56,7 +101,15 @@ object Multimodal {
       }
       var j = 0
       while (j < FeatDim) { out(j) = out(j) / math.max(1, payload.length / FeatDim); j += 1 }
-      Some(out)
+      out
+    }
+
+    /** Bytes -> features. Real decode for image payloads, stub for the
+      * rest; None for null/empty/corrupt payloads (decode failure path). */
+    def decodeToFeatures(payload: Array[Byte]): Option[Array[Float]] = {
+      if (payload == null || payload.isEmpty) return None
+      if (looksLikeImage(payload)) decodeImage(payload)
+      else Some(fakeDecode(payload))
     }
   }
 

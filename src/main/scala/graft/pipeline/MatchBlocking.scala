@@ -34,8 +34,11 @@ import graft.scoring.MatchScore
  * sharing 64 distinct names (the synthetic bench fixture) piles thousands of
  * emp_ids onto each key and blocking approaches the cross product while also
  * paying the key-explode shuffles — the exact broadcast path wins there.
- * Frequency-capping hot keys (drop keys above a per-key employee count) is
- * the standard mitigation if a production roster has pathological name skew.
+ * Hot keys are FREQUENCY-CAPPED (`maxEmployeesPerKey` in [[candidatePairs]]):
+ * keys above a per-key employee count are dropped before the join, bounding
+ * candidate volume on pathological name skew at the cost of recall THROUGH
+ * those keys only (a true match usually shares several keys, so most survive
+ * the cap — MatchBlockingSpec pins recall with the cap active).
  */
 object MatchBlocking {
 
@@ -54,8 +57,17 @@ object MatchBlocking {
     *     `bhatiaX`, `deepz`). `gram`=3 favors recall; raise to 4 at larger
     *     rosters to shrink bucket collision volume (the recall/cost knob).
     */
+  /** Per-key employee cap (see [[candidatePairs]]): keys held by more
+    * employees than this are dropped before the key join. The reference
+    * workload's hottest key holds < 20 employees, so the default changes
+    * nothing there; a pathological roster (thousands of employees sharing
+    * one name) stays bounded at `cap * |U_key|` candidates per key. */
+  val DefaultMaxEmployeesPerKey = 200
+
   def candidatePairs(usernames: DataFrame, employees: DataFrame,
-                     gram: Int = 3): DataFrame = {
+                     gram: Int = 3,
+                     maxEmployeesPerKey: Int = DefaultMaxEmployeesPerKey,
+                     metricTag: String = "match_blocking"): DataFrame = {
     val u = MatchPipeline.prepareUsernames(usernames)
     val e = MatchPipeline.prepareEmployees(employees)
     val uGrams = expr(
@@ -74,7 +86,25 @@ object MatchBlocking {
           col("e_mp_first"), col("e_mp_last")))))
           .as("block_key"))
       .filter(length(col("block_key")) > 0)
-    uKeys.join(eKeys, "block_key")
+    // FREQUENCY CAP (the skew mitigation promised above): a blocking key
+    // shared by more than `maxEmployeesPerKey` employees is a low-signal hot
+    // key — it contributes |U_key| * |E_key| candidate pairs while ranking
+    // signal comes from the SCORE, not key multiplicity. Dropping hot keys
+    // bounds per-key candidate volume; recall on name-diverse rosters is
+    // untouched (MatchBlockingSpec pins both properties). The hot-key set is
+    // tiny by construction (few keys can exceed the cap), so the exclusion
+    // is a broadcast anti join, and the count aggregation shuffles only
+    // narrow (key, emp_id) rows. Dropped keys are observable via the
+    // `<metricTag>_capped_keys` metric — deterministic per composition
+    // site; a query composing candidatePairs twice passes distinct tags
+    // (Spark rejects duplicate observe names in one plan).
+    val hotKeys = eKeys.groupBy("block_key")
+      .agg(count(lit(1)).as("n_emp"))
+      .filter(col("n_emp") > maxEmployeesPerKey)
+      .select("block_key")
+      .observe(s"${metricTag}_capped_keys", count(lit(1)).as("n_capped_keys"))
+    val eKeysCapped = eKeys.join(broadcast(hotKeys), Seq("block_key"), "left_anti")
+    uKeys.join(eKeysCapped, "block_key")
       .select("username", "emp_id")
       .distinct()
   }
@@ -84,9 +114,14 @@ object MatchBlocking {
     * degrades to USER NOT FOUND. */
   def matchOutput(usernames: DataFrame, employees: DataFrame,
                   topK: Int = MatchPipeline.TopK,
-                  threshold: Double = MatchPipeline.ScoreThreshold): DataFrame = {
-    val cand = candidatePairs(usernames, employees)
-    val u = MatchPipeline.prepareUsernames(usernames)
+                  threshold: Double = MatchPipeline.ScoreThreshold,
+                  maxEmployeesPerKey: Int = DefaultMaxEmployeesPerKey): DataFrame = {
+    // same duplicate-input pinning as MatchPipeline.matchOutput: one result
+    // group per distinct username value
+    val users = usernames
+      .select(col("username").cast("string").as("username")).distinct()
+    val cand = candidatePairs(users, employees, maxEmployeesPerKey = maxEmployeesPerKey)
+    val u = MatchPipeline.prepareUsernames(users)
     val e = MatchPipeline.prepareEmployees(employees)
     val scored = cand
       .join(u, "username")
@@ -116,8 +151,7 @@ object MatchBlocking {
         when(qualifies, MatchPipeline.rankLabel(col("rank"))).otherwise("USER NOT FOUND").as("match_type"))
     // usernames with zero candidates -> sentinel (cheap: the anti join probes
     // the key-join output, which contains no similarity kernels)
-    val noCandidates = usernames
-      .select(col("username").cast("string").as("username"))
+    val noCandidates = users
       .join(cand.select("username"), Seq("username"), "left_anti")
       .select(
         col("username"),

@@ -113,14 +113,27 @@ object MatchPipeline {
    * confidence_score, match_type), including USER NOT FOUND sentinel rows.
    * Blank separator rows (main.py:209) are a CSV-presentation concern and are
    * added only by [[writeCsv]].
+   *
+   * Duplicate-input semantics (PINNED, documented divergence): input
+   * usernames are `distinct()`-ed at entry, so a username appearing N times
+   * yields ONE result group. The reference iterates input rows
+   * (main.py:158), emitting N identical groups for N identical rows; under
+   * a window partitioned by username VALUE those rows would instead merge
+   * into one partition with each candidate duplicated N times — silently
+   * corrupting top-k membership. Deduping preserves the per-group content
+   * exactly and keeps the window semantics well-defined; callers wanting
+   * the reference's repeated groups can re-join the output against their
+   * raw input. Pinned by MatchPipelineSpec ("duplicate usernames").
    */
   def matchOutput(usernames: DataFrame, employees: DataFrame,
                   topK: Int = TopK, threshold: Double = ScoreThreshold): DataFrame = {
+    val users = usernames
+      .select(col("username").cast("string").as("username")).distinct()
     // Single pass over the scored top-k: a username whose BEST candidate
     // (rn=1) is below threshold has no qualifying match at all, so its rn=1
     // row becomes the USER NOT FOUND sentinel in the same projection.
     val qualifies = col("score") >= threshold
-    val fromPairs = rankedTopK(usernames, employees, topK)
+    val fromPairs = rankedTopK(users, employees, topK)
       .filter(qualifies || col("rn") === 1)
       .select(
         col("username"),
@@ -131,8 +144,7 @@ object MatchPipeline {
     // Empty-roster edge: the cross join then emits NOTHING, so every
     // username needs a sentinel. The anti-join probe is against roster
     // .limit(1) — O(1), never the scored pairs.
-    val emptyRosterSentinels = usernames
-      .select(col("username").cast("string").as("username"))
+    val emptyRosterSentinels = users
       .join(broadcast(employees.limit(1).select(lit(1).as("__probe"))),
         lit(true), "left_anti")
       .select(
@@ -147,10 +159,21 @@ object MatchPipeline {
   /** CSV sink. With `separators = true`, reproduces the reference's blank
     * row between username groups (main.py:209-221) by unioning one all-empty
     * row per username, sort-keyed to land after its group — presentation
-    * only, so it stays out of the relational [[matchOutput]] result. */
-  def writeCsv(out: DataFrame, path: String, separators: Boolean = false): Unit = {
+    * only, so it stays out of the relational [[matchOutput]] result.
+    *
+    * Ordering is (username, NUMERIC score desc, emp_id) — the formatted
+    * percent string sorts lexicographically ('9.00%' > '59.80%'), so the
+    * sort key re-parses it to a double, matching the reference's
+    * score-descending group order. `singleFile = true` funnels the write
+    * through one task (the reference's one-CSV HTTP contract); the default
+    * keeps the distributed multi-part write — a global orderBy range-
+    * partitions the output, so part files concatenate in sorted order
+    * anyway. */
+  def writeCsv(out: DataFrame, path: String, separators: Boolean = false,
+               singleFile: Boolean = false): Unit = {
+    val scoreNum = regexp_replace(col("confidence_score"), "%", "").cast("double")
     val rows =
-      if (!separators) out.orderBy(col("username"), col("confidence_score"))
+      if (!separators) out.orderBy(col("username"), scoreNum.desc, col("emp_id"))
       else {
         val data = out.withColumn("__grp", col("username")).withColumn("__sep", lit(0))
         val nul = lit(null).cast("string")
@@ -160,9 +183,10 @@ object MatchPipeline {
             nul.as("confidence_score"), nul.as("match_type"),
             col("__grp"), lit(1).as("__sep"))
         data.unionByName(seps)
-          .orderBy(col("__grp"), col("__sep"), col("confidence_score"))
+          .orderBy(col("__grp"), col("__sep"), scoreNum.desc, col("emp_id"))
           .drop("__grp", "__sep")
       }
-    rows.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    val sink = if (singleFile) rows.coalesce(1) else rows
+    sink.write.mode("overwrite").option("header", "true").csv(path)
   }
 }

@@ -36,9 +36,18 @@ object StatefulPipelines {
   val SpendThresholdCents = 50000L // 500.00
   val MaxErrors = 3
 
+  /** Exact binary double -> cents, rounding ties AWAY FROM ZERO — the same
+    * semantics as DuckDB's CAST(value AS DECIMAL(18,2)) that the batch
+    * oracle uses. `math.round` would round ties toward +inf, desyncing on
+    * negative values (refunds) at an exactly-representable .xx5. */
+  private[graft] def toCents(value: Double): Long =
+    new java.math.BigDecimal(value)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
   /** Pure transition: fold one event into the state, emitting any alerts. */
   private[graft] def step(st: UserState, e: Event): (UserState, List[Alert]) = {
-    val spendCents = st.spendCents + math.round(e.value * 100.0)
+    val spendCents = st.spendCents + toCents(e.value)
     val errs = if (e.event_type == "error") st.consecutiveErrors + 1 else 0
     var alerts = List.empty[Alert]
     var alertedSpend = st.alertedSpend

@@ -46,4 +46,39 @@ class MatchBlockingSpec extends AnyFunSuite {
     info(f"candidates: $candidates of $crossProduct (${fraction * 100}%.1f%%)")
     assert(fraction < 0.5, f"blocking prunes nothing: $fraction%.2f")
   }
+
+  test("frequency cap leaves the reference workload untouched (no hot keys)") {
+    // the reference roster's hottest key holds far fewer employees than the
+    // default cap, so capped and uncapped candidate sets are identical —
+    // recall is unchanged by construction
+    // distinct metric tags: both generations land in ONE comparison query,
+    // and Spark rejects duplicate observe names within a plan
+    val uncapped = MatchBlocking.candidatePairs(usernames, employees,
+      maxEmployeesPerKey = Int.MaxValue, metricTag = "uncapped")
+    val capped = MatchBlocking.candidatePairs(usernames, employees,
+      metricTag = "capped")
+    assert(capped.exceptAll(uncapped).isEmpty && uncapped.exceptAll(capped).isEmpty,
+      "default cap changed the reference candidate set")
+  }
+
+  test("frequency cap bounds candidate volume on a pathologically skewed roster") {
+    // 3000 employees sharing ONE name: every name-derived blocking key holds
+    // 3000 employees, so uncapped blocking degenerates toward the cross
+    // product (the round-2 bench regression). The cap drops those keys and
+    // bounds the volume.
+    val skewed = spark.range(1, 3001).selectExpr(
+      "CAST(id AS STRING) AS emp_id",
+      "'john' AS first_name", "'smith' AS last_name",
+      "'john smith' AS employee_name")
+    val probes = Seq("john.smith", "smith_john", "johnsmith", "jsmith99",
+      "unrelated.user").toDF("username")
+    val uncapped = MatchBlocking.candidatePairs(probes, skewed,
+      maxEmployeesPerKey = Int.MaxValue).count()
+    val capped = MatchBlocking.candidatePairs(probes, skewed).count()
+    info(s"skewed roster candidates: uncapped=$uncapped capped=$capped")
+    // uncapped: every name-matching probe pairs with all 3000 employees
+    assert(uncapped >= 4 * 3000L, s"skew fixture not degenerate: $uncapped")
+    // capped: hot keys dropped entirely -> no candidate explosion
+    assert(capped == 0, s"cap left $capped candidates on an all-hot-key roster")
+  }
 }

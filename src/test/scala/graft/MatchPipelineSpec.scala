@@ -128,6 +128,50 @@ class MatchPipelineSpec extends AnyFunSuite {
       s"flagged $withFlag vs default $dflt: emp-id bonus must add exactly 10")
   }
 
+  test("duplicate usernames yield ONE result group (pinned divergence)") {
+    // the reference emits one group per input ROW (main.py:158); windows
+    // partitioned by username VALUE would merge duplicates into a corrupted
+    // group with doubled candidates. matchOutput pins distinct() semantics:
+    // N identical input rows -> exactly the single-row result group.
+    val once = MatchPipeline.matchOutput(Seq("swati.patel").toDF("username"), employees)
+      .orderBy("emp_id").collect()
+    val dup = MatchPipeline.matchOutput(
+        Seq("swati.patel", "swati.patel", "swati.patel").toDF("username"), employees)
+      .orderBy("emp_id").collect()
+    assert(dup.toSeq === once.toSeq,
+      "duplicate input usernames changed the result group")
+  }
+
+  test("writeCsv orders by numeric score desc and respects singleFile") {
+    val out = MatchPipeline.matchOutput(usernames, employees)
+    val dir = java.nio.file.Files.createTempDirectory("graft_writecsv").toString
+    try {
+      MatchPipeline.writeCsv(out, s"$dir/single", singleFile = true)
+      val files = new java.io.File(s"$dir/single").listFiles()
+        .filter(_.getName.endsWith(".csv"))
+      assert(files.length === 1, "singleFile=true must produce one part file")
+      val back = spark.read.option("header", "true").csv(s"$dir/single")
+      // per username, scores must be numerically non-increasing — '9.00%'
+      // after '59.80%' would prove the old lexicographic-sort defect
+      val rows = back.select("username", "confidence_score").collect()
+        .map(r => (r.getString(0), r.getString(1).stripSuffix("%").toDouble))
+      rows.groupBy(_._1).foreach { case (u, grp) =>
+        // read order within a part file is write order only when the file is
+        // one split; fine at this size
+        val scores = grp.map(_._2).toSeq
+        assert(scores === scores.sortBy(-_), s"group $u not score-descending: $scores")
+      }
+      MatchPipeline.writeCsv(out, s"$dir/multi")
+      assert(new java.io.File(s"$dir/multi").listFiles().exists(_.getName.endsWith(".csv")))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("scores are within [0,100] across the full cross product") {
     val scored = MatchPipeline.scoredPairs(usernames, employees)
     val mm = scored.agg(min("score"), max("score")).first()

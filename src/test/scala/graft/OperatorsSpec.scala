@@ -195,4 +195,59 @@ class OperatorsSpec extends AnyFunSuite {
     val byId = again.map(f => f.media_id -> f.features.toSeq).toMap
     feats.foreach(f => assert(byId(f.media_id) === f.features.toSeq, s"media ${f.media_id} not deterministic"))
   }
+
+  test("multimodal: REAL PNG decode via javax.imageio through the pipeline") {
+    // render a 32x32 PNG in memory: left half black, right half white --
+    // the 4x4 luminance grid must read ~0 in columns 0-1 and ~1 in 2-3
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val media = Seq((1L, "image", png, 1L), (2L, "image", Array[Byte](1, 2, 3), 2L))
+      .toDF("media_id", "modality", "payload", "n_bytes")
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+
+    val real = feats(1L)
+    assert(real.decode_ok, "PNG payload must decode")
+    assert(real.features.length === Multimodal.MediaDecoder.FeatDim)
+    for (row <- 0 until 4; c <- 0 until 2)
+      assert(real.features(row * 4 + c) < 0.05, s"cell ($row,$c) should be black")
+    for (row <- 0 until 4; c <- 2 until 4)
+      assert(real.features(row * 4 + c) > 0.95, s"cell ($row,$c) should be white")
+
+    // a non-PNG payload still rides the deterministic stub path
+    assert(feats(2L).decode_ok)
+
+    // corrupt PNG header (magic ok, body broken) -> decode failure, not a crash
+    val broken = png.take(20)
+    val bad = Multimodal.extractFeatures(
+      Seq((3L, "image", broken, 3L)).toDF("media_id", "modality", "payload", "n_bytes"))
+      .collect().head
+    assert(!bad.decode_ok, "truncated PNG must report decode failure")
+  }
+
+  test("dedup clustering warns/throws on non-convergence (diameter > maxIters)") {
+    // a 30-node chain has diameter 29: min-label propagation cannot finish
+    // in 3 rounds, so the strict flag must throw instead of silently
+    // returning non-minimal labels
+    val ids = spark.range(0, 30).select(col("id").cast("long").as("doc_id"))
+    val chain = spark.range(0, 29).select(
+      col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val ex = intercept[IllegalStateException] {
+      Dedup.clusters(ids, chain, "doc_id", maxIters = 3,
+        failOnNonConvergence = true).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // default path: completes (with a logged warning) and still labels the
+    // prefix reachable within maxIters correctly
+    val lenient = Dedup.clusters(ids, chain, "doc_id", maxIters = 3)
+    assert(lenient.count() === 30)
+    // and with enough iterations the same graph fully converges to label 0
+    val full = Dedup.clusters(ids, chain, "doc_id", maxIters = 40)
+    assert(full.select("cluster").distinct().collect().map(_.getLong(0)).toSeq === Seq(0L))
+  }
 }

@@ -41,6 +41,19 @@ class StatefulPipelinesSpec extends AnyFunSuite {
     assert(alerts.head.spend === 500.0)
   }
 
+  test("cents rounding matches DuckDB DECIMAL cast: ties away from zero") {
+    // DuckDB's CAST(x AS DECIMAL(18,2)) rounds half away from zero on the
+    // exact binary value. -2.125 is exactly representable; math.round would
+    // give -212 (toward +inf) and silently desync the fold from the oracle.
+    assert(StatefulPipelines.toCents(2.125) === 213L)
+    assert(StatefulPipelines.toCents(-2.125) === -213L)
+    assert(StatefulPipelines.toCents(-0.005) === -1L)
+    assert(StatefulPipelines.toCents(0.1) === 10L)
+    // 2.675 is NOT representable (stored as 2.67499999...), so it rounds
+    // DOWN on both engines — the exact-binary-value semantics
+    assert(StatefulPipelines.toCents(2.675) === 267L)
+  }
+
   test("streaming state machine equals the batch replay on the events table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_events_state").toString
     Tables.events(spark, SparkTestBase.Sf0001).write.mode("overwrite").parquet(dir)
