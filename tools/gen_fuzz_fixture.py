@@ -262,13 +262,67 @@ def metaphone(s: str) -> str:
     return "".join(result)
 
 
+# ------------------------------------------------------- composite score
+
+import re
+from decimal import Decimal, ROUND_HALF_UP
+
+
+def composite_score(u: str, first: str, last: str) -> float:
+    """The reference's compute_match_score (main.py:25-90) re-derived with
+    EXACTLY the operation order of MatchScore.scoreFromInvariants, so the
+    resulting IEEE double is bit-identical to what the Spark expression tree
+    computes (left-associated double additions, int terms promoted exactly).
+    """
+    f = first.strip(" ").lower()
+    l = last.strip(" ").lower()
+    en = (first.strip(" ") + " " + last.strip(" ")).strip(" ").lower()
+
+    patterns = [f + "." + l, l + "." + f, f + "_" + l, l + "_" + f,
+                f + l, l + f, f + " " + l, l + " " + f]
+    if u in patterns:
+        return 100.0
+
+    parts = re.split(r"[._\-\s]", u)   # same empties-kept split as Spark's
+    p1 = parts[0] if parts else ""
+    p2 = parts[1] if len(parts) > 1 else ""
+    dot_parts = u.split(".")
+    dot2 = dot_parts[1][:1] if len(dot_parts) > 1 else ""
+
+    split_bonus = 10 if (p1 == f and p2 == l) or (p2 == f and p1 == l) else 0
+    initial_bonus = (5 if (len(u) > 0 and len(f) > 0 and u[:1] == f[:1]) else 0) \
+        + (5 if (dot2 != "" and dot2 == f[:1]) else 0)
+
+    score = ratio(u, en) * 0.2
+    score = score + partial_ratio(u, en) * 0.2
+    score = score + token_set_ratio(u, en) * 0.2
+    score = score + token_set_ratio(u, l) * 0.3
+    score = score + token_set_ratio(u, f) * 0.2
+    score = score + (6 if soundex(u) == soundex(l) else 0)
+    score = score + (7 if metaphone(u) == metaphone(l) else 0)
+    score = score + (3 if soundex(u) == soundex(f) else 0)
+    score = score + (3 if metaphone(u) == metaphone(f) else 0)
+    score = score + split_bonus
+    score = score + initial_bonus
+    score = score + 0  # number_match bonus: dead code in the reference
+    return min(score, 100.0)
+
+
+def java_pct(score: float) -> str:
+    """Java's String.format(\"%.2f\", d): HALF_UP on the exact binary value
+    (python's decimal.Decimal(float) is that exact value)."""
+    return str(Decimal(score).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+
+
 # ---------------------------------------------------------------- generate
 
 def main() -> None:
     with open("/root/reference/usernames.csv") as f:
         usernames = [r["username"] for r in csv.DictReader(f)]
     with open("/root/reference/employee.csv") as f:
-        employees = [f'{r["First_Name"]} {r["Last_Name"]}' for r in csv.DictReader(f)]
+        emp_rows = [(r["EMP_ID"], r["First_Name"], r["Last_Name"])
+                    for r in csv.DictReader(f)]
+    employees = [f"{fn} {ln}" for _, fn, ln in emp_rows]
 
     with open("fixtures/fuzz_golden.csv", "w", newline="") as f:
         w = csv.writer(f)
@@ -283,7 +337,31 @@ def main() -> None:
                 w.writerow([u, e, ratio(ul, el), partial_ratio(ul, el),
                             token_set_ratio(ul, el), token_sort_ratio(ul, el),
                             su, soundex(el), mu, metaphone(el)])
-    print(f"wrote {len(usernames) * len(employees)} rows")
+    print(f"wrote {len(usernames) * len(employees)} fuzz_golden rows")
+
+    # match_golden.csv: the FULL composite score per (username, employee)
+    # pair — the end-to-end ground truth that lets the driver oracle the
+    # flagship match pipeline (top-k + dense-rank labels + sentinels are
+    # plain SQL over these scores). `score` is repr'd (shortest round-trip,
+    # parses back to the identical double); `score_fmt` pre-renders Java's
+    # %.2f so the oracle needn't reproduce JVM tie-rounding in SQL.
+    seen = set()
+    n = 0
+    with open("fixtures/match_golden.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["username", "emp_id", "first_name", "last_name",
+                    "employee_name", "score", "score_fmt"])
+        for u in usernames:
+            if u in seen:          # matchOutput pins distinct() semantics
+                continue
+            seen.add(u)
+            ul = u.lower().strip(" ")
+            for emp_id, fn, ln in emp_rows:
+                sc = composite_score(ul, fn, ln)
+                disp = (fn.strip(" ") + " " + ln.strip(" ")).strip(" ")
+                w.writerow([u, emp_id, fn, ln, disp, repr(sc), java_pct(sc)])
+                n += 1
+    print(f"wrote {n} match_golden rows")
 
 
 if __name__ == "__main__":
