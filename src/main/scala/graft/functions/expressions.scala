@@ -136,6 +136,25 @@ case class MinHashSig(first: Expression, second: Expression, third: Expression)
     copy(f, s, t)
 }
 
+/** LSH band keys of a minhash signature: FNV-style fold of each band of
+  * `sig.length / bands-implied` rows (TextAlgos.lshBands). Used instead of
+  * Spark's murmur3 `hash()` so the banding is engine-defined and exactly
+  * replicable by the DuckDB oracle. */
+case class LshBands(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(sig: Any, rows: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextAlgos.lshBands(sig.asInstanceOf[ArrayData].toLongArray(), rows.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (sig, rows) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextAlgos.lshBands($sig.toLongArray(), $rows))")
+  override def prettyName: String = "lsh_bands"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Exact word-w-shingle Jaccard similarity of two texts. */
 case class NGramJaccard(first: Expression, second: Expression, third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with ExpectsInputTypes {

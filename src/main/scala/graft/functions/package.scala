@@ -38,6 +38,7 @@ package object functions {
   def simhash64(a: Column): Column = c(SimHash64(e(a)))
   def rolling_fingerprint(a: Column, window: Column): Column = c(RollingFingerprint(e(a), e(window)))
   def minhash_sig(a: Column, w: Column, k: Column): Column = c(MinHashSig(e(a), e(w), e(k)))
+  def lsh_bands(sig: Column, rowsPerBand: Column): Column = c(LshBands(e(sig), e(rowsPerBand)))
   def ngram_jaccard(a: Column, b: Column, w: Column): Column = c(NGramJaccard(e(a), e(b), e(w)))
 
   // ---- vectors / embeddings ----
@@ -67,6 +68,7 @@ package object functions {
     reg2("simhash64", a => SimHash64(a(0)))
     reg2("rolling_fingerprint", a => RollingFingerprint(a(0), a(1)))
     reg2("minhash_sig", a => MinHashSig(a(0), a(1), a(2)))
+    reg2("lsh_bands", a => LshBands(a(0), a(1)))
     reg2("ngram_jaccard", a => NGramJaccard(a(0), a(1), a(2)))
     reg2("cosine_sim", a => CosineSim(a(0), a(1)))
     reg2("hyperplane_bucket", a => HyperplaneBucket(a(0), a(1), a(2)))

@@ -116,10 +116,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Engine-defined band fold (TextAlgos.lshBands) rather than Spark's
+    * murmur3 `hash()`: bit-identical across engines, so the DuckDB oracle
+    * can recompute the exact buckets. */
   private def bandKeys(sig: Column, bands: Int, rows: Int) =
-    array((0 until bands).map { b =>
-      hash((0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*).cast("long")
-    }: _*)
+    lsh_bands(sig, lit(rows))
 
   /**
    * SimHash near-dup candidates: 64-bit fingerprints are split into 4
