@@ -93,4 +93,60 @@ object SimilaritySearch {
       .filter(col("rn") <= k)
       .select(col(queryId), col(corpusId), col("cosine"), col("rn"))
   }
+
+  /** Deterministic IVF coarse-quantizer centroids: the first `n` corpus
+    * vectors by id. A production deployment trains k-means here; taking a
+    * fixed corpus prefix keeps the quantizer fully deterministic (and
+    * therefore DuckDB-oracle-able) while exercising the identical
+    * assign/probe plumbing. Centroids are collected to the driver — n is
+    * dimension-table sized (16-4096), never data-sized. */
+  def ivfCentroids(corpus: DataFrame, n: Int,
+                   corpusId: String = "vec_id",
+                   corpusVec: String = "embedding"): Array[(Long, Array[Float])] =
+    corpus.orderBy(col(corpusId)).limit(n)
+      .select(col(corpusId), col(corpusVec)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** Nearest-centroid cell id (cosine argmax, centroid-id-asc tiebreak) as
+    * a single expression: per-row scan of the centroid array — NO shuffle
+    * and no per-row window. `struct(-cosine, cid)` sorted ascending puts
+    * the best centroid first. */
+  private def cellExpr(vec: Column, centroids: Array[(Long, Array[Float])]): Column =
+    sort_array(array(centroids.map { case (cid, cvec) =>
+      struct((-cosine_sim(vec, typedLit(cvec))).as("neg"), lit(cid).as("cid"))
+    }: _*)).getItem(0).getField("cid")
+
+  /**
+   * IVF-style ANN: corpus vectors are assigned to their nearest-centroid
+   * cell ONCE (a scan-local expression — at 100 TB this is the one-off
+   * index build, typically persisted partitioned by cell); each query
+   * probes its `nprobe` nearest cells and scores only those cells' vectors.
+   *
+   * Scale shape: centroid assignment costs O(n_centroids) per row inside
+   * the scan's codegen stage — no shuffle, no window; the cell equi-join
+   * prunes the corpus to ~nprobe/n_centroids of its rows; queries ride
+   * broadcast. Recall depends on how well cells capture neighborhoods —
+   * pinned empirically by OperatorsSpec on the random-vector fixture (the
+   * adversarial case), alongside [[lshKnn]]'s multi-probe numbers.
+   */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             nCentroids: Int = 16, nprobe: Int = 4,
+             corpusId: String = "vec_id", corpusVec: String = "embedding",
+             queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val cents = ivfCentroids(corpus, nCentroids, corpusId, corpusVec)
+    val c = corpus.withColumn("cell", cellExpr(col(corpusVec), cents))
+    // nprobe nearest cells per query: same struct-sort, sliced to nprobe
+    val probes = sort_array(array(cents.map { case (cid, cvec) =>
+      struct((-cosine_sim(col(queryVec), typedLit(cvec))).as("neg"), lit(cid).as("cid"))
+    }: _*))
+    val q = queries
+      .withColumn("cell", explode(slice(probes, 1, nprobe).getField("cid")))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .withColumn("cosine", cosine_sim(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId).asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rn"))
+  }
 }

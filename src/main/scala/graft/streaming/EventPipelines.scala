@@ -96,6 +96,45 @@ object EventPipelines {
            expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
   }
 
+  /**
+   * STREAM-STREAM interval join: every event joined to the error events of
+   * the same user within the preceding `windowSpec` — the incremental form
+   * of [[graft.operators.RangeJoin.pointInInterval]] (the `ev_range_join`
+   * batch query; EventPipelinesSpec pins stream == batch).
+   *
+   * Both sides carry a watermark and the join condition time-bounds one
+   * side against the other (`ts` within [e_ts, e_ts + window)), which is
+   * exactly what lets Spark evict joint state: an error row can be dropped
+   * once the point-side watermark passes `e_ts + window`, so state stays
+   * bounded on an unbounded stream — the stream-stream analogue of the
+   * windowed-aggregation watermark contract.
+   */
+  def intervalJoinStreaming(spark: SparkSession, sourceDir: String,
+                            windowSpec: String = "1 hour",
+                            watermark: String = "2 hours",
+                            queryName: String = "events_interval_join"): DataFrame = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val points = spark.readStream.schema(schema).parquet(sourceDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", watermark)
+    val errors = spark.readStream.schema(schema).parquet(sourceDir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+    val joined = points.join(errors,
+      expr(s"user_id = e_user AND ts >= e_ts AND ts < e_ts + INTERVAL $windowSpec"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("error_id").as("ivl_error_id"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming sessionization via the native session_window (state bounded
     * by the watermark). */
   def sessionizeStreaming(spark: SparkSession, sourceDir: String,

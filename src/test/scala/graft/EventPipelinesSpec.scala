@@ -55,6 +55,24 @@ class EventPipelinesSpec extends AnyFunSuite {
     assert(deduped.select(col("event_id")).distinct().count() === ev.count())
   }
 
+  test("stream-stream interval join equals the bucketized batch range join") {
+    val ev = Tables.events(spark, SparkTestBase.Sf0001)
+    val points = ev.select(col("event_id"), col("user_id"), col("ts"))
+    val intervals = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("iu"), col("event_id").as("error_id"),
+        col("ts").as("ws"), (col("ts") + expr("INTERVAL 1 HOUR")).as("we"))
+    val batch = graft.operators.RangeJoin.pointInInterval(points, intervals,
+        "user_id", "iu", "ts", "ws", "we", Seq("error_id"), binSeconds = 3600)
+      .select("event_id", "user_id", "ivl_error_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val stream = EventPipelines.intervalJoinStreaming(spark, eventsDir,
+        queryName = s"ivl_${System.nanoTime()}")
+      .select("event_id", "user_id", "ivl_error_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
   test("sliding windows cover each event exactly width/slide times") {
     val ev = Tables.events(spark, SparkTestBase.Sf0001)
     val total = ev.count()

@@ -140,6 +140,33 @@ class OperatorsSpec extends AnyFunSuite {
       f"multi-probe ($recallMulti%.3f) must not lose recall vs single-probe ($recallSingle%.3f)")
   }
 
+  test("IVF kNN: self-match guaranteed; recall@5 measured vs brute force") {
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
+    val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(SimilaritySearch.bruteForceKnn(corpus, queries, 5))
+    val ivf = SimilaritySearch.ivfKnn(corpus, queries, 5, nCentroids = 16, nprobe = 4)
+    val ivfPairs = pairs(ivf)
+    // a query IS a corpus vector; its own cell is always its #1 probe, so
+    // the self pair (cosine 1) can never be pruned
+    val self = ivf.filter(col("query_id") === col("vec_id")).count()
+    assert(self === queries.count(), "IVF lost a self-match")
+    val recall = (exact & ivfPairs).size.toDouble / exact.size
+    info(f"IVF recall@5 (nprobe 4/16, random-vector fixture): $recall%.3f")
+    // random 64-d vectors are the adversarial case for any partition-based
+    // index (true neighbors sit at cosine ~0.3, barely inside any cell);
+    // the pinned floor documents that reality — clustered embeddings
+    // probe far better
+    assert(recall >= 0.30, f"IVF recall@5 $recall%.3f below floor")
+    // more probes must not lose recall
+    val ivfWide = pairs(SimilaritySearch.ivfKnn(corpus, queries, 5, nCentroids = 16, nprobe = 16))
+    val recallWide = (exact & ivfWide).size.toDouble / exact.size
+    assert(recallWide >= recall)
+    assert(recallWide >= 0.999, "nprobe = nCentroids probes every cell: IVF == brute force")
+  }
+
   test("bounded-heap top-k aggregate equals the rank-limit window form") {
     import graft.functions.topk_by
     val li = spark.read.parquet(s"${SparkTestBase.Sf0001}/lineitem.parquet")
