@@ -56,6 +56,32 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /**
+   * Boilerplate / contamination detector: word `n`-grams occurring in at
+   * least `minDocs` DISTINCT documents (the C4/RefinedWeb-style frequent-
+   * span pass — such spans are navigation chrome, license headers, or
+   * eval-set contamination, and get masked or dropped upstream of
+   * training).
+   *
+   * Scale shape: one explode to NARROW (gram, doc_id) rows — payloads
+   * never enter the shuffle — then countDistinct with map-side partial
+   * aggregation. Gram strings could be hashed to 64-bit for an even
+   * narrower shuffle at 100 TB; kept as strings here so the output is
+   * directly actionable (and SQL-oracle-able).
+   */
+  def frequentNgrams(df: DataFrame, textCol: String, idCol: String,
+                     n: Int = 3, minDocs: Int = 5): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))"))
+        .as("gram"))
+      .groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Language-ID + fingerprint profile of a documents table. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(
