@@ -80,6 +80,35 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("IVF kNN: queries broadcast into the cell join; corpus never exchanges before it") {
+    val df = SparkEntry.queries("ss_knn_ivf")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus branch must be scan -> project(cell) -> join with NO
+    // exchange: cell assignment is a scan-local expression, and the only
+    // shuffles key the pruned candidate set by query for dedup/top-k.
+    // (sparkPlan, not executedPlan: AQE wraps the latter and hides its
+    // children from collect)
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, p)
+    val corpusSide = joins.head.left // streamed side
+    val exchangesBelowJoin = corpusSide.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchangesBelowJoin.isEmpty,
+      s"corpus shuffled before the cell join:\n$corpusSide")
+  }
+
+  test("boilerplate n-grams: distinct-count aggregates partially before the exchange") {
+    val df = SparkEntry.queries("tx_boilerplate_ngrams")(spark, sf)
+    val p = plan(df)
+    // two-phase: partial_count(distinct doc_id) on the map side
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("Exchange hashpartitioning(gram"), p)
+  }
+
   test("similarity kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("nm_fuzz_vectors")(spark, sf)
     // executedPlan renders codegen'd spans with the "*(id)" marker; the
