@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash64", "64-bit SimHash fingerprint")(a => SimHash64(a(0)))
     inject("rolling_fingerprint", "rolling-hash document fingerprint")(a => RollingFingerprint(a(0), a(1)))
     inject("minhash_sig", "MinHash signature over word shingles")(a => MinHashSig(a(0), a(1), a(2)))
+    inject("lsh_bands", "LSH band keys of a minhash signature")(a => LshBands(a(0), a(1)))
     inject("ngram_jaccard", "exact word-shingle Jaccard similarity")(a => NGramJaccard(a(0), a(1), a(2)))
     inject("cosine_sim", "cosine similarity of float arrays")(a => CosineSim(a(0), a(1)))
     inject("hyperplane_bucket", "sign-bit LSH bucket of hyperplane projections")(a => HyperplaneBucket(a(0), a(1), a(2)))

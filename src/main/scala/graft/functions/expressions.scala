@@ -18,6 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
 abstract class BinaryStringIntExpression extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
   override def dataType: DataType = IntegerType
+  // kernels are pure: literal inputs let Catalyst's ConstantFolding
+  // precompute the call at plan time instead of once per row
+  override def foldable: Boolean = children.forall(_.foldable)
   /** Fully-qualified static call target, e.g. "graft.functions.Fuzz.ratio". */
   protected def kernel: String
   protected def compute(a: String, b: String): Int
@@ -62,6 +65,8 @@ case class FuzzTokenSortRatio(left: Expression, right: Expression) extends Binar
 abstract class UnaryStringStringExpression extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
+  // pure kernel: constant-foldable on literal input
+  override def foldable: Boolean = child.foldable
   protected def kernel: String
   protected def compute(a: String): String
   override def nullSafeEval(a: Any): Any =

@@ -197,6 +197,25 @@ object Dedup {
   }
 
   /**
+   * End-to-end near-duplicate corpus dedup — the composition a training-data
+   * pipeline actually runs: MinHash-LSH verified pairs -> connected
+   * components -> keep the minimum-id representative of each duplicate
+   * cluster. Returns one row per input document: (id, cluster, is_kept);
+   * downstream drops `is_kept = false` rows.
+   */
+  def corpusDedup(df: DataFrame, textCol: String, idCol: String,
+                  shingleW: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                  jaccardThreshold: Double = 0.8,
+                  maxBucketSize: Int = 10000,
+                  maxIters: Int = 20): DataFrame = {
+    val pairs = minhashLsh(df, textCol, idCol, shingleW, numHashes, bands,
+      jaccardThreshold, maxBucketSize, metricTag = "corpus_dedup")
+    clusters(df.select(col(idCol)), pairs, idCol, maxIters = maxIters)
+      .select(col("id").as(idCol), col("cluster"),
+        (col("id") === col("cluster")).as("is_kept"))
+  }
+
+  /**
    * Embedding-cosine near-duplicates above `threshold`, bucketed by random
    * hyperplane signs (LSH) so the pairwise check happens only inside
    * buckets. `planes` sign bits -> 2^planes buckets.

@@ -257,6 +257,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!bad.decode_ok, "truncated PNG must report decode failure")
   }
 
+  test("corpus dedup keeps exactly one representative per duplicate cluster") {
+    val docs = spark.read.parquet(s"${SparkTestBase.Sf001}/documents.parquet")
+    val out = Dedup.corpusDedup(docs, "text", "doc_id", jaccardThreshold = 0.5)
+    val rows = out.select("doc_id", "cluster", "is_kept")
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.length === docs.count(), "one row per input document")
+    // exactly one kept doc per cluster, and it is the cluster's min id
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      val kept = members.filter(_._3)
+      assert(kept.length === 1, s"cluster $cluster kept ${kept.length}")
+      assert(kept.head._1 === cluster, "representative must be the min id")
+      assert(members.map(_._1).min === cluster)
+    }
+  }
+
   test("dedup clustering warns/throws on non-convergence (diameter > maxIters)") {
     // a 30-node chain has diameter 29: min-label propagation cannot finish
     // in 3 rounds, so the strict flag must throw instead of silently
