@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def inject(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), b))
 
+    // kernel-algebra simplification: reflexive similarity calls fold to
+    // their constant (see graft.plans.KernelSimplification for the guards)
+    ext.injectOptimizerRule(_ => graft.plans.KernelSimplification)
+
     inject("fuzz_ratio", "indel similarity ratio 0..100")(a => FuzzRatio(a(0), a(1)))
     inject("fuzz_partial_ratio", "best-window indel ratio 0..100")(a => FuzzPartialRatio(a(0), a(1)))
     inject("fuzz_token_set_ratio", "token-set indel ratio 0..100")(a => FuzzTokenSetRatio(a(0), a(1)))

@@ -51,4 +51,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)), n)
     }
   }
+
+  test("KernelSimplification folds reflexive kernel calls under its guards") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.KernelSimplification
+    // non-nullable child (concat of non-nullables over range): ratio folds,
+    // token-set does NOT (its value depends on runtime token emptiness)
+    val safe = spark.range(3)
+      .select(concat(lit("u"), col("id").cast("string")).as("s"))
+      .select(
+        graft.functions.fuzz_ratio(col("s"), col("s")).as("r"),
+        graft.functions.fuzz_token_set_ratio(col("s"), col("s")).as("t"))
+    val folded = KernelSimplification(safe.queryExecution.analyzed)
+    val rendered = folded.expressions.map(_.sql).mkString("; ")
+    assert(!rendered.contains("fuzz_ratio"), rendered)
+    assert(rendered.contains("100"), rendered)
+    assert(rendered.contains("fuzz_token_set_ratio"), rendered)
+
+    // nullable child: nothing folds (NULL in -> NULL out must survive)
+    import spark.implicits._
+    val nullable = Seq("x").toDF("s")
+      .select(graft.functions.fuzz_ratio(col("s"), col("s")).as("r"))
+    val kept = KernelSimplification(nullable.queryExecution.analyzed)
+    assert(kept.expressions.map(_.sql).mkString.contains("fuzz_ratio"))
+
+    // literal token-set child with provably non-empty tokens: folds
+    val lits = spark.range(1).select(
+      graft.functions.fuzz_token_set_ratio(lit("a b"), lit("a b")).as("t"))
+    val litFolded = KernelSimplification(lits.queryExecution.analyzed)
+    assert(!litFolded.expressions.map(_.sql).mkString.contains("fuzz_token_set_ratio"))
+  }
 }
