@@ -63,7 +63,11 @@ object Dedup {
    * pass will NOT recover) — and surfaced through the
    * `dedup_candidates_<tag>` observed metric (`dropped_hot_buckets`,
    * `dropped_hot_bucket_rows`) so the hole is visible to operators via
-   * QueryExecutionListener. The metric name is DETERMINISTIC per
+   * QueryExecutionListener. CAVEAT (verified on Spark 4.1.2): AQE drops
+   * observed metrics attached below an exchange — listeners receive an
+   * empty map; run the audit query with spark.sql.adaptive.enabled=false
+   * when the counts matter (OperatorsSpec pins both behaviors' reality).
+   * The metric name is DETERMINISTIC per
    * composition site (the caller-supplied `metricTag`), so listeners can
    * subscribe to a stable name across plan rebuilds. Spark rejects a query
    * containing two `observe` nodes with the same name

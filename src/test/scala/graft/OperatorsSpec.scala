@@ -257,6 +257,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!bad.decode_ok, "truncated PNG must report decode failure")
   }
 
+  test("dropped-hot-bucket metrics surface under a stable name via QueryExecutionListener") {
+    import java.util.concurrent.ConcurrentHashMap
+    val seen = new ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) => seen.put(name, row) }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    // KNOWN SPARK LIMITATION (verified on 4.1.2): with AQE enabled, observed
+    // metrics attached BELOW an exchange come back as an empty map — stage
+    // re-planning drops the CollectMetrics accumulator linkage. The metric
+    // contract therefore holds under spark.sql.adaptive.enabled=false (or
+    // for observe nodes above the final exchange); documented in Dedup.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 3 identical docs in one band bucket, cap 2 -> the bucket is dropped
+      // and the deterministic metric name reports it
+      val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+        (3L, "alpha beta gamma delta"), (4L, "totally different words here"))
+        .toDF("doc_id", "text")
+      Dedup.minhashLsh(docs, "text", "doc_id", maxBucketSize = 2).count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!seen.containsKey("dedup_candidates_minhash") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val row = seen.get("dedup_candidates_minhash")
+      assert(row != null, s"metric not delivered; saw: ${seen.keySet()}")
+      assert(row.getAs[Long]("dropped_hot_buckets") >= 1L, row.toString)
+      assert(row.getAs[Long]("dropped_hot_bucket_rows") >= 3L, row.toString)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("corpus dedup keeps exactly one representative per duplicate cluster") {
     val docs = spark.read.parquet(s"${SparkTestBase.Sf001}/documents.parquet")
     val out = Dedup.corpusDedup(docs, "text", "doc_id", jaccardThreshold = 0.5)
