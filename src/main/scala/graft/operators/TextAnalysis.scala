@@ -82,6 +82,30 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /**
+   * Leakage-safe train/val/test assignment by CONTENT hash: a document
+   * lands in the same split in every dataset version, regardless of row
+   * ids or ordering, because the split key is md5 of the text itself —
+   * the standard guard against eval contamination when corpora are
+   * re-crawled or re-sharded.
+   *
+   * Implementation detail: the first md5 byte is compared as its 2-char
+   * lowercase-hex prefix (lexicographic hex order == numeric order), so
+   * the assignment is a pure string expression identical in any engine.
+   * Resolution is 1/256 — fractions round down to the nearest byte.
+   */
+  def contentHashSplit(df: DataFrame, textCol: String,
+                       trainFrac: Double = 0.9, valFrac: Double = 0.05): DataFrame = {
+    require(trainFrac + valFrac <= 1.0, "train + val fractions exceed 1")
+    def hexThreshold(frac: Double): String =
+      f"${math.min(255, math.floor(frac * 256).toInt)}%02x"
+    val trainHex = hexThreshold(trainFrac)
+    val valHex = hexThreshold(trainFrac + valFrac)
+    val b = substring(md5(col(textCol)), 1, 2)
+    df.withColumn("split",
+      when(b < trainHex, "train").when(b < valHex, "val").otherwise("test"))
+  }
+
   /** Language-ID + fingerprint profile of a documents table. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(
