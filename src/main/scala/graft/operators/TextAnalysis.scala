@@ -83,6 +83,33 @@ object TextAnalysis {
   }
 
   /**
+   * Eval-set contamination check: training documents sharing any word
+   * `n`-gram with an eval/benchmark document are flagged (the n-gram
+   * overlap decontamination pass run before training). Returns the
+   * contaminated training docs with the count of distinct shared grams.
+   *
+   * Scale shape: both sides explode to NARROW (gram, id) rows; the join is
+   * a gram-keyed equi-join with the (small) eval side broadcast-able, and
+   * payloads never shuffle.
+   */
+  def contamination(train: DataFrame, eval_ : DataFrame, textCol: String,
+                    idCol: String, n: Int = 3): DataFrame = {
+    def grams(df: DataFrame, outId: String): DataFrame = {
+      val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+      df.select(col(idCol).as(outId), toks.as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col(outId), explode(expr(
+          s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))"))
+          .as("gram"))
+        .distinct()
+    }
+    grams(train, "doc_id")
+      .join(broadcast(grams(eval_, "eval_id").select("gram").distinct()), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+  }
+
+  /**
    * Leakage-safe train/val/test assignment by CONTENT hash: a document
    * lands in the same split in every dataset version, regardless of row
    * ids or ordering, because the split key is md5 of the text itself —
