@@ -78,9 +78,12 @@ object OracleSqlKernels {
 
   /** Rolling min-fingerprint (TextAlgos.rollingFingerprint, window `w`)
     * over a VARCHAR expression, as signed BIGINT. The min is over SIGNED
-    * values — Scala compares Longs signed. */
+    * values — Scala compares Longs signed. NULL text yields NULL: the
+    * Spark expression is null-intolerant, so the kernel's null branch is
+    * unreachable through it. */
   def fingerprintSql(textExpr: String, w: Int): String =
-    s"""CASE WHEN $textExpr IS NULL OR length($textExpr) = 0 THEN 0
+    s"""CASE WHEN $textExpr IS NULL THEN NULL
+        WHEN length($textExpr) = 0 THEN 0
         WHEN length($textExpr) <= $w THEN ${toSigned(fnv1a64(textExpr))}
         ELSE list_min(list_transform(range(1, length($textExpr) - ${w - 2}),
           i -> ${bind(s"substring($textExpr, i, $w)", "win", bind(mix64(polyWindow), "wu", toSigned("wu")))}))

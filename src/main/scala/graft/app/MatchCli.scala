@@ -10,16 +10,20 @@ import graft.schema.EmployeeNormalizer
  * two CSVs in, ranked-match CSV out.
  *
  * Usage: MatchCli <employees.csv> <usernames.csv> <outDir> [--separators]
+ * [--multi-part]
  * (--separators reproduces the reference's blank row between username
- * groups, main.py:209)
+ * groups, main.py:209; the default single-file output preserves the
+ * reference's one-CSV contract — pass --multi-part for the distributed
+ * many-part write at scale)
  */
 object MatchCli {
   def main(args: Array[String]): Unit = {
     val (flags, positional) = args.partition(_.startsWith("--"))
     require(positional.length == 3,
-      "usage: MatchCli <employees.csv> <usernames.csv> <outDir> [--separators]")
+      "usage: MatchCli <employees.csv> <usernames.csv> <outDir> [--separators] [--multi-part]")
     val Array(employeesPath, usernamesPath, outDir) = positional
     val separators = flags.contains("--separators")
+    val singleFile = !flags.contains("--multi-part")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions",
@@ -38,7 +42,7 @@ object MatchCli {
       "usernames CSV must contain a 'username' column (main.py:153)")
 
     val out = MatchPipeline.matchOutput(lowered.select("username"), employees)
-    MatchPipeline.writeCsv(out, outDir, separators)
+    MatchPipeline.writeCsv(out, outDir, separators, singleFile = singleFile)
     println(s"[match] wrote ${out.count()} rows to $outDir")
     spark.stop()
   }

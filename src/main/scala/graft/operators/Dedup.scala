@@ -104,6 +104,11 @@ object Dedup {
                  jaccardThreshold: Double = 0.8,
                  maxBucketSize: Int = 10000,
                  metricTag: String = "minhash"): DataFrame = {
+    // the band fold derives its band count as numHashes/rowsPerBand, so a
+    // non-dividing `bands` would silently change the b/r collision tuning
+    // (and bands > numHashes would divide by zero) — fail fast instead
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
     val keyed = df.select(
         col(idCol).as("id"),
@@ -211,10 +216,12 @@ object Dedup {
                   shingleW: Int = 3, numHashes: Int = 32, bands: Int = 8,
                   jaccardThreshold: Double = 0.8,
                   maxBucketSize: Int = 10000,
-                  maxIters: Int = 20): DataFrame = {
+                  maxIters: Int = 20,
+                  failOnNonConvergence: Boolean = false): DataFrame = {
     val pairs = minhashLsh(df, textCol, idCol, shingleW, numHashes, bands,
       jaccardThreshold, maxBucketSize, metricTag = "corpus_dedup")
-    clusters(df.select(col(idCol)), pairs, idCol, maxIters = maxIters)
+    clusters(df.select(col(idCol)), pairs, idCol, maxIters = maxIters,
+      failOnNonConvergence = failOnNonConvergence)
       .select(col("id").as(idCol), col("cluster"),
         (col("id") === col("cluster")).as("is_kept"))
   }

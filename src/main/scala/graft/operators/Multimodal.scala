@@ -51,12 +51,18 @@ object Multimodal {
   object MediaDecoder {
     val FeatDim = 16
 
-    private val PngMagic: Array[Byte] =
-      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    // magic prefixes of the formats javax.imageio decodes out of the box:
+    // PNG, JPEG, GIF, BMP
+    private val ImageMagics: Seq[Array[Byte]] = Seq(
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), // PNG
+      Array(0xFF, 0xD8, 0xFF).map(_.toByte),                               // JPEG
+      "GIF8".getBytes("US-ASCII"),                                         // GIF87a/89a
+      "BM".getBytes("US-ASCII"))                                           // BMP
 
     private[operators] def looksLikeImage(payload: Array[Byte]): Boolean =
-      payload != null && payload.length >= PngMagic.length &&
-        java.util.Arrays.equals(payload, 0, PngMagic.length, PngMagic, 0, PngMagic.length)
+      payload != null && ImageMagics.exists(m =>
+        payload.length >= m.length &&
+          java.util.Arrays.equals(payload, 0, m.length, m, 0, m.length))
 
     /** Real image decode: parse the payload with ImageIO and reduce to a
       * 4x4 grid of mean luminances in [0,1] (row-major, 16 = FeatDim). */

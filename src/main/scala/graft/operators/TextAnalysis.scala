@@ -69,18 +69,26 @@ object TextAnalysis {
    * narrower shuffle at 100 TB; kept as strings here so the output is
    * directly actionable (and SQL-oracle-able).
    */
-  def frequentNgrams(df: DataFrame, textCol: String, idCol: String,
-                     n: Int = 3, minDocs: Int = 5): DataFrame = {
+  /** Narrow (id, gram) rows: every word `n`-gram of every document — the
+    * shared explode under [[frequentNgrams]] and [[contamination]], so the
+    * gram semantics (tokenizer, window bounds, join separator) can never
+    * drift between the two passes. */
+  private def ngramRows(df: DataFrame, textCol: String, idCol: String,
+                        outId: String, n: Int): DataFrame = {
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
-    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+    df.select(col(idCol).as(outId), toks.as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(
+      .select(col(outId), explode(expr(
         s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))"))
         .as("gram"))
+  }
+
+  def frequentNgrams(df: DataFrame, textCol: String, idCol: String,
+                     n: Int = 3, minDocs: Int = 5): DataFrame =
+    ngramRows(df, textCol, idCol, "doc_id", n)
       .groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-  }
 
   /**
    * Eval-set contamination check: training documents sharing any word
@@ -93,21 +101,12 @@ object TextAnalysis {
    * payloads never shuffle.
    */
   def contamination(train: DataFrame, eval_ : DataFrame, textCol: String,
-                    idCol: String, n: Int = 3): DataFrame = {
-    def grams(df: DataFrame, outId: String): DataFrame = {
-      val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
-      df.select(col(idCol).as(outId), toks.as("toks"))
-        .filter(size(col("toks")) >= n)
-        .select(col(outId), explode(expr(
-          s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))"))
-          .as("gram"))
-        .distinct()
-    }
-    grams(train, "doc_id")
-      .join(broadcast(grams(eval_, "eval_id").select("gram").distinct()), "gram")
+                    idCol: String, n: Int = 3): DataFrame =
+    ngramRows(train, textCol, idCol, "doc_id", n).distinct()
+      .join(broadcast(
+        ngramRows(eval_, textCol, idCol, "eval_id", n).select("gram").distinct()), "gram")
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
-  }
 
   /**
    * Leakage-safe train/val/test assignment by CONTENT hash: a document
@@ -124,8 +123,12 @@ object TextAnalysis {
   def contentHashSplit(df: DataFrame, textCol: String,
                        trainFrac: Double = 0.9, valFrac: Double = 0.05): DataFrame = {
     require(trainFrac + valFrac <= 1.0, "train + val fractions exceed 1")
-    def hexThreshold(frac: Double): String =
-      f"${math.min(255, math.floor(frac * 256).toInt)}%02x"
+    // frac >= 1 must swallow EVERY byte including 0xff: "g" sorts after
+    // any 2-char hex prefix, so the comparison stays a plain string test
+    def hexThreshold(frac: Double): String = {
+      val b = math.floor(frac * 256).toInt
+      if (b >= 256) "g" else f"$b%02x"
+    }
     val trainHex = hexThreshold(trainFrac)
     val valHex = hexThreshold(trainFrac + valFrac)
     val b = substring(md5(col(textCol)), 1, 2)

@@ -39,9 +39,16 @@ object StatefulPipelines {
   /** Exact binary double -> cents, rounding ties AWAY FROM ZERO — the same
     * semantics as DuckDB's CAST(value AS DECIMAL(18,2)) that the batch
     * oracle uses. `math.round` would round ties toward +inf, desyncing on
-    * negative values (refunds) at an exactly-representable .xx5. */
+    * negative values (refunds) at an exactly-representable .xx5.
+    *
+    * Corrupt rows must not kill a streaming query: NaN/Infinity and
+    * values outside the DECIMAL(18,2) domain (where BigDecimal would
+    * throw inside flatMapGroupsWithState) contribute 0 cents. */
+  private[graft] val MaxAbsSpend = 9.0e15 // < Long.MaxValue/100 cents
   private[graft] def toCents(value: Double): Long =
-    new java.math.BigDecimal(value)
+    if (java.lang.Double.isNaN(value) || java.lang.Double.isInfinite(value) ||
+        math.abs(value) > MaxAbsSpend) 0L
+    else new java.math.BigDecimal(value)
       .setScale(2, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
 

@@ -52,6 +52,11 @@ class StatefulPipelinesSpec extends AnyFunSuite {
     // 2.675 is NOT representable (stored as 2.67499999...), so it rounds
     // DOWN on both engines — the exact-binary-value semantics
     assert(StatefulPipelines.toCents(2.675) === 267L)
+    // corrupt rows contribute 0 cents instead of killing the stream
+    assert(StatefulPipelines.toCents(Double.NaN) === 0L)
+    assert(StatefulPipelines.toCents(Double.PositiveInfinity) === 0L)
+    assert(StatefulPipelines.toCents(Double.NegativeInfinity) === 0L)
+    assert(StatefulPipelines.toCents(1.0e17) === 0L)
   }
 
   test("streaming state machine equals the batch replay on the events table") {
