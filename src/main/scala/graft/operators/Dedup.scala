@@ -171,9 +171,14 @@ object Dedup {
                pairA: String = "id_a", pairB: String = "id_b",
                maxIters: Int = 20,
                failOnNonConvergence: Boolean = false): DataFrame = {
+    // materialize the edge set ONCE: every iteration joins against it
+    // (twice per round — propagation + convergence probe), and without the
+    // checkpoint Spark re-executes the whole upstream pair-generation DAG
+    // (for corpusDedup: the full minhash/band/jaccard pipeline) each time
     val edges = pairs.select(col(pairA).as("src"), col(pairB).as("dst"))
       .unionByName(pairs.select(col(pairB).as("src"), col(pairA).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
     var converged = false
     var i = 0
