@@ -120,7 +120,14 @@ object MatchBlocking {
     // group per distinct username value
     val users = usernames
       .select(col("username").cast("string").as("username")).distinct()
+    // the candidate set feeds BOTH branches below (scoring join + the
+    // zero-candidate sentinel anti join), and Spark reuses no common
+    // subplan across branches — checkpoint the narrow (username, emp_id)
+    // pairs once so the key-explode join DAG runs once, not twice. This
+    // makes matchOutput eager at the candidate stage, which is the right
+    // trade for the scale path this operator exists for.
     val cand = candidatePairs(users, employees, maxEmployeesPerKey = maxEmployeesPerKey)
+      .localCheckpoint()
     val u = MatchPipeline.prepareUsernames(users)
     val e = MatchPipeline.prepareEmployees(employees)
     val scored = cand
