@@ -296,6 +296,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("content-hash split: version-stable, disjoint, fraction-correct") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"${SparkTestBase.Sf001}/documents.parquet")
+    val split = TextAnalysis.contentHashSplit(docs, "text")
+      .select("doc_id", "text", "split").cache()
+    // the selling point: assignment is a function of CONTENT only — re-id
+    // every row and each text keeps its split (no leakage across corpus
+    // versions that renumber documents)
+    val reIdd = TextAnalysis.contentHashSplit(
+        docs.withColumn("doc_id", col("doc_id") + 1000000), "text")
+      .select(col("text"), col("split").as("split2"))
+    val moved = split.join(reIdd, "text")
+      .filter(col("split") =!= col("split2")).count()
+    assert(moved === 0, "re-identified documents changed split")
+    // fractions: byte-resolution targets 230/13/13 of 256
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(math.abs(counts("train") / n - 230.0 / 256) < 0.05, counts.toString)
+    // frac sum of 1.0 leaves test EMPTY (0xff boundary included in val)
+    val all = TextAnalysis.contentHashSplit(docs, "text", trainFrac = 0.95, valFrac = 0.05)
+    assert(all.filter(col("split") === "test").count() === 0)
+    split.unpersist()
+  }
+
   test("corpus dedup keeps exactly one representative per duplicate cluster") {
     val docs = spark.read.parquet(s"${SparkTestBase.Sf001}/documents.parquet")
     val out = Dedup.corpusDedup(docs, "text", "doc_id", jaccardThreshold = 0.5)
