@@ -31,10 +31,34 @@ import org.apache.spark.sql.types.StructType
  */
 object AsofJoin {
 
+  /** Backward as-of (default): most recent right row with
+    * `rightTime <= leftTime`; ties on (key, time) resolved by the LARGEST
+    * `rightTiebreak`. */
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           rightVals: Seq[String], rightTiebreak: String): DataFrame = {
+           rightVals: Seq[String], rightTiebreak: String): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightVals, rightTiebreak, forward = false)
+
+  /** FORWARD as-of: each left row picks the EARLIEST right row with
+    * `rightTime >= leftTime` for the same key — the label-generation
+    * primitive (time-to-next-event, next-purchase lookahead) that is the
+    * mirror of the backward feature join. Same one-shuffle union-window
+    * construction with the per-key sort descending; ties on (key, time)
+    * resolved by the SMALLEST `rightTiebreak`. */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftTime: String, rightTime: String,
+                  rightVals: Seq[String], rightTiebreak: String): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightVals, rightTiebreak, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       rightVals: Seq[String], rightTiebreak: String,
+                       forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val payloadType = StructType(right.select(rightVals.map(col): _*).schema.fields)
     val meta = Seq("__key", "__time", "__side", "__tb", "__payload")
@@ -58,9 +82,19 @@ object AsofJoin {
       )((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .select((leftCols ++ meta).map(col): _*)
 
-    val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__time").asc, col("__side").asc, col("__tb").asc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, 0)
+    // forward mirrors the backward sort: time DESC walks from the future
+    // toward each left row, right rows (side 0) still sort before left rows
+    // at equal times (inclusive semantics), and __tb DESC makes the LAST
+    // right row seen — the one `last(ignoreNulls)` keeps — the smallest
+    // tiebreak (earliest winner)
+    val w = (
+      if (forward)
+        Window.partitionBy(col("__key"))
+          .orderBy(col("__time").desc, col("__side").asc, col("__tb").desc_nulls_last)
+      else
+        Window.partitionBy(col("__key"))
+          .orderBy(col("__time").asc, col("__side").asc, col("__tb").asc_nulls_last)
+    ).rowsBetween(Window.unboundedPreceding, 0)
 
     lTagged.unionByName(rTagged)
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
