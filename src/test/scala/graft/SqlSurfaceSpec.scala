@@ -17,6 +17,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |       soundex_jf('rajesh123')                 AS sdx,
         |       metaphone('jellyfish')                  AS mp,
         |       lang_id('the quick brown fox is here and it is fast') AS lang,
+        |       size(lsh_bands(minhash_sig('a b c d e', 2, 8), 4)) AS nbands,
         |       ngram_jaccard('a b c d', 'a b c d', 2)  AS jac,
         |       cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
         |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
@@ -28,6 +29,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getAs[String]("sdx") === "R220")
     assert(row.getAs[String]("mp") === "JLFX")
     assert(row.getAs[String]("lang") === "en")
+    assert(row.getAs[Int]("nbands") === 2)
     assert(row.getAs[Double]("jac") === 1.0)
     assert(math.abs(row.getAs[Double]("cos") - 1.0) < 1e-12)
     val bkt = row.getAs[Int]("bkt")
@@ -44,8 +46,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     val names = Seq("fuzz_ratio", "fuzz_partial_ratio", "fuzz_token_set_ratio",
       "fuzz_token_sort_ratio", "soundex_jf", "metaphone", "lang_id", "simhash64",
-      "rolling_fingerprint", "minhash_sig", "ngram_jaccard", "cosine_sim",
-      "hyperplane_bucket")
+      "rolling_fingerprint", "minhash_sig", "lsh_bands", "ngram_jaccard",
+      "cosine_sim", "hyperplane_bucket")
     names.foreach { n =>
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)), n)
