@@ -160,25 +160,41 @@ object Dedup {
    * label — the step that turns pairwise matches into dedup groups (keep one
    * representative per cluster).
    *
-   * Iterative min-label propagation: each round every node adopts the
-   * smallest label among itself and its neighbors; convergence needs
-   * O(graph diameter) rounds — near-dup graphs are shallow (dup groups are
-   * cliques or short chains), so the default cap is generous. Each round is
-   * two hash joins + one aggregation, all on narrow (id, label) rows.
-   * Deterministic output regardless of execution order.
+   * Iterative min-label propagation WITH pointer-doubling: each round every
+   * node adopts the smallest label among itself and its neighbors, then
+   * follows that label one hop through the current label map
+   * (label(label(v))) — so the distance a node's label has traveled toward
+   * its component minimum roughly doubles per round, converging in
+   * O(log diameter) rounds instead of O(diameter). A 1000-node chain
+   * converges in ~11 rounds, well under the default cap (pinned in
+   * OperatorsSpec). Each round is three hash joins + one aggregation, all
+   * on narrow (id, label) rows; labels are always node ids of the same
+   * component, so the hop join is total. Deterministic output regardless
+   * of execution order.
+   *
+   * EAGERNESS / RETENTION: with `checkpoint = true` (default) the edge set
+   * and each round's labels are `localCheckpoint()`ed — the loop executes
+   * at call time (the convergence probe forces it anyway) and the
+   * checkpoint blocks for the FINAL labels stay cached for the lifetime of
+   * the returned plan (intermediates are freed by the ContextCleaner once
+   * unreferenced). Long-lived drivers composing dedup repeatedly can pass
+   * `checkpoint = false` to keep the plan lineage-pure — at the cost of
+   * re-executing the upstream pair-generation DAG every round and plans
+   * that grow with each iteration (viable only for small maxIters).
    */
   def clusters(ids: DataFrame, pairs: DataFrame, idCol: String,
                pairA: String = "id_a", pairB: String = "id_b",
                maxIters: Int = 20,
-               failOnNonConvergence: Boolean = false): DataFrame = {
+               failOnNonConvergence: Boolean = false,
+               checkpoint: Boolean = true): DataFrame = {
+    def cp(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
     // materialize the edge set ONCE: every iteration joins against it
     // (twice per round — propagation + convergence probe), and without the
     // checkpoint Spark re-executes the whole upstream pair-generation DAG
     // (for corpusDedup: the full minhash/band/jaccard pipeline) each time
-    val edges = pairs.select(col(pairA).as("src"), col(pairB).as("dst"))
+    val edges = cp(pairs.select(col(pairA).as("src"), col(pairB).as("dst"))
       .unionByName(pairs.select(col(pairB).as("src"), col(pairA).as("dst")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
     var converged = false
     var i = 0
@@ -187,10 +203,16 @@ object Dedup {
         .join(labels.withColumnsRenamed(Map("id" -> "dst", "cluster" -> "n_cluster")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("n_cluster")).as("min_n"))
-      val next = labels.join(neighborLabels, Seq("id"), "left")
+      val m = labels.join(neighborLabels, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("min_n"), col("cluster"))).as("cluster"))
-        .localCheckpoint() // truncate lineage: iterative plans otherwise grow exponentially
+      // pointer-doubling shortcut: label(label(v)) via the PREVIOUS round's
+      // label map — this is what upgrades O(d) propagation to O(log d)
+      val next = cp(m
+        .join(labels.select(col("id").as("cluster"), col("cluster").as("hop")),
+          Seq("cluster"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("hop"), col("cluster"))).as("cluster")))
       val changed = next.alias("n").join(labels.alias("p"), "id")
         .filter(col("n.cluster") =!= col("p.cluster")).limit(1).count()
       labels = next
@@ -222,11 +244,12 @@ object Dedup {
                   jaccardThreshold: Double = 0.8,
                   maxBucketSize: Int = 10000,
                   maxIters: Int = 20,
-                  failOnNonConvergence: Boolean = false): DataFrame = {
+                  failOnNonConvergence: Boolean = false,
+                  checkpoint: Boolean = true): DataFrame = {
     val pairs = minhashLsh(df, textCol, idCol, shingleW, numHashes, bands,
       jaccardThreshold, maxBucketSize, metricTag = "corpus_dedup")
     clusters(df.select(col(idCol)), pairs, idCol, maxIters = maxIters,
-      failOnNonConvergence = failOnNonConvergence)
+      failOnNonConvergence = failOnNonConvergence, checkpoint = checkpoint)
       .select(col("id").as(idCol), col("cluster"),
         (col("id") === col("cluster")).as("is_kept"))
   }

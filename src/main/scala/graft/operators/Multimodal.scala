@@ -43,10 +43,13 @@ object Multimodal {
    * `javax.imageio` handles — pure JVM, no native codecs) is parsed to a
    * BufferedImage and summarized as a 4x4 grid of mean luminances — the
    * decode / resize / feature-extract path a production pipeline runs, at
-   * toy feature dimensionality. AUDIO/VIDEO payloads remain STUBBED (no
-   * codecs in this container) behind the deterministic byte-hash fake; the
-   * signature and batch shape are identical, so swapping in a real codec
-   * touches nothing Spark-side.
+   * toy feature dimensionality. AUDIO payloads are decoded FOR REAL too:
+   * WAV/AIFF/AU containers parse with pure-JVM `javax.sound.sampled` (no
+   * native codecs), are converted to 16-bit signed PCM, and summarized as
+   * per-window RMS energy over [[FeatDim]] equal time windows. VIDEO
+   * payloads remain STUBBED (no pure-JVM video codec exists) behind the
+   * deterministic byte-hash fake; the signature and batch shape are
+   * identical, so swapping in a real codec touches nothing Spark-side.
    */
   object MediaDecoder {
     val FeatDim = 16
@@ -95,6 +98,65 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    // magic prefixes of the audio containers javax.sound.sampled decodes
+    // out of the box: WAV (RIFF....WAVE), AIFF (FORM....AIFF), AU (.snd)
+    private[operators] def looksLikeAudio(payload: Array[Byte]): Boolean = {
+      def at(off: Int, m: String): Boolean = {
+        val b = m.getBytes("US-ASCII")
+        payload.length >= off + b.length &&
+          java.util.Arrays.equals(payload, off, off + b.length, b, 0, b.length)
+      }
+      payload != null &&
+        ((at(0, "RIFF") && at(8, "WAVE")) || (at(0, "FORM") && at(8, "AIFF")) ||
+          at(0, ".snd"))
+    }
+
+    /** Real audio decode: parse the container with javax.sound.sampled,
+      * convert to 16-bit signed PCM, mix channels to mono, and reduce to
+      * RMS amplitude in [0,1] per [[FeatDim]] equal time windows — the
+      * decode / resample / feature-extract path a production audio pipeline
+      * runs, at toy feature dimensionality. Truncated or corrupt containers
+      * return None (the decode-failure path). */
+    private[operators] def decodeAudio(payload: Array[Byte]): Option[Array[Float]] =
+      try {
+        val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = src.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+            f.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+          val bytes = pcm.readAllBytes()
+          val channels = target.getChannels
+          val frameBytes = channels * 2
+          val nFrames = bytes.length / frameBytes
+          if (nFrames == 0) None
+          else {
+            val sumSq = new Array[Double](FeatDim)
+            val counts = new Array[Long](FeatDim)
+            var fr = 0
+            while (fr < nFrames) {
+              var mix = 0.0
+              var c = 0
+              while (c < channels) {
+                val off = fr * frameBytes + c * 2
+                val s = ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort
+                mix += s / 32768.0
+                c += 1
+              }
+              mix /= channels
+              val w = (fr.toLong * FeatDim / nFrames).toInt
+              sumSq(w) += mix * mix; counts(w) += 1
+              fr += 1
+            }
+            Some(Array.tabulate(FeatDim)(i =>
+              if (counts(i) == 0) 0.0f else math.sqrt(sumSq(i) / counts(i)).toFloat))
+          }
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** Deterministic fake "decode" for the stubbed modalities: hashes
       * payload windows into a feature vector. */
     private def fakeDecode(payload: Array[Byte]): Array[Float] = {
@@ -110,11 +172,13 @@ object Multimodal {
       out
     }
 
-    /** Bytes -> features. Real decode for image payloads, stub for the
-      * rest; None for null/empty/corrupt payloads (decode failure path). */
+    /** Bytes -> features. Real decode for image and audio payloads, stub
+      * for the rest (video); None for null/empty/corrupt payloads (decode
+      * failure path). */
     def decodeToFeatures(payload: Array[Byte]): Option[Array[Float]] = {
       if (payload == null || payload.isEmpty) return None
       if (looksLikeImage(payload)) decodeImage(payload)
+      else if (looksLikeAudio(payload)) decodeAudio(payload)
       else Some(fakeDecode(payload))
     }
   }

@@ -90,8 +90,12 @@ object MatchPipeline {
     * Sub-threshold rows sort after qualifying ones, so their presence cannot
     * change a qualifying row's dense rank. */
   private def rankedTopK(usernames: DataFrame, employees: DataFrame, topK: Int): DataFrame = {
+    // employee_name is the FINAL tiebreak because emp_id alone is not a
+    // total order: the reference roster reuses EMP_IDs (14 and 92 each name
+    // two employees — FIXTURES.md), so a same-id score tie at the top-k
+    // boundary would otherwise let two engines keep different names.
     val byUser = Window.partitionBy(col("username"))
-      .orderBy(col("score").desc, col("emp_id").asc)
+      .orderBy(col("score").desc, col("emp_id").asc, col("employee_name").asc)
     // dense_rank orders by score ONLY: equal scores share a rank/label
     // (golden tie semantics from assets/example.png; the row_number window
     // keeps the deterministic emp_id tiebreak for top-k membership)
@@ -167,13 +171,15 @@ object MatchPipeline {
     * score-descending group order. `singleFile = true` funnels the write
     * through one task (the reference's one-CSV HTTP contract); the default
     * keeps the distributed multi-part write — a global orderBy range-
-    * partitions the output, so part files concatenate in sorted order
-    * anyway. */
+    * partitions the output, so the part files' DATA rows concatenate in
+    * sorted order. Note `header = true` writes a header line into EVERY
+    * part file, so consumers concatenating parts must strip the repeated
+    * headers (or pass `singleFile = true` for one header total). */
   def writeCsv(out: DataFrame, path: String, separators: Boolean = false,
                singleFile: Boolean = false): Unit = {
     val scoreNum = regexp_replace(col("confidence_score"), "%", "").cast("double")
     val rows =
-      if (!separators) out.orderBy(col("username"), scoreNum.desc, col("emp_id"))
+      if (!separators) out.orderBy(col("username"), scoreNum.desc, col("emp_id"), col("emp_name"))
       else {
         val data = out.withColumn("__grp", col("username")).withColumn("__sep", lit(0))
         val nul = lit(null).cast("string")
@@ -183,7 +189,7 @@ object MatchPipeline {
             nul.as("confidence_score"), nul.as("match_type"),
             col("__grp"), lit(1).as("__sep"))
         data.unionByName(seps)
-          .orderBy(col("__grp"), col("__sep"), scoreNum.desc, col("emp_id"))
+          .orderBy(col("__grp"), col("__sep"), scoreNum.desc, col("emp_id"), col("emp_name"))
           .drop("__grp", "__sep")
       }
     val sink = if (singleFile) rows.coalesce(1) else rows

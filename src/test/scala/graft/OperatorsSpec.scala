@@ -94,6 +94,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.values.toSet === Set(1L), s"chain must collapse to one cluster: $got")
   }
 
+  test("dedup clustering: diameter-1000 chain converges under the default cap") {
+    // pointer-doubling covers distance ~2^k after k rounds, so a path graph
+    // of diameter 999 must converge in ~11 rounds — strict mode at the
+    // default maxIters=20 throws if the O(log d) contract regresses to O(d)
+    val n = 1000L
+    val ids = spark.range(0, n).select(col("id").as("doc_id"))
+    val chain = spark.range(0, n - 1).select(
+      col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val got = Dedup.clusters(ids, chain, "doc_id", failOnNonConvergence = true)
+    assert(got.select("cluster").distinct().collect().map(_.getLong(0)).toSeq === Seq(0L))
+    assert(got.count() === n)
+  }
+
+  test("dedup clustering: checkpoint=false returns the same labels") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, pairs, "doc_id", checkpoint = false)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("brute-force kNN: self-match ranks first at cosine 1") {
     val corpus = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
     val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
@@ -257,6 +278,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!bad.decode_ok, "truncated PNG must report decode failure")
   }
 
+  test("multimodal: REAL WAV decode via javax.sound.sampled through the pipeline") {
+    // synthesize a 16-bit mono PCM WAV in memory: first half a full-scale
+    // 440 Hz sine (RMS ~ 1/sqrt(2)), second half silence — the 16-window
+    // RMS profile must read ~0.707 in windows 0-7 and ~0 in windows 8-15
+    val sampleRate = 8000f
+    val nFrames = 8000
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s =
+        if (i < nFrames / 2)
+          (math.sin(2 * math.Pi * 440.0 * i / sampleRate) * 32767).toInt
+        else 0
+      pcm(i * 2) = (s & 0xFF).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val media = Seq((1L, "audio", wav, wav.length.toLong))
+      .toDF("media_id", "modality", "payload", "n_bytes")
+    val real = Multimodal.extractFeatures(media).collect().head
+    assert(real.decode_ok, "WAV payload must decode")
+    assert(real.features.length === Multimodal.MediaDecoder.FeatDim)
+    for (w <- 0 until 8)
+      assert(math.abs(real.features(w) - 0.707f) < 0.02, s"window $w should be sine RMS")
+    for (w <- 8 until 16)
+      assert(real.features(w) < 0.01, s"window $w should be silence")
+
+    // corrupt WAV (RIFF/WAVE magic intact, body truncated) -> decode
+    // failure, not a crash and not the stub path
+    val broken = wav.take(32)
+    val bad = Multimodal.extractFeatures(
+      Seq((2L, "audio", broken, 32L)).toDF("media_id", "modality", "payload", "n_bytes"))
+      .collect().head
+    assert(!bad.decode_ok, "truncated WAV must report decode failure")
+  }
+
   test("dropped-hot-bucket metrics surface under a stable name via QueryExecutionListener") {
     import java.util.concurrent.ConcurrentHashMap
     val seen = new ConcurrentHashMap[String, org.apache.spark.sql.Row]()
@@ -275,6 +338,7 @@ class OperatorsSpec extends AnyFunSuite {
     // re-planning drops the CollectMetrics accumulator linkage. The metric
     // contract therefore holds under spark.sql.adaptive.enabled=false (or
     // for observe nodes above the final exchange); documented in Dedup.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // 3 identical docs in one band bucket, cap 2 -> the bucket is dropped
@@ -291,7 +355,7 @@ class OperatorsSpec extends AnyFunSuite {
       assert(row.getAs[Long]("dropped_hot_buckets") >= 1L, row.toString)
       assert(row.getAs[Long]("dropped_hot_bucket_rows") >= 3L, row.toString)
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       spark.listenerManager.unregister(listener)
     }
   }
