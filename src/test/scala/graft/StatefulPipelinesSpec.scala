@@ -73,6 +73,66 @@ class StatefulPipelinesSpec extends AnyFunSuite {
       s"batch-only: ${(batch -- stream).take(3)}; stream-only: ${(stream -- batch).take(3)}")
   }
 
+  test("checkpoint recovery: state survives a restart with no duplicate or lost alerts") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_recovery").toString
+    val src = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    val sink = s"$base/out"
+    def write(rows: Seq[(Long, Long, String, String, Double)]): Unit =
+      rows.toDF("event_id", "user_id", "ts_s", "event_type", "value")
+        .select(col("event_id"), col("user_id"),
+          to_timestamp(col("ts_s")).as("ts"), col("event_type"), col("value"))
+        .write.mode(SaveMode.Append).parquet(src)
+    def run(): Unit = {
+      val q = StatefulPipelines.alertsStream(spark, src)
+        .toDF().writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // batch 1 — each user's state is deliberately mid-flight at shutdown:
+    //  user 1: 300.00 spent (below the 500 threshold — alert pending)
+    //  user 2: 600.00 spent (SPEND alert fires HERE; must not refire later)
+    //  user 3: 2 consecutive errors (one short of the ERRORS alert)
+    write(Seq(
+      (0L, 1L, "2024-01-01 00:00:00", "click", 300.0),
+      (1L, 2L, "2024-01-01 00:10:00", "click", 600.0),
+      (2L, 3L, "2024-01-01 00:20:00", "error", 0.0),
+      (3L, 3L, "2024-01-01 00:30:00", "error", 0.0)))
+    run()
+    val afterFirst = spark.read.parquet(sink).as[Alert].collect()
+    assert(afterFirst.map(_.alert_type).toSeq === Seq("SPEND"), "only user 2 alerts in batch 1")
+
+    // restart from the checkpoint with batch 2 appended:
+    //  user 1 crosses 500 ONLY IF the 300.00 survived the restart (loss check)
+    //  user 2 spends more — a second SPEND alert would mean state was lost
+    //    and alertedSpend reset (duplicate check)
+    //  user 3's third error alerts ONLY IF the counter survived
+    write(Seq(
+      (4L, 1L, "2024-01-01 01:00:00", "click", 250.0),
+      (5L, 2L, "2024-01-01 01:10:00", "click", 700.0),
+      (6L, 3L, "2024-01-01 01:20:00", "error", 0.0)))
+    run()
+
+    // MULTISET comparison against the batch replay of the full event log:
+    // a duplicated alert (same values twice) would pass a set compare
+    def canon(as: Seq[Alert]): Seq[(Long, Long, String, Long, Int)] =
+      as.map(a => (a.user_id, a.ts.getTime, a.alert_type,
+        math.round(a.spend * 100), a.consecutive_errors)).sorted
+    val streamed = canon(spark.read.parquet(sink).as[Alert].collect().toSeq)
+    val replayed = canon(StatefulPipelines.alertsBatch(
+      spark.read.parquet(src)).collect().toSeq)
+    assert(replayed.map(_._3).sorted === Seq("ERRORS", "SPEND", "SPEND"))
+    assert(streamed === replayed,
+      s"streamed=$streamed replayed=$replayed — state did not survive the restart intact")
+  }
+
   test("event-time timeout evicts an idle key's state (hasTimedOut path executes)") {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
