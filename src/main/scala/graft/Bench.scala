@@ -19,8 +19,37 @@ import org.apache.spark.sql.SparkSession
   *    scheduling noise, not operator cost.
   * `loadavg` (1/5/15-min, captured at start and end) records the box state
   * so a regression can be adjudicated against contention directly.
+  *
+  * SELF-ADJUDICATION: `BENCH_BASELINE.json` pins the per-query min-CPU
+  * numbers of the last judged round. When the bench runs at the same SF,
+  * the output carries a `regressions` object naming every query whose
+  * min-CPU exceeds its baseline by more than the pinned threshold (1.5x)
+  * AND by an absolute margin that clears timer noise — so a real slowdown
+  * is flagged in the JSON itself instead of relying on someone reading the
+  * CPU column against an old file.
   */
 object Bench {
+
+  /** Absolute CPU growth (seconds) below which a ratio breach is treated
+    * as noise: sub-100ms baselines routinely double from JIT/GC jitter. */
+  private val RegressionNoiseFloorSec = 0.25
+
+  private case class Baseline(sf: String, threshold: Double, cpu: Map[String, Double])
+
+  private def loadBaseline(): Option[Baseline] =
+    try {
+      val f = new java.io.File("BENCH_BASELINE.json")
+      if (!f.exists()) None
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(f)
+        val cpu = scala.collection.mutable.Map[String, Double]()
+        val it = root.get("queries_cpu").fields()
+        while (it.hasNext) { val e = it.next(); cpu(e.getKey) = e.getValue.asDouble() }
+        val thr = if (root.has("threshold")) root.get("threshold").asDouble() else 1.5
+        Some(Baseline(root.get("sf").asText(), thr, cpu.toMap))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private val Reps = 3
 
@@ -79,7 +108,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalCpu = results.map(_._3).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"total_cpu":$totalCpu%.3f,"reps":$Reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}""")
+    // regressions vs the pinned baseline, only when benching the same SF
+    val regressions = loadBaseline() match {
+      case Some(b) if b.sf == sfDir =>
+        results.flatMap { case (name, _, cpu) =>
+          b.cpu.get(name).collect {
+            case base if cpu > base * b.threshold &&
+                         cpu - base > RegressionNoiseFloorSec =>
+              "\"" + name + "\":" + f"""{"cpu":$cpu%.3f,"baseline":$base%.3f,"ratio":${cpu / base}%.2f}"""
+          }
+        }.mkString("{", ",", "}")
+      case _ => "{}"
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"total_cpu":$totalCpu%.3f,"regressions":$regressions,"reps":$Reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

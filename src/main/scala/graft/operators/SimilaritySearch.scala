@@ -107,6 +107,29 @@ object SimilaritySearch {
       .select(col(corpusId), col(corpusVec)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
+  /** Trained IVF coarse-quantizer: k-means centroids fit with MLlib
+    * (seed-pinned, so the index build is reproducible run-to-run). Same
+    * signature and (cid, vector) shape as [[ivfCentroids]] — pass the
+    * result to [[ivfKnn]]'s `centroids` parameter. Training is the one-off
+    * index build: at 100 TB it runs on a sample (k-means quality saturates
+    * well below full-corpus scans), and only the k centroid vectors ever
+    * reach the driver. Centroids are NOT corpus rows, so unlike the prefix
+    * quantizer the result is not DuckDB-reproducible — which is why the
+    * deterministic prefix stays the oracle-facing default. */
+  def kmeansCentroids(corpus: DataFrame, n: Int,
+                      corpusVec: String = "embedding",
+                      seed: Long = 32L, maxIter: Int = 20): Array[(Long, Array[Float])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val features = corpus
+      .select(array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(n).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").fit(features)
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.map(_.toFloat))
+    }
+  }
+
   /** Nearest-centroid cell id (cosine argmax, centroid-id-asc tiebreak) as
     * a single expression: per-row scan of the centroid array — NO shuffle
     * and no per-row window. `struct(-cosine, cid)` sorted ascending puts
@@ -132,8 +155,9 @@ object SimilaritySearch {
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              nCentroids: Int = 16, nprobe: Int = 4,
              corpusId: String = "vec_id", corpusVec: String = "embedding",
-             queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
-    val cents = ivfCentroids(corpus, nCentroids, corpusId, corpusVec)
+             queryId: String = "query_id", queryVec: String = "query_vec",
+             centroids: Option[Array[(Long, Array[Float])]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(corpus, nCentroids, corpusId, corpusVec))
     val c = corpus.withColumn("cell", cellExpr(col(corpusVec), cents))
     // nprobe nearest cells per query: same struct-sort, sliced to nprobe
     val probes = sort_array(array(cents.map { case (cid, cvec) =>

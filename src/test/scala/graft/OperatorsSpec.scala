@@ -186,6 +186,18 @@ class OperatorsSpec extends AnyFunSuite {
     val recallWide = (exact & ivfWide).size.toDouble / exact.size
     assert(recallWide >= recall)
     assert(recallWide >= 0.999, "nprobe = nCentroids probes every cell: IVF == brute force")
+
+    // trained quantizer: k-means cells capture neighborhoods at least as
+    // well as the arbitrary corpus-prefix cells (the oracle-facing default)
+    val trained = SimilaritySearch.kmeansCentroids(corpus, 16)
+    val ivfTrained = SimilaritySearch.ivfKnn(corpus, queries, 5,
+      nCentroids = 16, nprobe = 4, centroids = Some(trained))
+    val selfTrained = ivfTrained.filter(col("query_id") === col("vec_id")).count()
+    assert(selfTrained === queries.count(), "trained IVF lost a self-match")
+    val recallTrained = (exact & pairs(ivfTrained)).size.toDouble / exact.size
+    info(f"IVF recall@5 trained k-means vs prefix: $recallTrained%.3f vs $recall%.3f")
+    assert(recallTrained >= recall,
+      f"trained quantizer ($recallTrained%.3f) must not lose recall vs prefix ($recall%.3f)")
   }
 
   test("bounded-heap top-k aggregate equals the rank-limit window form") {
