@@ -39,6 +39,31 @@ class MatchBlockingSpec extends AnyFunSuite {
       s"pattern-tier pairs lost by blocking: ${exactPattern -- blocked}")
   }
 
+  test("top-1 agreement vs the exact path on the degenerate synthetic roster (sf0.01)") {
+    // The reference-workload recall above exercises a FAVORABLE roster (154
+    // distinct names). The sf0.01 synthetic inputs are the adversarial case
+    // the frequency cap exists for — 64 distinct names x hundreds of
+    // duplicates, so most name-derived keys are over the cap and dropped.
+    // This pins how often the blocked path still lands the SAME best match
+    // as the exact path at bench scale (the metric a user of the
+    // approximate path actually cares about).
+    def top1(df: org.apache.spark.sql.DataFrame): Map[String, String] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("username"))
+        .orderBy(regexp_replace(col("confidence_score"), "%", "")
+          .cast("double").desc, col("emp_id").asc, col("emp_name").asc)
+      df.filter(col("match_type") =!= "USER NOT FOUND")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("username", "emp_id").as[(String, String)].collect().toMap
+    }
+    val exact = top1(SparkEntry.queries("nm_match_topk")(spark, SparkTestBase.Sf001))
+    val blocked = top1(SparkEntry.queries("nm_match_topk_blocked")(spark, SparkTestBase.Sf001))
+    val agree = exact.count { case (u, e) => blocked.get(u).contains(e) }
+    val agreement = agree.toDouble / exact.size
+    info(f"top-1 agreement on sf0.01 synthetic: $agreement%.4f ($agree/${exact.size})")
+    assert(agreement >= 0.60, f"top-1 agreement $agreement%.4f below floor")
+  }
+
   test("candidate volume is a small fraction of the cross product") {
     val candidates = MatchBlocking.candidatePairs(usernames, employees).count()
     val crossProduct = usernames.count() * employees.count()

@@ -83,4 +83,43 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val litFolded = KernelSimplification(lits.queryExecution.analyzed)
     assert(!litFolded.expressions.map(_.sql).mkString.contains("fuzz_token_set_ratio"))
   }
+
+  test("README SQL-surface examples run as written against real tables") {
+    // one query per function family, same shapes as README.md "The SQL
+    // surface" — if an example there stops running, this fails
+    val sf = SparkTestBase.Sf0001
+    spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("documents_v")
+    spark.read.parquet(s"$sf/embeddings.parquet").createOrReplaceTempView("embeddings_v")
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("orders_v")
+    spark.read.parquet(s"$sf/customer.parquet").createOrReplaceTempView("customer_v")
+
+    val fuzzy = spark.sql(
+      """SELECT fuzz_ratio('swati.patel', 'swati patel')      AS ratio,
+        |       fuzz_partial_ratio('yankees', 'new york yankees') AS pr
+        |""".stripMargin).head()
+    assert(fuzzy.getAs[Int]("pr") === 100)
+
+    val phon = spark.sql(
+      "SELECT soundex_jf('rajesh123') AS sdx, metaphone('jellyfish') AS mp").head()
+    assert(phon.getAs[String]("sdx") === "R220" && phon.getAs[String]("mp") === "JLFX")
+
+    val bands = spark.sql(
+      """SELECT doc_id, explode(lsh_bands(minhash_sig(text, 3, 32), 4)) AS band_key
+        |FROM documents_v""".stripMargin)
+    assert(bands.groupBy("doc_id").count().head().getLong(1) === 8L)
+
+    val emb = spark.sql(
+      """SELECT vec_id,
+        |       cosine_sim(embedding, embedding) AS cos,
+        |       hyperplane_bucket(embedding, 8, 42L) AS bucket
+        |FROM embeddings_v""".stripMargin).head()
+    assert(math.abs(emb.getAs[Double]("cos") - 1.0) < 1e-9)
+
+    val topk = spark.sql(
+      """SELECT c_mktsegment, topk_by(o_totalprice, o_orderkey, 3) AS top3
+        |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)
+    assert(topk.count() === 5)
+    assert(topk.selectExpr("size(top3)").head().getInt(0) === 3)
+  }
 }
