@@ -47,9 +47,12 @@ object Multimodal {
    * WAV/AIFF/AU containers parse with pure-JVM `javax.sound.sampled` (no
    * native codecs), are converted to 16-bit signed PCM, and summarized as
    * per-window RMS energy over [[FeatDim]] equal time windows. VIDEO
-   * payloads remain STUBBED (no pure-JVM video codec exists) behind the
-   * deterministic byte-hash fake; the signature and batch shape are
-   * identical, so swapping in a real codec touches nothing Spark-side.
+   * container metadata (MP4 `mvhd`/`tkhd` boxes: duration, dimensions,
+   * track count) is parsed FOR REAL; the frame decode itself remains
+   * STUBBED (no pure-JVM video codec exists) — a corrupt container is a
+   * decode failure, a valid one yields its real metadata as the leading
+   * feature slots. The signature and batch shape are identical across all
+   * modalities, so swapping in a real codec touches nothing Spark-side.
    */
   object MediaDecoder {
     val FeatDim = 16
@@ -157,6 +160,75 @@ object Multimodal {
         } finally src.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    // MP4/ISO-BMFF sniff: box 1 must be `ftyp` (bytes 4-7)
+    private[operators] def looksLikeVideo(payload: Array[Byte]): Boolean =
+      payload != null && payload.length >= 8 &&
+        payload(4) == 'f' && payload(5) == 't' && payload(6) == 'y' && payload(7) == 'p'
+
+    /** Real MP4 container parse: walk the ISO-BMFF box tree to `moov/mvhd`
+      * (timescale + duration) and `moov/trak/tkhd` (16.16-fixed width and
+      * height), without decoding any sample data. Features: [duration_s,
+      * width, height, n_tracks, 0...]. Frame-level features stay stubbed —
+      * there is no pure-JVM video codec — so a valid container yields its
+      * REAL metadata and a truncated/corrupt one is a decode failure, the
+      * same contract as the image and audio paths. */
+    private[operators] def decodeVideoMeta(payload: Array[Byte]): Option[Array[Float]] =
+      try {
+        val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.BIG_ENDIAN)
+        var durationS = -1.0
+        var width = -1.0f
+        var height = -1.0f
+        var tracks = 0
+        // walk the box list in [from, to); descend into containers we care about
+        def walk(from: Int, to: Int, depth: Int): Unit = {
+          var p = from
+          while (p + 8 <= to) {
+            val size32 = bb.getInt(p).toLong & 0xFFFFFFFFL
+            val tpe = new String(payload, p + 4, 4, "US-ASCII")
+            val (size, hdr) =
+              if (size32 == 1L && p + 16 <= to) (bb.getLong(p + 8), 16)
+              else if (size32 == 0L) ((to - p).toLong, 8) // box runs to end
+              else (size32, 8)
+            if (size < hdr || p + size > to) throw new IllegalArgumentException(
+              s"mp4 box '$tpe' overruns container: size=$size at $p limit=$to")
+            val body = p + hdr
+            val end = p + size.toInt
+            tpe match {
+              case "moov" => walk(body, end, depth + 1)
+              case "trak" => tracks += 1; walk(body, end, depth + 1)
+              case "mvhd" =>
+                val v = payload(body) & 0xFF
+                val (ts, dur) =
+                  if (v == 1) (bb.getInt(body + 20).toLong & 0xFFFFFFFFL, bb.getLong(body + 24))
+                  else (bb.getInt(body + 12).toLong & 0xFFFFFFFFL, bb.getInt(body + 16).toLong & 0xFFFFFFFFL)
+                if (ts > 0) durationS = dur.toDouble / ts
+              case "tkhd" =>
+                val v = payload(body) & 0xFF
+                // v/f, ctime, mtime, track_ID, reserved, duration; then
+                // reserved(8) layer(2) alt_group(2) volume(2) reserved(2) matrix(36)
+                val wOff = body + (if (v == 1) 4 + 8 + 8 + 4 + 4 + 8 else 4 + 4 + 4 + 4 + 4 + 4) +
+                  8 + 2 + 2 + 2 + 2 + 36
+                // keep the LARGEST track dimensions (video track vs audio's 0x0)
+                val tw = (bb.getInt(wOff) >>> 16).toFloat
+                val th = (bb.getInt(wOff + 4) >>> 16).toFloat
+                if (tw * th > width * height || width < 0) { width = tw; height = th }
+              case _ => ()
+            }
+            p = end
+          }
+        }
+        walk(0, payload.length, 0)
+        if (durationS < 0 || tracks == 0) None
+        else {
+          val out = new Array[Float](FeatDim)
+          out(0) = durationS.toFloat
+          out(1) = math.max(width, 0f)
+          out(2) = math.max(height, 0f)
+          out(3) = tracks.toFloat
+          Some(out)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** Deterministic fake "decode" for the stubbed modalities: hashes
       * payload windows into a feature vector. */
     private def fakeDecode(payload: Array[Byte]): Array[Float] = {
@@ -172,13 +244,15 @@ object Multimodal {
       out
     }
 
-    /** Bytes -> features. Real decode for image and audio payloads, stub
-      * for the rest (video); None for null/empty/corrupt payloads (decode
-      * failure path). */
+    /** Bytes -> features. Real decode for image and audio payloads, real
+      * container-metadata parse for MP4 video (frame decode stubbed), byte-
+      * hash stub for everything else; None for null/empty/corrupt payloads
+      * (decode failure path). */
     def decodeToFeatures(payload: Array[Byte]): Option[Array[Float]] = {
       if (payload == null || payload.isEmpty) return None
       if (looksLikeImage(payload)) decodeImage(payload)
       else if (looksLikeAudio(payload)) decodeAudio(payload)
+      else if (looksLikeVideo(payload)) decodeVideoMeta(payload)
       else Some(fakeDecode(payload))
     }
   }

@@ -332,6 +332,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!bad.decode_ok, "truncated WAV must report decode failure")
   }
 
+  test("multimodal: REAL MP4 container metadata parse through the pipeline") {
+    // hand-build a minimal ISO-BMFF file: ftyp + moov(mvhd v0 + trak(tkhd v0))
+    // with timescale 600, duration 7200 (12 s), one 640x360 track
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 8 + 92)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(16); bb.put("ftypisom".getBytes("US-ASCII")); bb.putInt(0)
+    bb.putInt(8 + 108 + 8 + 92); bb.put("moov".getBytes("US-ASCII"))
+    bb.putInt(108); bb.put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0)            // version 0 + flags
+    bb.putInt(0); bb.putInt(0)            // ctime, mtime
+    bb.putInt(600); bb.putInt(7200)       // timescale, duration -> 12 s
+    bb.position(bb.position() + 108 - 8 - 20) // rate..next_track_id: zeros
+    bb.putInt(8 + 92); bb.put("trak".getBytes("US-ASCII"))
+    bb.putInt(92); bb.put("tkhd".getBytes("US-ASCII"))
+    bb.putInt(0)                          // version 0 + flags
+    bb.putInt(0); bb.putInt(0); bb.putInt(1); bb.putInt(0); bb.putInt(7200)
+    bb.position(bb.position() + 8 + 2 + 2 + 2 + 2 + 36) // reserved..matrix
+    bb.putInt(640 << 16); bb.putInt(360 << 16)          // 16.16 fixed w/h
+    val mp4 = bb.array()
+
+    val media = Seq((1L, "video", mp4, mp4.length.toLong))
+      .toDF("media_id", "modality", "payload", "n_bytes")
+    val real = Multimodal.extractFeatures(media).collect().head
+    assert(real.decode_ok, "MP4 container must parse")
+    assert(real.features(0) === 12.0f, "duration seconds from mvhd")
+    assert(real.features(1) === 640.0f && real.features(2) === 360.0f, "tkhd 16.16 dims")
+    assert(real.features(3) === 1.0f, "track count")
+
+    // corrupt container (ftyp magic intact, moov truncated) -> decode failure
+    val bad = Multimodal.extractFeatures(
+      Seq((2L, "video", mp4.take(40), 40L)).toDF("media_id", "modality", "payload", "n_bytes"))
+      .collect().head
+    assert(!bad.decode_ok, "truncated MP4 must report decode failure")
+  }
+
   test("dropped-hot-bucket metrics surface under a stable name via QueryExecutionListener") {
     import java.util.concurrent.ConcurrentHashMap
     val seen = new ConcurrentHashMap[String, org.apache.spark.sql.Row]()
