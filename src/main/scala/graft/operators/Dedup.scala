@@ -207,12 +207,16 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("min_n"), col("cluster"))).as("cluster"))
       // pointer-doubling shortcut: label(label(v)) via the PREVIOUS round's
-      // label map — this is what upgrades O(d) propagation to O(log d)
-      val next = cp(m
-        .join(labels.select(col("id").as("cluster"), col("cluster").as("hop")),
-          Seq("cluster"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("hop"), col("cluster"))).as("cluster")))
+      // label map — this is what upgrades O(d) propagation to O(log d).
+      // Round 1 skips it: labels are still the identity map, so the hop
+      // join would be a no-op on the largest round's row count.
+      val next = cp(
+        if (i == 0) m
+        else m
+          .join(labels.select(col("id").as("cluster"), col("cluster").as("hop")),
+            Seq("cluster"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("hop"), col("cluster"))).as("cluster")))
       val changed = next.alias("n").join(labels.alias("p"), "id")
         .filter(col("n.cluster") =!= col("p.cluster")).limit(1).count()
       labels = next
