@@ -136,6 +136,64 @@ object TextAnalysis {
       when(b < trainHex, "train").when(b < valHex, "val").otherwise("test"))
   }
 
+  /**
+   * PII redaction pass (email / SSN / payment-card / phone): the scrubbing
+   * step a training corpus runs before anything is tokenized. Patterns are
+   * deliberately RE2-compatible (no lookarounds), so the exact same regexes
+   * run in any engine — which is what makes the pass SQL-oracle-able.
+   *
+   * Appends one `n_<kind>` count per pattern (matches in the ORIGINAL
+   * text — sequential replacement can consume an inner match, e.g. a
+   * 13-digit run inside an email local part, so counts are per-pattern
+   * evidence, not substitution totals) and `text_redacted` with the
+   * patterns replaced in [[PiiPatterns]] order. Row-local projection: no
+   * shuffle, streams at scan speed.
+   */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("card", "\\b\\d{13,16}\\b", "<CARD>"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"))
+
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val counted = PiiPatterns.foldLeft(df) { case (d, (kind, pat, _)) =>
+      d.withColumn(s"n_$kind",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+    counted.withColumn("text_redacted", redacted)
+  }
+
+  /**
+   * Deterministic distributed sequence packing: lay documents back-to-back
+   * in token space and cut fixed-`capacity` training sequences — the step
+   * that turns a ragged document corpus into uniform LLM training rows.
+   *
+   * Scale shape: a single global ordering would funnel the cumsum through
+   * one partition, so documents are first salted into `numGroups`
+   * independent pack groups (`id % numGroups`) and packed by a window
+   * cumsum WITHIN each group — `numGroups`-way parallel, deterministic
+   * under any physical partitioning, and bins never cross groups (bin id =
+   * group * 1e6 + offset/capacity). A document whose tokens straddle a bin
+   * boundary spills into the next bin (`bin_offset` + its length >
+   * capacity); the downstream batcher splits or truncates at material-
+   * ization time, exactly like offset-based packing in production loaders.
+   */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+                    capacity: Int = 2048, numGroups: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        pmod(col(idCol), lit(numGroups)).cast("long").as("pack_group"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id",
+        col("pack_group") * lit(1000000L) + floor(col("tok_offset") / capacity).cast("long"))
+      .withColumn("bin_offset", pmod(col("tok_offset"), lit(capacity.toLong)))
+  }
+
   /** Language-ID + fingerprint profile of a documents table. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

@@ -290,6 +290,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!bad.decode_ok, "truncated PNG must report decode failure")
   }
 
+  test("PII redaction: every pattern family redacts; counts are on the original text") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@mail.example.org now"),
+      (2L, "ssn 123-45-6789 phone 415-555-1234"),
+      (3L, "card 4111111111111111 twice 5500005555555559"),
+      (4L, "email 1234567890123@x.co has a card-length local part"),
+      (5L, "clean text with no pii at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[String]("text_redacted") === "mail me at <EMAIL> now")
+    assert(got(1L).getAs[Long]("n_email") === 1L)
+    assert(got(2L).getAs[String]("text_redacted") === "ssn <SSN> phone <PHONE>")
+    assert(got(2L).getAs[Long]("n_ssn") === 1L && got(2L).getAs[Long]("n_phone") === 1L)
+    assert(got(3L).getAs[String]("text_redacted") === "card <CARD> twice <CARD>")
+    assert(got(3L).getAs[Long]("n_card") === 2L)
+    // counts are evidence on the ORIGINAL text: the 13-digit email local
+    // part counts as a card hit, but the email redaction consumes it first
+    assert(got(4L).getAs[Long]("n_card") === 1L && got(4L).getAs[Long]("n_email") === 1L)
+    assert(got(4L).getAs[String]("text_redacted").contains("<EMAIL>"))
+    assert(!got(4L).getAs[String]("text_redacted").contains("<CARD>"))
+    assert(Seq("n_email", "n_ssn", "n_card", "n_phone")
+      .map(got(5L).getAs[Long](_)).sum === 0L)
+    assert(got(5L).getAs[String]("text_redacted") === "clean text with no pii at all")
+  }
+
+  test("sequence packing: exact group cumsum offsets, stable under repartitioning") {
+    import graft.operators.TextAnalysis
+    // doc i has (i % 7) + 1 tokens; capacity 10, 4 pack groups
+    val docs = spark.range(0, 100).select(col("id").as("doc_id"),
+      trim(expr("repeat('w ', CAST(id % 7 + 1 AS INT))")).as("text"))
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long, Long, Long)] =
+      TextAnalysis.packSequences(df, "text", "doc_id", capacity = 10, numGroups = 4)
+        .select("doc_id", "n_tokens", "pack_group", "tok_offset", "bin_id", "bin_offset")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val got = run(docs)
+    // recompute the expected offsets with a plain Scala fold per group
+    val expected = (0L until 100L).map(i => (i, i % 7 + 1, i % 4))
+      .groupBy(_._3).toSeq.flatMap { case (g, ds) =>
+        ds.sortBy(_._1).scanLeft((0L, 0L, g, 0L)) { case ((_, _, _, acc), (id, n, _)) =>
+          (id, n, g, acc + n)
+        }.drop(1).map { case (id, n, grp, cumIncl) =>
+          val off = cumIncl - n
+          (id, n, grp, off, grp * 1000000L + off / 10, off % 10)
+        }
+      }.sorted
+    assert(got === expected)
+    // physical partitioning must not change the assignment
+    assert(run(docs.repartition(13)) === got)
+    // bins never cross pack groups
+    assert(got.forall { case (_, _, g, _, bin, _) => bin / 1000000L === g })
+  }
+
   test("multimodal: REAL WAV decode via javax.sound.sampled through the pipeline") {
     // synthesize a 16-bit mono PCM WAV in memory: first half a full-scale
     // 440 Hz sine (RMS ~ 1/sqrt(2)), second half silence — the 16-window
