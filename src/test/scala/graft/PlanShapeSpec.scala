@@ -71,6 +71,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$p")
   }
 
+  test("PII redaction is a single codegen stage: no exchange, pruned scan") {
+    val p = plan(SparkEntry.queries("tx_redact")(spark, sf))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("sequence packing shuffles once on pack_group (parallel windows, no global sort)") {
+    val p = plan(SparkEntry.queries("tx_pack")(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges:\n$p")
+    assert(p.contains("Exchange hashpartitioning(pack_group"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked in:\n$p")
+  }
+
   test("range join: equi-join on (key, bin), never a nested loop") {
     val df = SparkEntry.queries("ev_range_join")(spark, sf)
     val p = plan(df)
