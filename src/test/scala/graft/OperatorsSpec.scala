@@ -290,6 +290,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!bad.decode_ok, "truncated PNG must report decode failure")
   }
 
+  test("q16 sketches stay within documented error bounds of the exact answers") {
+    // q16 is rows-only at the driver gate (approx algorithms differ across
+    // engines); this pins its accuracy CONTRACT instead: HLL++ at Spark's
+    // default rsd 0.05 (allow 3 sigma ~ 15%), percentile_approx at accuracy
+    // 1000 (quantile rank error <= 0.001; allow 5x slack via the exact
+    // 0.495/0.505 and 0.985/0.995 quantile bands)
+    val li = spark.read.parquet(s"${SparkTestBase.Sf0001}/lineitem.parquet")
+    val approx = SparkEntry.queries("q16_sketches")(spark, SparkTestBase.Sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = li.groupBy("l_returnflag").agg(
+      countDistinct(col("l_partkey")).as("parts"),
+      expr("percentile(l_extendedprice, 0.495D)").as("p50_lo"),
+      expr("percentile(l_extendedprice, 0.505D)").as("p50_hi"),
+      expr("percentile(l_extendedprice, 0.985D)").as("p99_lo"),
+      expr("percentile(l_extendedprice, 0.995D)").as("p99_hi"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((flag, a) <- approx) {
+      val e = exact(flag)
+      val parts = e.getAs[Long]("parts").toDouble
+      assert(math.abs(a.getAs[Long]("approx_parts") - parts) / parts <= 0.15,
+        s"$flag: HLL distinct ${a.getAs[Long]("approx_parts")} vs exact $parts")
+      assert(a.getAs[Double]("p50_price") >= e.getAs[Double]("p50_lo") &&
+        a.getAs[Double]("p50_price") <= e.getAs[Double]("p50_hi"),
+        s"$flag: approx p50 outside the exact 0.495..0.505 band")
+      assert(a.getAs[Double]("p99_price") >= e.getAs[Double]("p99_lo") &&
+        a.getAs[Double]("p99_price") <= e.getAs[Double]("p99_hi"),
+        s"$flag: approx p99 outside the exact 0.985..0.995 band")
+    }
+  }
+
   test("PII redaction: every pattern family redacts; counts are on the original text") {
     import graft.operators.TextAnalysis
     val docs = Seq(
