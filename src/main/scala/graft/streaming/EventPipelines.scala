@@ -23,21 +23,31 @@ object EventPipelines {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** Same aggregation as an incremental streaming query with a watermark
-    * bounding state. Returns the started query's result via the memory sink. */
-  def tumblingStreaming(spark: SparkSession, sourceDir: String,
-                        width: String = "1 hour", watermark: String = "2 hours",
-                        queryName: String = "events_tumbling"): DataFrame = {
+  /** The unterminated streaming tumbling aggregation (no sink): callers
+    * attach a memory sink in Complete mode ([[tumblingStreaming]]) or an
+    * append-mode file sink with a checkpoint — the production shape, where
+    * a window row is emitted exactly once, when the watermark passes its
+    * end (and the recovery-test shape: the watermark and window state live
+    * in the checkpoint). */
+  def tumblingStream(spark: SparkSession, sourceDir: String,
+                     width: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
     val schema = spark.read.parquet(sourceDir).schema
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
-    val agg = stream
+    spark.readStream.schema(schema).parquet(sourceDir)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
-    val q = agg.writeStream
+  }
+
+  /** Same aggregation as an incremental streaming query with a watermark
+    * bounding state. Returns the started query's result via the memory sink. */
+  def tumblingStreaming(spark: SparkSession, sourceDir: String,
+                        width: String = "1 hour", watermark: String = "2 hours",
+                        queryName: String = "events_tumbling"): DataFrame = {
+    val q = tumblingStream(spark, sourceDir, width, watermark).writeStream
       .outputMode(OutputMode.Complete())
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())

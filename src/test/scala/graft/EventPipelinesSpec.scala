@@ -73,6 +73,52 @@ class EventPipelinesSpec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("windowed aggregation: watermark and window state survive a checkpoint restart") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = java.nio.file.Files.createTempDirectory("graft_window_ckpt").toString
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"; val sink = s"$base/out"
+    def write(rows: Seq[(Long, String, String, Double)]): Unit =
+      rows.toDF("event_id", "ts_s", "event_type", "value")
+        .select(col("event_id"), lit(1L).as("user_id"),
+          to_timestamp(col("ts_s")).as("ts"), col("event_type"), col("value"))
+        .write.mode(SaveMode.Append).parquet(src)
+    def run(): Unit = {
+      val q = EventPipelines.tumblingStream(spark, src, "1 hour", "1 hour")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: hour-0 window complete, hour-1/2 events move the watermark
+    // to 01:30 -> ONLY the hour-0 window (typeA, n=2, 3.00) emits
+    write(Seq((0L, "2024-01-01 00:10:00", "typeA", 1.0),
+              (1L, "2024-01-01 00:20:00", "typeA", 2.0),
+              (2L, "2024-01-01 01:10:00", "typeB", 3.0),
+              (3L, "2024-01-01 02:30:00", "typeA", 4.0)))
+    run()
+    // restart: a LATE row (00:40, before the checkpointed watermark 01:30)
+    // must be DROPPED — if the watermark did not survive the restart, it
+    // would re-open the already-emitted hour-0 window and double-emit it
+    write(Seq((4L, "2024-01-01 00:40:00", "typeA", 99.0),
+              (5L, "2024-01-01 03:50:00", "typeB", 5.0)))
+    run()
+    // restart again: a far-future row closes every remaining window
+    write(Seq((6L, "2024-01-01 06:00:00", "typeA", 0.5)))
+    run()
+    val got = spark.read.parquet(sink)
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq.sorted
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    assert(got === Seq(
+      (t("2024-01-01 00:00:00"), "typeA", 2L, 3.0),   // late 99.0 NOT included
+      (t("2024-01-01 01:00:00"), "typeB", 1L, 3.0),
+      (t("2024-01-01 02:00:00"), "typeA", 1L, 4.0),
+      (t("2024-01-01 03:00:00"), "typeB", 1L, 5.0)),
+      s"windowed state/watermark recovery broke: $got")
+  }
+
   test("sliding windows cover each event exactly width/slide times") {
     val ev = Tables.events(spark, SparkTestBase.Sf0001)
     val total = ev.count()
