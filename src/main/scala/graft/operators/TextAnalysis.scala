@@ -137,6 +137,26 @@ object TextAnalysis {
   }
 
   /**
+   * Within-document repetition signal (the Gopher-style quality filter):
+   * the fraction of word `n`-grams that are duplicates of an earlier gram
+   * in the SAME document — boilerplate, keyword stuffing, and degenerate
+   * generations score high and get filtered before training. Row-local
+   * (one array pipeline inside codegen, no shuffle); documents with fewer
+   * than `n` tokens score 0.
+   */
+  def withRepetitionRatio(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    df.withColumn("__toks",
+        filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0))
+      .withColumn("__grams", expr(
+        s"CASE WHEN size(__toks) >= $n THEN transform(sequence(1, size(__toks) - ${n - 1}), " +
+          s"i -> array_join(slice(__toks, i, $n), ' ')) ELSE array() END"))
+      .withColumn("dup_gram_ratio",
+        when(size(col("__grams")) > 0,
+          lit(1.0) - size(array_distinct(col("__grams"))).cast("double") / size(col("__grams")))
+          .otherwise(lit(0.0)))
+      .drop("__toks", "__grams")
+
+  /**
    * PII redaction pass (email / SSN / payment-card / phone): the scrubbing
    * step a training corpus runs before anything is tokenized. Patterns are
    * deliberately RE2-compatible (no lookarounds), so the exact same regexes

@@ -321,6 +321,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition ratio: duplicate 3-gram fraction with exact known values") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),      // 7 grams: abc bca cab abc bca cab abc -> 3 distinct -> 4/7 dup
+      (2L, "all words are different here now"), // 4 grams, all distinct -> 0
+      (3L, "x y"),                    // < 3 tokens -> 0
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.withRepetitionRatio(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_gram_ratio")).toMap
+    assert(math.abs(got(1L) - 4.0 / 7.0) < 1e-12, got(1L).toString)
+    assert(got(2L) === 0.0 && got(3L) === 0.0 && got(4L) === 0.0)
+  }
+
   test("PII redaction: every pattern family redacts; counts are on the original text") {
     import graft.operators.TextAnalysis
     val docs = Seq(
