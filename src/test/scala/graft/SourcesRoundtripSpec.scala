@@ -41,4 +41,23 @@ class SourcesRoundtripSpec extends AnyFunSuite {
       rm(new java.io.File(base))
     }
   }
+
+  test("hive-partitioned layout: a partition predicate prunes at plan time, not scan time") {
+    // the 100 TB layout contract: a corpus written partitionBy(key) must
+    // turn an equality predicate on the key into a PartitionFilter (metadata
+    // pruning — untouched partitions contribute ZERO files to the scan),
+    // not a PushedFilter evaluated against row groups of every file
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = graft.sources.Tables.events(spark, SparkTestBase.Sf0001)
+    events.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined,
+      s"partition predicate did not become a PartitionFilter:\n$plan")
+    // parity: pruning must not change the answer
+    val expected = events.filter(col("event_type") === "click").count()
+    assert(pruned.count() === expected)
+    assert(expected > 0)
+  }
 }
