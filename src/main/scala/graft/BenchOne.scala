@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Developer utility: time ONE named SparkEntry query without paying for the
+  * full bench sweep. Prints per-rep wall and process-CPU seconds plus the
+  * min of each — the same estimators Bench.scala reports — so a local
+  * optimization loop can iterate on a single regression.
+  *
+  *   sbt "runMain graft.BenchOne dd_corpus_dedup /root/testdata/sf0.1 3"
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    // same warmup contract as Bench: JIT + janino compile off the clock
+    fn(spark, "/root/testdata/sf0.01").write.format("noop").mode("overwrite").save()
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val runs = (1 to reps).map { i =>
+      val c0 = os.getProcessCpuTime; val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (os.getProcessCpuTime - c0) / 1e9
+      println(f"[$name rep$i] wall=$wall%.3f cpu=$cpu%.3f")
+      (wall, cpu)
+    }
+    println(f"[$name] min_wall=${runs.map(_._1).min}%.3f min_cpu=${runs.map(_._2).min}%.3f")
+    spark.stop()
+  }
+}

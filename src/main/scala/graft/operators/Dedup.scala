@@ -192,9 +192,14 @@ object Dedup {
     // (twice per round — propagation + convergence probe), and without the
     // checkpoint Spark re-executes the whole upstream pair-generation DAG
     // (for corpusDedup: the full minhash/band/jaccard pipeline) each time
+    // pre-partitioned by dst: localCheckpoint preserves the partitioning in
+    // the LogicalRDD, so every round's propagation join on dst reuses it —
+    // the edge set is the largest relation in the loop and this saves its
+    // exchange in EVERY round (the distinct()'s (src,dst) hash would not)
     val edges = cp(pairs.select(col(pairA).as("src"), col(pairB).as("dst"))
       .unionByName(pairs.select(col(pairB).as("src"), col(pairA).as("dst")))
-      .distinct())
+      .distinct()
+      .repartition(col("dst")))
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
     var converged = false
     var i = 0
@@ -203,8 +208,11 @@ object Dedup {
         .join(labels.withColumnsRenamed(Map("id" -> "dst", "cluster" -> "n_cluster")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("n_cluster")).as("min_n"))
+      // the round-start label rides along as `prev` so convergence is a
+      // filter over the (already materialized) round result — NOT an extra
+      // join of next vs labels, which was a full per-round shuffle join
       val m = labels.join(neighborLabels, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("min_n"), col("cluster"))).as("cluster"))
       // pointer-doubling shortcut: label(label(v)) via the PREVIOUS round's
       // label map — this is what upgrades O(d) propagation to O(log d).
@@ -215,13 +223,14 @@ object Dedup {
         else m
           .join(labels.select(col("id").as("cluster"), col("cluster").as("hop")),
             Seq("cluster"), "left")
-          .select(col("id"),
+          .select(col("id"), col("prev"),
             least(col("cluster"), coalesce(col("hop"), col("cluster"))).as("cluster")))
-      val changed = next.alias("n").join(labels.alias("p"), "id")
-        .filter(col("n.cluster") =!= col("p.cluster")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("cluster") =!= col("prev")).limit(1).count()
+      labels = next.select("id", "cluster")
       converged = changed == 0
       i += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $i changed=$changed")
     }
     // Exiting the loop non-converged means some label has NOT reached its
     // component minimum (graph diameter > maxIters) — the output is silently
