@@ -125,6 +125,70 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /**
+   * Incremental near-dup admission: dedup a NEW batch against an EXISTING
+   * corpus without re-pairing the corpus with itself — the form a 100 TB
+   * pipeline actually runs on every ingest (the corpus's minhash band index
+   * is computed once — in production, persisted — and each ingest joins only
+   * the delta against it; cost scales with the batch, not the corpus).
+   *
+   * Returns one row per batch document: (id, dup_of, jaccard, is_new) where
+   * `dup_of` is the corpus document with the highest verified exact
+   * shingle-Jaccard >= `jaccardThreshold` (ties broken by minimum corpus
+   * id); `is_new = true` (null dup_of) when no corpus document matches.
+   *
+   * Scale shape: both sides reduce to NARROW (band, band_key, id) rows
+   * before any join; corpus band buckets above `maxBucketSize` are dropped
+   * (same recall/cost trade as [[minhashLsh]], observable via the
+   * `dedup_candidates_<tag>` metric); candidate (batch, corpus) id pairs
+   * are deduplicated while still narrow, and text payloads are joined back
+   * by id only for rows that actually collide — the corpus text column is
+   * never shuffled wholesale.
+   */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, textCol: String,
+                       idCol: String,
+                       shingleW: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                       jaccardThreshold: Double = 0.8,
+                       maxBucketSize: Int = 10000,
+                       metricTag: String = "incremental"): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    def bandRows(df: DataFrame, outId: String) = df.select(
+        col(idCol).as(outId),
+        minhash_sig(col(textCol), lit(shingleW), lit(numHashes)).as("sig"))
+      .select(col(outId),
+        posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "band_key")))
+    // cap on the CORPUS side: a boilerplate band bucket with millions of
+    // corpus members would explode every batch doc that touches it
+    val corpusOk = bandRows(corpus, "id").groupBy("band", "band_key")
+      .agg(collect_list(col("id")).as("ids"))
+      .observe(s"dedup_candidates_$metricTag",
+        sum(when(size(col("ids")) > maxBucketSize, 1L).otherwise(0L))
+          .as("dropped_hot_buckets"),
+        sum(when(size(col("ids")) > maxBucketSize, size(col("ids")).cast("long"))
+          .otherwise(0L)).as("dropped_hot_bucket_rows"))
+      .filter(size(col("ids")) <= maxBucketSize)
+      .select(col("band"), col("band_key"), explode(col("ids")).as("dup_of"))
+    val cand = bandRows(batch, "id")
+      .join(corpusOk, Seq("band", "band_key"))
+      .select("id", "dup_of").distinct()
+    val batchTexts = batch.select(col(idCol).as("id"), col(textCol).as("text_a"))
+    val corpusTexts = corpus.select(col(idCol).as("dup_of"), col(textCol).as("text_b"))
+    val verified = cand
+      .join(batchTexts, "id")
+      .join(corpusTexts, "dup_of")
+      .withColumn("jaccard", ngram_jaccard(col("text_a"), col("text_b"), lit(shingleW)))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id"), col("dup_of"), col("jaccard"))
+    val best = verified.withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("jaccard").desc, col("dup_of").asc)))
+      .filter(col("rn") === 1).drop("rn")
+    batch.select(col(idCol).as("id")).join(best, Seq("id"), "left")
+      .select(col("id"), col("dup_of"), col("jaccard"),
+        col("dup_of").isNull.as("is_new"))
+  }
+
   /** Engine-defined band fold (TextAlgos.lshBands) rather than Spark's
     * murmur3 `hash()`: bit-identical across engines, so the DuckDB oracle
     * can recompute the exact buckets. */

@@ -214,6 +214,81 @@ object TextAnalysis {
       .withColumn("bin_offset", pmod(col("tok_offset"), lit(capacity.toLong)))
   }
 
+  /**
+   * Context-window chunking: split each document into `chunkTokens`-token
+   * chunks whose starts advance by `stride` tokens (stride < chunkTokens
+   * gives overlapping chunks, the RAG/pretraining windowing shape). Emits
+   * one row per chunk: (id, chunk_idx, chunk_start, n_chunk_tokens,
+   * chunk_text). Documents with zero tokens emit no chunks.
+   *
+   * Scale shape: a row-local tokenize + sequence + explode — no shuffle,
+   * no window; chunk boundaries depend only on the document itself, so the
+   * pass is embarrassingly parallel at any corpus size.
+   */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    df.select(col(idCol),
+        filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol),
+        col("__toks"),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "chunk_start")))
+      .select(col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(chunkTokens), size(col("__toks")) - col("chunk_start"))
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("__toks"), col("chunk_start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
+  /**
+   * Deterministic stratified sample: at most `k` documents per stratum,
+   * selected by content hash — the corpus-balancing step ("cap every
+   * language/domain at k docs") reproducible across runs, row order, and
+   * engines, because rank depends only on document content (md5 hex sorts
+   * identically everywhere; `idCol` breaks exact-duplicate-text ties).
+   *
+   * Scale shape: one narrow (stratum, hash, id) shuffle; the per-stratum
+   * top-k window is rank-limited (WindowGroupLimit pushes k into the sort),
+   * and payloads rejoin by id only for sampled rows if the caller needs
+   * them.
+   */
+  def stratifiedSample(df: DataFrame, textCol: String, idCol: String,
+                       stratum: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.select(col(idCol), stratum.as("stratum"), md5(col(textCol)).as("__h"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("__h")
+  }
+
+  /**
+   * Quality-quantile admission: keep the best `keepFrac` of each stratum by
+   * `scoreCol` — the relative quality gate ("top 25% per language") that
+   * adapts to per-language score distributions instead of one global
+   * threshold. Rank ties are broken by `idCol` so the kept set is
+   * deterministic. percent_rank is (rank-1)/(n-1): strata with one row
+   * score 0.0 and are kept.
+   *
+   * Scale shape: one narrow (stratum, score, id) shuffle + window; no
+   * global sort, no driver-side quantile collection.
+   */
+  def qualityQuantileFilter(df: DataFrame, scoreCol: String, idCol: String,
+                            stratum: Column, keepFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepFrac > 0 && keepFrac <= 1, "keepFrac must be in (0, 1]")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("stratum", stratum)
+      .withColumn("quality_pr", percent_rank().over(w))
+      .filter(col("quality_pr") <= keepFrac)
+  }
+
   /** Language-ID + fingerprint profile of a documents table. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

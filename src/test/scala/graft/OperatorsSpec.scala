@@ -565,4 +565,78 @@ class OperatorsSpec extends AnyFunSuite {
     val full = Dedup.clusters(ids, chain, "doc_id", maxIters = 40)
     assert(full.select("cluster").distinct().collect().map(_.getLong(0)).toSeq === Seq(0L))
   }
+
+  test("incremental dedup: batch near-dup resolves to min-id corpus match; novel doc is_new") {
+    val batch = Seq(
+      (10L, docText.replace("kappa", "rho")),   // near dup of corpus docs 1/2
+      (11L, "entirely novel content sharing no shingles with any corpus document whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(docs, batch, "text", "doc_id",
+      jaccardThreshold = 0.5).collect()
+    assert(out.length === 2, "one row per batch document")
+    val dup = out.find(_.getAs[Long]("id") == 10L).get
+    // docs 1 and 2 are identical, so jaccard ties — dup_of must be the min id
+    assert(!dup.getAs[Boolean]("is_new") && dup.getAs[Long]("dup_of") === 1L,
+      s"expected dup_of=1, got $dup")
+    assert(dup.getAs[Double]("jaccard") >= 0.5)
+    val novel = out.find(_.getAs[Long]("id") == 11L).get
+    assert(novel.getAs[Boolean]("is_new") && novel.isNullAt(novel.fieldIndex("dup_of")))
+    // empty batch: no rows, no failure
+    assert(Dedup.incrementalDedup(docs, batch.filter($"doc_id" < 0), "text", "doc_id")
+      .count() === 0)
+  }
+
+  test("chunking: stride windows tile every token; non-overlap reconstructs the doc") {
+    import graft.operators.TextAnalysis
+    val toks10 = (1 to 10).map(i => s"t$i")
+    val d = Seq((1L, toks10.mkString(" ")), (2L, "   "), (3L, "solo")).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkDocuments(d, "text", "doc_id", chunkTokens = 4, stride = 4)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val doc1 = rows.filter(_.getAs[Long]("doc_id") == 1L)
+    // stride == chunkTokens: chunks partition the token sequence exactly
+    assert(doc1.map(_.getAs[String]("chunk_text")).mkString(" ") === toks10.mkString(" "))
+    assert(doc1.map(_.getAs[Long]("n_chunk_tokens")).toSeq === Seq(4L, 4L, 2L))
+    assert(doc1.map(_.getAs[Long]("chunk_start")).toSeq === Seq(0L, 4L, 8L))
+    assert(!rows.exists(_.getAs[Long]("doc_id") == 2L), "whitespace-only doc emits no chunks")
+    val solo = rows.filter(_.getAs[Long]("doc_id") == 3L)
+    assert(solo.length === 1 && solo.head.getAs[String]("chunk_text") === "solo")
+    // stride < chunkTokens: overlapping starts advance by stride until n
+    val ov = TextAnalysis.chunkDocuments(d.filter($"doc_id" === 1L), "text", "doc_id",
+      chunkTokens = 4, stride = 2).orderBy("chunk_idx").collect()
+    assert(ov.map(_.getAs[Long]("chunk_start")).toSeq === Seq(0L, 2L, 4L, 6L, 8L))
+    assert(ov.last.getAs[Long]("n_chunk_tokens") === 2L)
+  }
+
+  test("stratified sample: at most k per stratum, selection stable under physical layout") {
+    import graft.operators.TextAnalysis
+    val d = (1L to 200L).map(i => (i, s"document number $i body"))
+      .toDF("doc_id", "text")
+    val stratum = pmod(col("doc_id"), lit(3))
+    val s1 = TextAnalysis.stratifiedSample(d, "text", "doc_id", stratum, k = 10)
+    val counts = s1.groupBy("stratum").count().as[(Long, Long)].collect().toMap
+    assert(counts.keySet === Set(0L, 1L, 2L) && counts.values.forall(_ == 10L), counts.toString)
+    // content-keyed: identical selection from any partitioning / row order
+    val picked = s1.select("doc_id").as[Long].collect().toSet
+    val s2 = TextAnalysis.stratifiedSample(
+      d.repartition(13).sortWithinPartitions(desc("doc_id")), "text", "doc_id", stratum, k = 10)
+    assert(s2.select("doc_id").as[Long].collect().toSet === picked)
+    // k larger than a stratum: the whole stratum survives
+    val all = TextAnalysis.stratifiedSample(d, "text", "doc_id", stratum, k = 1000)
+    assert(all.count() === 200L)
+  }
+
+  test("quality quantile filter keeps exactly the per-stratum top fraction") {
+    import graft.operators.TextAnalysis
+    // stratum A: 11 rows, scores 0..10 -> percent_rank = (pos-1)/10; keeping
+    // pr <= 0.25 means scores 10, 9, 8. Stratum B: one row, pr 0, kept.
+    val d = ((0 until 11).map(i => (i.toLong, "A", i.toDouble)) :+ (100L, "B", 5.0))
+      .toDF("id", "grp", "score")
+    val kept = TextAnalysis.qualityQuantileFilter(d, "score", "id", col("grp"), keepFrac = 0.25)
+      .select("id", "grp", "score").collect()
+    val aScores = kept.filter(_.getAs[String]("grp") == "A").map(_.getAs[Double]("score")).toSet
+    assert(aScores === Set(10.0, 9.0, 8.0), s"got $aScores")
+    assert(kept.exists(_.getAs[String]("grp") == "B"), "singleton stratum must be kept")
+    // keepFrac = 1.0 keeps everything
+    assert(TextAnalysis.qualityQuantileFilter(d, "score", "id", col("grp"), 1.0).count() === 12L)
+  }
 }

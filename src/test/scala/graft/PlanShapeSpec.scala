@@ -134,4 +134,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(codegenSpans.nonEmpty, p)
   }
+
+  test("chunking is shuffle-free: tokenize + explode inside one codegen stage") {
+    val p = plan(SparkEntry.queries("tx_chunk")(spark, sf))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("stratified sample: one narrow shuffle + pre-shuffle WindowGroupLimit") {
+    val df = SparkEntry.queries("tx_sample_stratified")(spark, sf)
+    val p = plan(df)
+    // rank-limit rewrites to WindowGroupLimit: each map task emits at most
+    // k rows per stratum BEFORE the exchange — the property that keeps the
+    // sample's shuffle k-bounded per stratum instead of corpus-sized
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked in:\n$p")
+  }
 }
