@@ -268,6 +268,36 @@ object TextAnalysis {
   }
 
   /**
+   * Deterministic mixture resampling: downsample each stratum at its own
+   * rate — the data-mixing step that turns measured per-language/domain
+   * token counts into a target training mixture. A document is kept iff the
+   * first 4 hex chars of md5(text) sort below the stratum's rate threshold
+   * (resolution 1/65536, rounded down), so like [[contentHashSplit]] the
+   * decision is a pure function of CONTENT: stable across runs, engines,
+   * row order, and corpus re-shardings, and a stratum's kept set at rate r
+   * is a SUBSET of its kept set at any higher rate (nested samples —
+   * re-mixing never resurrects previously dropped documents' neighbors
+   * arbitrarily).
+   *
+   * Strata absent from `rates` keep `defaultRate`. Row-local projection +
+   * filter: no shuffle, no window, streams at scan speed.
+   */
+  def mixtureSample(df: DataFrame, textCol: String, stratum: Column,
+                    rates: Map[String, Double],
+                    defaultRate: Double = 1.0): DataFrame = {
+    def hexThreshold(rate: Double): String = {
+      require(rate >= 0 && rate <= 1, s"rate $rate outside [0, 1]")
+      val b = math.floor(rate * 65536).toInt
+      if (b >= 65536) "g" else f"$b%04x" // "g" sorts after every hex prefix
+    }
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (k, r)) => when(stratum === k, lit(hexThreshold(r))).otherwise(acc)
+    }
+    df.withColumn("stratum", stratum)
+      .filter(substring(md5(col(textCol)), 1, 4) < thr)
+  }
+
+  /**
    * Quality-quantile admission: keep the best `keepFrac` of each stratum by
    * `scoreCol` — the relative quality gate ("top 25% per language") that
    * adapts to per-language score distributions instead of one global

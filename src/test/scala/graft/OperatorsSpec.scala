@@ -625,6 +625,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all.count() === 200L)
   }
 
+  test("mixture resampling: per-stratum rates, nested samples, content-keyed") {
+    import graft.operators.TextAnalysis
+    val d = (1L to 2000L).map(i => (i, s"mixture doc $i payload"))
+      .toDF("doc_id", "text")
+    val stratum = concat(lit("s"), pmod(col("doc_id"), lit(2)))
+    def kept(rates: Map[String, Double]) =
+      TextAnalysis.mixtureSample(d, "text", stratum, rates)
+        .select("doc_id").as[Long].collect().toSet
+    val half = kept(Map("s0" -> 0.5, "s1" -> 0.0))
+    // rate accuracy: ~50% of s0 (binomial, 1000 trials), exactly 0 of s1
+    assert(math.abs(half.count(_ % 2 == 0) - 500) < 75, s"s0 kept ${half.count(_ % 2 == 0)}")
+    assert(!half.exists(_ % 2 == 1), "rate-0 stratum leaked rows")
+    // unmapped strata keep defaultRate = 1.0
+    assert(kept(Map("s0" -> 0.5)).count(_ % 2 == 1) === 1000)
+    // nested: the 25% sample is a subset of the 50% sample
+    val quarter = kept(Map("s0" -> 0.25, "s1" -> 0.0))
+    assert(quarter.subsetOf(half), "lower-rate sample must nest inside higher-rate")
+    // content-keyed: re-identified rows keep the same texts
+    val reIdd = TextAnalysis.mixtureSample(
+        d.withColumn("doc_id", col("doc_id") + 5000000L), "text",
+        concat(lit("s"), pmod(col("doc_id") - 5000000L, lit(2))),
+        Map("s0" -> 0.5, "s1" -> 0.0))
+      .select((col("doc_id") - 5000000L).as("doc_id")).as[Long].collect().toSet
+    assert(reIdd === half, "selection changed when only row ids changed")
+  }
+
   test("quality quantile filter keeps exactly the per-stratum top fraction") {
     import graft.operators.TextAnalysis
     // stratum A: 11 rows, scores 0..10 -> percent_rank = (pos-1)/10; keeping

@@ -42,6 +42,39 @@ class SourcesRoundtripSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus JSONL interchange: gzip parts roundtrip; malformed lines are captured, not fatal") {
+    import graft.sources.Interchange
+    val docs = spark.read.parquet(s"${SparkTestBase.Sf0001}/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    try {
+      Interchange.writeJsonl(docs, s"$dir/docs")
+      // parts are gzip-compressed (text JSONL is ~5x smaller on the wire)
+      val parts = new java.io.File(s"$dir/docs").listFiles().filter(_.getName.startsWith("part-"))
+      assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".json.gz")),
+        parts.map(_.getName).mkString(","))
+      // cache before auditing: Spark refuses plans whose referenced columns
+      // are ONLY _corrupt_record straight off raw JSON (documented contract)
+      val back = Interchange.readJsonl(spark, s"$dir/docs", docs.schema).cache()
+      assert(back.filter(col("_corrupt_record").isNotNull).count() === 0)
+      assert(back.select("doc_id", "text").as[(Long, String)].collect().toSet
+        === docs.as[(Long, String)].collect().toSet, "JSONL roundtrip lost rows")
+      back.unpersist()
+      // a bad shard must surface as _corrupt_record rows, not kill the job
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/docs/part-bad.json"),
+        "{\"doc_id\": 1, \"text\": \"ok line\"}\nnot json at all{{{\n".getBytes)
+      val mixed = Interchange.readJsonl(spark, s"$dir/docs", docs.schema).cache()
+      assert(mixed.filter(col("_corrupt_record").isNotNull).count() === 1)
+      assert(mixed.filter(col("_corrupt_record").isNull).count() === docs.count() + 1)
+      mixed.unpersist()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("hive-partitioned layout: a partition predicate prunes at plan time, not scan time") {
     // the 100 TB layout contract: a corpus written partitionBy(key) must
     // turn an equality predicate on the key into a PartitionFilter (metadata
