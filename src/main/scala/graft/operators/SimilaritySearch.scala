@@ -45,6 +45,32 @@ object SimilaritySearch {
   }
 
   /**
+   * kNN label propagation (auto-labeling): each query's label is the
+   * majority label among its k nearest corpus neighbors — the weak-labeling
+   * pass that bootstraps classifiers from a small labeled corpus. Vote ties
+   * break to the smallest label, so predictions are deterministic. Returns
+   * (queryId, pred_label, n_votes).
+   *
+   * Scale shape: inherits [[bruteForceKnn]]'s broadcast-queries/
+   * never-shuffle-the-corpus plan; voting shuffles only narrow
+   * (query, label) rows, k per query. Swap in [[lshKnn]]/[[ivfKnn]]
+   * upstream for approximate candidates at larger query sets.
+   */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+                  labelCol: String = "label",
+                  corpusId: String = "vec_id", corpusVec: String = "embedding",
+                  queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val nn = bruteForceKnn(corpus, queries, k, corpusId, corpusVec, queryId, queryVec)
+    val votes = nn.join(corpus.select(col(corpusId), col(labelCol)), corpusId)
+      .groupBy(col(queryId), col(labelCol).as("pred_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("n_votes").desc, col("pred_label").asc)
+    votes.withColumn("vr", row_number().over(w))
+      .filter(col("vr") === 1).drop("vr")
+  }
+
+  /**
    * LSH-bucketed ANN over `numTables` independent hash tables (table `l`
    * uses plane weights seeded by `seed + l`). Both sides are bucketed per
    * table and joined on the `(table, bucket)` equi-key, so only same-bucket

@@ -200,6 +200,34 @@ class OperatorsSpec extends AnyFunSuite {
       f"trained quantizer ($recallTrained%.3f) must not lose recall vs prefix ($recall%.3f)")
   }
 
+  test("kNN label propagation: unanimous neighborhood wins; vote ties break to smallest label") {
+    import graft.operators.SimilaritySearch
+    // corpus: 4 vectors near axis e1 labeled 1, 4 near e2 labeled 2
+    def axis(i: Int, jitterAt: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(8)(0f); v(i) = 1f; v(jitterAt) = eps; v
+    }
+    // interleaved jitter magnitudes so the 45-degree query's neighbor order
+    // alternates labels (cosine decreases with jitter): 2 of each in top-4
+    val eps1 = Seq(0.02f, 0.04f, 0.06f, 0.07f)
+    val eps2 = Seq(0.01f, 0.03f, 0.05f, 0.08f)
+    val corpus = (
+      (1 to 4).map(j => (j.toLong, axis(0, 4, eps1(j - 1)), 1)) ++
+      (5 to 8).map(j => (j.toLong, axis(1, 5, eps2(j - 5)), 2))
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (100L, axis(0, 6, 0.02f)),   // firmly in the label-1 cluster
+      (101L, {                     // equidistant: 45 degrees between e1/e2
+        val v = Array.fill(8)(0f); v(0) = 1f; v(1) = 1f; v
+      })
+    ).toDF("query_id", "query_vec")
+    val out = SimilaritySearch.knnClassify(corpus, queries, k = 4)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Int]("pred_label"), r.getAs[Long]("n_votes"))).toMap
+    assert(out(100L) === ((1, 4L)), s"unanimous cluster vote expected: $out")
+    // query 101 pulls 2 neighbors from each cluster (k=4): 2-2 tie -> label 1
+    assert(out(101L) === ((1, 2L)), s"tie must break to the smallest label: $out")
+  }
+
   test("bounded-heap top-k aggregate equals the rank-limit window form") {
     import graft.functions.topk_by
     val li = spark.read.parquet(s"${SparkTestBase.Sf0001}/lineitem.parquet")
@@ -605,6 +633,31 @@ class OperatorsSpec extends AnyFunSuite {
       chunkTokens = 4, stride = 2).orderBy("chunk_idx").collect()
     assert(ov.map(_.getAs[Long]("chunk_start")).toSeq === Seq(0L, 2L, 4L, 6L, 8L))
     assert(ov.last.getAs[Long]("n_chunk_tokens") === 2L)
+  }
+
+  test("chunking matches a plain-Scala reference on randomized docs and geometries") {
+    import graft.operators.TextAnalysis
+    val rng = new scala.util.Random(20260812L)
+    val docs = (1L to 100L).map { i =>
+      val n = rng.nextInt(51) // 0..50 tokens
+      (i, (1 to n).map(j => s"w${rng.nextInt(9)}_$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((chunk, stride) <- Seq((8, 8), (8, 3), (5, 5), (16, 1))) {
+      val got = TextAnalysis.chunkDocuments(df, "text", "doc_id", chunk, stride)
+        .select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens", "chunk_text")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val want = docs.flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) Seq.empty
+        else (0 until toks.length by stride).zipWithIndex.map { case (start, idx) =>
+          (id, idx.toLong, start.toLong,
+            math.min(chunk, toks.length - start).toLong,
+            toks.slice(start, start + chunk).mkString(" "))
+        }
+      }.toSet
+      assert(got === want, s"chunk=$chunk stride=$stride diverged from reference")
+    }
   }
 
   test("stratified sample: at most k per stratum, selection stable under physical layout") {
