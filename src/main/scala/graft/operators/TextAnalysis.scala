@@ -319,6 +319,40 @@ object TextAnalysis {
       .filter(col("quality_pr") <= keepFrac)
   }
 
+  /**
+   * Token-budget fill: admit each stratum's best documents (by `scoreCol`,
+   * ties to `idCol`) until the stratum's token budget is exhausted — the
+   * final corpus-sizing step ("2B tokens of English, 500M of code") that
+   * turns quality ranking plus mixture targets into an actual training set.
+   *
+   * A document is kept while the tokens admitted BEFORE it are under
+   * budget, so the last kept document may overflow the budget by a partial
+   * document (standard fill-then-cut semantics; pair with
+   * [[packSequences]] downstream to cut exact sequences). Documents with
+   * more tokens than the whole budget can therefore only be admitted from
+   * rank 1.
+   *
+   * Scale shape: one narrow (stratum, score, id, n_tokens) shuffle and a
+   * per-stratum running sum — parallel across strata like [[packSequences]]'
+   * pack groups; no global ordering, no driver-side accumulation.
+   */
+  def tokenBudgetFill(df: DataFrame, textCol: String, idCol: String,
+                      scoreCol: String, stratum: Column,
+                      budgets: Map[String, Long],
+                      defaultBudget: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (k, b)) => when(col("stratum") === k, lit(b)).otherwise(acc)
+    }
+    df.withColumn("stratum", stratum)
+      .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("tokens_before") < budget)
+  }
+
   /** Language-ID + fingerprint profile of a documents table. */
   def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(

@@ -704,6 +704,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(reIdd === half, "selection changed when only row ids changed")
   }
 
+  test("token budget fill: best-first admission, partial-overflow of the last doc, per-stratum budgets") {
+    import graft.operators.TextAnalysis
+    def doc(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, "A", 3.0, doc(5)), (2L, "A", 2.0, doc(5)), (3L, "A", 1.0, doc(5)),
+      (4L, "B", 9.0, doc(20)),  // single doc larger than B's whole budget
+      (5L, "B", 8.0, doc(1)),
+      (6L, "C", 0.0, doc(7))    // stratum with no explicit budget
+    ).toDF("id", "grp", "score", "text")
+    val kept = TextAnalysis.tokenBudgetFill(d, "text", "id", "score", col("grp"),
+        Map("A" -> 10L, "B" -> 10L))
+      .select("id", "tokens_before").as[(Long, Long)].collect().toMap
+    // A: docs 1 (before 0) and 2 (before 5) admitted; doc 3 (before 10) not
+    assert(kept.keySet === Set(1L, 2L, 4L, 6L), kept.toString)
+    assert(kept(2L) === 5L)
+    // B: rank-1 doc overflows the budget alone but is still admitted;
+    // doc 5 (before 20 >= 10) is cut
+    assert(kept(4L) === 0L)
+    // C: defaultBudget admits everything
+    assert(kept(6L) === 0L)
+  }
+
   test("quality quantile filter keeps exactly the per-stratum top fraction") {
     import graft.operators.TextAnalysis
     // stratum A: 11 rows, scores 0..10 -> percent_rank = (pos-1)/10; keeping

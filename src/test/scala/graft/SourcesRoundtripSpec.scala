@@ -75,6 +75,48 @@ class SourcesRoundtripSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffled export: total order across files without a single-task sort") {
+    import graft.sources.ShuffledExport
+    val docs = spark.read.parquet(s"${SparkTestBase.Sf0001}/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shuf").toString
+    try {
+      ShuffledExport.writeShuffled(docs, "text", s"$dir/out", seed = 7L, numFiles = 8)
+      val parts = new java.io.File(s"$dir/out").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(parts.length > 1, "expected a multi-file export")
+      // per-file: rows sorted by shuffle_key; across files: key ranges disjoint
+      val ranges = parts.map { f =>
+        val keys = spark.read.parquet(f.getAbsolutePath)
+          .select("shuffle_key").as[String].collect()
+        assert(keys.sameElements(keys.sorted), s"${f.getName} not sorted within file")
+        (keys.min, keys.max)
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo, _)) => assert(hi <= lo, "file key ranges overlap")
+        case _ =>
+      }
+      // nothing lost, nothing duplicated
+      val back = spark.read.parquet(s"$dir/out")
+      assert(back.count() === docs.count())
+      assert(back.select("doc_id").distinct().count() === docs.count())
+      // the permutation is a function of the seed: a different seed must
+      // produce a different training order (identical 10-doc prefixes would
+      // mean the seed is not reaching the key)
+      ShuffledExport.writeShuffled(docs, "text", s"$dir/out2", seed = 8L, numFiles = 8)
+      val head7 = spark.read.parquet(s"$dir/out").orderBy("shuffle_key")
+        .select("doc_id").as[Long].head(10).toSeq
+      val head8 = spark.read.parquet(s"$dir/out2").orderBy("shuffle_key")
+        .select("doc_id").as[Long].head(10).toSeq
+      assert(head7 !== head8, "different seeds produced the same training order")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("hive-partitioned layout: a partition predicate prunes at plan time, not scan time") {
     // the 100 TB layout contract: a corpus written partitionBy(key) must
     // turn an equality predicate on the key into a PartitionFilter (metadata
