@@ -12,18 +12,22 @@ import graft.functions._
  */
 object TextAnalysis {
 
-  /** Whitespace token count (deterministic, SQL-oracle-able). */
+  /** Whitespace token count (deterministic, SQL-oracle-able). NULL text
+    * counts NULL, not -1: Spark's `size(null)` is -1, which would silently
+    * diverge from any SQL oracle's NULL on a corpus with missing texts. */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
+    when(text.isNull, lit(null).cast("int"))
+      .when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword count: splits on word boundaries AND digit/letter
     * transitions, approximating byte-pair tokenizer granularity without a
-    * vocab. */
+    * vocab. NULL-safe like [[tokenCount]]. */
   def subwordCount(text: Column): Column = {
     val pieces = split(trim(text),
       "\\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])|(?=[^A-Za-z0-9\\s])|(?<=[^A-Za-z0-9\\s])")
-    size(filter(pieces, p => length(p) > 0))
+    when(text.isNull, lit(null).cast("int"))
+      .otherwise(size(filter(pieces, p => length(p) > 0)))
   }
 
   /** Quality features: length, token stats, punctuation + stopword ratios.
@@ -259,9 +263,12 @@ object TextAnalysis {
   def stratifiedSample(df: DataFrame, textCol: String, idCol: String,
                        stratum: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // coalesce before hashing: a NULL text would sort NULLS FIRST in Spark
+    // but NULLS LAST in most SQL engines — md5('') is engine-agnostic
     val w = Window.partitionBy(col("stratum"))
       .orderBy(col("__h").asc, col(idCol).asc)
-    df.select(col(idCol), stratum.as("stratum"), md5(col(textCol)).as("__h"))
+    df.select(col(idCol), stratum.as("stratum"),
+        md5(coalesce(col(textCol), lit(""))).as("__h"))
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
       .drop("__h")
@@ -293,8 +300,10 @@ object TextAnalysis {
     val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(defaultRate))) {
       case (acc, (k, r)) => when(stratum === k, lit(hexThreshold(r))).otherwise(acc)
     }
+    // coalesce: a NULL text must follow its stratum's rate like any other
+    // document (a raw NULL hash would silently drop it at every rate)
     df.withColumn("stratum", stratum)
-      .filter(substring(md5(col(textCol)), 1, 4) < thr)
+      .filter(substring(md5(coalesce(col(textCol), lit(""))), 1, 4) < thr)
   }
 
   /**

@@ -678,6 +678,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all.count() === 200L)
   }
 
+  test("null-text edges: token counts are NULL (never -1), sampling stays deterministic") {
+    import graft.operators.TextAnalysis
+    val d = Seq((1L, null.asInstanceOf[String], "A"), (2L, "two words", "A"),
+      (3L, "   ", "A")).toDF("id", "text", "grp")
+    val counts = d.select(col("id"), TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.subwordCount(col("text")).as("ns")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (Option(r.get(r.fieldIndex("n"))), Option(r.get(r.fieldIndex("ns"))))).toMap
+    // Spark's size(null) is -1; the kernels must surface NULL like SQL would
+    assert(counts(1L) === ((None, None)), counts.toString)
+    assert(counts(2L) === ((Some(2), Some(2))), counts.toString)
+    assert(counts(3L) === ((Some(0), Some(0))), counts.toString)
+    // a NULL-text doc emits no chunks, but IS sampled at its stratum's rate
+    assert(TextAnalysis.chunkDocuments(d, "text", "id", 4, 4)
+      .filter(col("id") === 1L).count() === 0)
+    assert(TextAnalysis.mixtureSample(d, "text", col("grp"), Map("A" -> 1.0))
+      .count() === 3, "rate 1.0 must keep the NULL-text doc too")
+    assert(TextAnalysis.stratifiedSample(d, "text", "id", col("grp"), 10)
+      .count() === 3)
+  }
+
   test("mixture resampling: per-stratum rates, nested samples, content-keyed") {
     import graft.operators.TextAnalysis
     val d = (1L to 2000L).map(i => (i, s"mixture doc $i payload"))

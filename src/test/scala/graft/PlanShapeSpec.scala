@@ -135,6 +135,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(codegenSpans.nonEmpty, p)
   }
 
+  test("incremental dedup: band equi-joins only, rank-limited best match, pruned scans") {
+    val df = SparkEntry.queries("dd_incremental")(spark, sf)
+    val p = plan(df)
+    // candidates come from the (band, band_key) equi-join — an all-pairs
+    // batch x corpus nested loop must never appear
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // best-match-per-batch-doc is rank-limited before the exchange
+    assert(p.contains("WindowGroupLimit"), p)
+    // the corpus scan reads only (doc_id, text) — never the full row
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("chunking is shuffle-free: tokenize + explode inside one codegen stage") {
     val p = plan(SparkEntry.queries("tx_chunk")(spark, sf))
     assert(!p.contains("Exchange"), p)
