@@ -594,6 +594,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full.select("cluster").distinct().collect().map(_.getLong(0)).toSeq === Seq(0L))
   }
 
+  test("semantic dedup: identical vectors cluster to the min id; distinct vectors stay kept") {
+    val v1 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val v2 = Array.tabulate(64)(i => math.cos(i * 2 + 1).toFloat)
+    val emb = Seq((1L, v1), (2L, v1), (3L, v2)).toDF("vec_id", "embedding")
+    val out = Dedup.clusters(emb.select(col("vec_id")),
+        Dedup.embeddingNearDup(emb, "embedding", "vec_id", threshold = 0.95,
+          metricTag = "sem_test"),
+        "vec_id")
+      .select(col("id"), col("cluster"), (col("id") === col("cluster")).as("is_kept"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out === Set((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)), out.toString)
+  }
+
   test("incremental dedup: batch near-dup resolves to min-id corpus match; novel doc is_new") {
     val batch = Seq(
       (10L, docText.replace("kappa", "rho")),   // near dup of corpus docs 1/2
