@@ -92,6 +92,15 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = ordered.map { case (name, fn) =>
+      // Settle the JVM before attributing CPU to this query: the dedup/CC
+      // queries leave localCheckpoint blocks and shuffle garbage behind,
+      // and Spark's ContextCleaner only unpersists them after a GC notices
+      // the references are dead. Without this, every query AFTER a
+      // checkpoint-heavy one (alphabetically: everything after dd_*) pays
+      // that cleanup in ITS measured window — observed as a broad ~1.6x
+      // CPU inflation of untouched queries once dd_semantic_dedup joined
+      // the suite. The gc runs OUTSIDE the timed reps.
+      System.gc()
       val runs = (1 to Reps).map { _ =>
         val c0 = processCpuNs()
         val t0 = System.nanoTime()
