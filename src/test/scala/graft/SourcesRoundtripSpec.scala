@@ -75,6 +75,34 @@ class SourcesRoundtripSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction: many small files collapse to the byte-size target, losslessly") {
+    import graft.sources.Compaction
+    val docs = spark.read.parquet(s"${SparkTestBase.Sf0001}/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    try {
+      docs.repartition(32).write.parquet(s"$dir/small") // the ingest debris shape
+      def files(d: String) = new java.io.File(d).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(files(s"$dir/small").length === 32)
+      val bytes = Compaction.inputBytes(spark, s"$dir/small")
+      assert(bytes > 0)
+      // target a quarter of the input -> expect 4 output files
+      val n = Compaction.compact(spark, s"$dir/small", s"$dir/big", (bytes + 3) / 4)
+      assert(n === 4, s"expected 4 target files, planned $n")
+      assert(files(s"$dir/big").length === 4)
+      // lossless: same rows, same contents
+      val back = spark.read.parquet(s"$dir/big")
+      assert(back.count() === docs.count())
+      assert(back.select("doc_id", "text").as[(Long, String)].collect().toSet
+        === docs.select("doc_id", "text").as[(Long, String)].collect().toSet)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("shuffled export: total order across files without a single-task sort") {
     import graft.sources.ShuffledExport
     val docs = spark.read.parquet(s"${SparkTestBase.Sf0001}/documents.parquet")
