@@ -236,6 +236,9 @@ object Dedup {
    * component, so the hop join is total. Deterministic output regardless
    * of execution order.
    *
+   * Set env `GRAFT_CC_DEBUG` to print per-round convergence progress when
+   * tuning (pairs with the `graft.BenchOne` timing utility).
+   *
    * EAGERNESS / RETENTION: with `checkpoint = true` (default) the edge set
    * and each round's labels are `localCheckpoint()`ed — the loop executes
    * at call time (the convergence probe forces it anyway) and the
