@@ -17,26 +17,54 @@ import org.apache.spark.sql.SparkSession
   *    robust to outside load: CPU stolen by other processes never lands in
   *    this JVM's counter. When wall >> cpu/32 on local[32], the gap is
   *    scheduling noise, not operator cost.
-  * `loadavg` (1/5/15-min, captured at start and end) records the box state
-  * so a regression can be adjudicated against contention directly.
+  *
+  * CONTENTION EVIDENCE (round-7): process-CPU is load-robust for *stolen
+  * time* but not for *cache/membank pressure* — the round-6 driver run
+  * showed nm_match_topk at 2.7x baseline CPU under loadavg 19 that fell to
+  * 0.25x baseline on an idle box. So the bench now records, per query, the
+  * box state DURING that query's measurement window:
+  *  - `load1`     — 1-minute loadavg sampled right after the reps;
+  *  - `ext_cores` — CPU cores consumed by OTHER processes across the rep
+  *    window, derived from /proc/stat deltas minus this JVM's own CPU.
+  *    (busyTicks/totalTicks scales to cores by ncpus with the tick rate
+  *    cancelling, so no HZ assumption is needed.)
+  * A flagged query is re-measured through a CONTENTION GATE: the bench
+  * waits (bounded) for external load to drain before the retry, and the
+  * `regressions` / `remeasured` objects carry both measurements plus the
+  * evidence, so the artifact adjudicates itself — a genuine regression
+  * shows `retry_ext_cores` low and `retry_cpu` still high; contamination
+  * shows the first window dirty and the clean retry at baseline.
   *
   * SELF-ADJUDICATION: `BENCH_BASELINE.json` pins the per-query min-CPU
   * numbers of the last judged round. When the bench runs at the same SF,
   * the output carries a `regressions` object naming every query whose
-  * min-CPU exceeds its baseline by more than the pinned threshold (1.5x)
-  * AND by an absolute margin that clears timer noise — so a real slowdown
-  * is flagged in the JSON itself instead of relying on someone reading the
-  * CPU column against an old file.
+  * best (post-retry) min-CPU exceeds its baseline by more than the pinned
+  * threshold (1.5x) AND by an absolute margin that clears timer noise.
   */
 object Bench {
 
-  /** Absolute CPU growth (seconds) below which a ratio breach is treated
-    * as noise. Process-CPU attribution bundles concurrent GC/JIT threads,
-    * which lands ~0.3 s of jitter on whichever small query a collection
-    * happens to overlap (observed: q8_setops_fused 0.30 -> 0.61 with no
-    * code change, while a REAL regression — r05's dd_corpus_dedup — moved
-    * 1.7 s). 0.5 s clears that floor without hiding real movements. */
-  private val RegressionNoiseFloorSec = 0.5
+  /** Absolute CPU growth (seconds) below which a ratio breach is treated as
+    * noise. Process-CPU attribution bundles concurrent GC/JIT threads, which
+    * lands ~0.3 s of jitter on whichever small query a collection happens to
+    * overlap (observed: q8_setops_fused 0.30 -> 0.61 with no code change).
+    * The floor SCALES with the baseline — a flat constant would make any
+    * sub-floor query unflaggable at every ratio, while a 0.18 s query
+    * genuinely tripling (0.54 s, +0.36 s) is a real signal: 0.3x of a big
+    * baseline dwarfs GC jitter, and 0.2 s absolute still clears the observed
+    * ~0.3s-once-per-sweep jitter on the handful of queries a collection can
+    * overlap (min-of-3 already discards single-rep hits). */
+  private def noiseFloorSec(base: Double): Double = math.max(0.2, 0.3 * base)
+
+  /** External busy cores below which the box counts as quiet enough to
+    * attribute a re-measure to the code. 10% of the box or 2 cores,
+    * whichever is larger — the round-6 contamination ran at ~15+ external
+    * cores on 32. */
+  private def quietThresholdCores(ncpus: Int): Double = math.max(2.0, 0.1 * ncpus)
+
+  /** Bounded wait for the contention gate: poll 2 s windows up to 60 s, then
+    * proceed anyway and let the recorded evidence speak. */
+  private val GateWindowMs = 2000
+  private val GateMaxWaitMs = 60000
 
   private case class Baseline(sf: String, threshold: Double, cpu: Map[String, Double])
 
@@ -70,6 +98,92 @@ object Bench {
       s"[$parts]"
     } catch { case _: Throwable => "[]" }
 
+  private def load1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** (busyTicks, totalTicks, ncpus) from /proc/stat. busy excludes idle and
+    * iowait. ncpus is counted from the per-cpu lines so it matches what the
+    * aggregate line sums over (host CPUs, not the JVM's cgroup view). */
+  private def sysStat(): (Long, Long, Int) =
+    try {
+      val lines = scala.io.Source.fromFile("/proc/stat").getLines().toVector
+      val f = lines.head.trim.split("\\s+").drop(1).map(_.toLong)
+      val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+      val ncpus = lines.count(l => l.startsWith("cpu") && l.length > 3 && l(3).isDigit)
+      (f.sum - idle, f.sum, math.max(ncpus, 1))
+    } catch { case _: Throwable => (-1L, -1L, 1) }
+
+  /** CPU cores consumed by processes OTHER than this JVM across a window
+    * bounded by two sysStat samples, given this JVM's own CPU seconds and
+    * the window's wall seconds. -1 when /proc/stat is unavailable. */
+  private def extCores(s0: (Long, Long, Int), s1: (Long, Long, Int),
+                       ownCpuSec: Double, wallSec: Double): Double = {
+    if (s0._1 < 0 || s1._1 < 0 || wallSec <= 0) return -1.0
+    val dTotal = (s1._2 - s0._2).toDouble
+    if (dTotal <= 0) return -1.0
+    val busyCores = (s1._1 - s0._1) / dTotal * s1._3
+    math.max(0.0, busyCores - ownCpuSec / wallSec)
+  }
+
+  /** One measured window: Reps materializations of the query, with box-state
+    * evidence captured over the whole window. */
+  private case class Window(wall: Double, cpu: Double, extCores: Double, load1: Double)
+
+  private def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                      spark: SparkSession, sfDir: String, name: String): Window = {
+    // Settle the JVM before attributing CPU to this query: the dedup/CC
+    // queries leave localCheckpoint blocks and shuffle garbage behind, and
+    // Spark's ContextCleaner only unpersists them after a GC notices the
+    // references are dead. Without this, every query AFTER a
+    // checkpoint-heavy one pays that cleanup in ITS measured window
+    // (observed as a broad ~1.6x CPU inflation). The gc runs OUTSIDE the
+    // timed reps.
+    System.gc()
+    val s0 = sysStat()
+    val w0 = System.nanoTime()
+    val own0 = processCpuNs()
+    val runs = (1 to Reps).map { _ =>
+      val c0 = processCpuNs()
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = if (c0 < 0) -1.0 else (processCpuNs() - c0) / 1e9
+      (wall, cpu)
+    }
+    val windowWall = (System.nanoTime() - w0) / 1e9
+    val ownSec = if (own0 < 0) 0.0 else (processCpuNs() - own0) / 1e9
+    val ext = extCores(s0, sysStat(), ownSec, windowWall)
+    Window(runs.map(_._1).min, runs.map(_._2).min, ext, load1())
+  }
+
+  /** Block (bounded) until external load drains below the quiet threshold.
+    * Returns the external cores observed in the last polling window, so the
+    * caller can record whether the gate actually opened. */
+  private def awaitQuietBox(): Double = {
+    val deadline = System.currentTimeMillis() + GateMaxWaitMs
+    var lastExt = -1.0
+    var quiet = false
+    while (!quiet && System.currentTimeMillis() < deadline) {
+      val s0 = sysStat()
+      val own0 = processCpuNs()
+      val t0 = System.nanoTime()
+      Thread.sleep(GateWindowMs)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val ownSec = if (own0 < 0) 0.0 else (processCpuNs() - own0) / 1e9
+      lastExt = extCores(s0, sysStat(), ownSec, wall)
+      quiet = lastExt >= 0 && lastExt < quietThresholdCores(s0._3)
+      if (lastExt < 0) quiet = true // no /proc/stat: nothing to gate on
+    }
+    lastExt
+  }
+
+  private def jnum(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -91,80 +205,72 @@ object Bench {
       try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = ordered.map { case (name, fn) =>
-      // Settle the JVM before attributing CPU to this query: the dedup/CC
-      // queries leave localCheckpoint blocks and shuffle garbage behind,
-      // and Spark's ContextCleaner only unpersists them after a GC notices
-      // the references are dead. Without this, every query AFTER a
-      // checkpoint-heavy one (alphabetically: everything after dd_*) pays
-      // that cleanup in ITS measured window — observed as a broad ~1.6x
-      // CPU inflation of untouched queries once dd_semantic_dedup joined
-      // the suite. The gc runs OUTSIDE the timed reps.
-      System.gc()
-      val runs = (1 to Reps).map { _ =>
-        val c0 = processCpuNs()
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        val wall = (System.nanoTime() - t0) / 1e9
-        val cpu = if (c0 < 0) -1.0 else (processCpuNs() - c0) / 1e9
-        (wall, cpu)
-      }
-      (name, runs.map(_._1).min, runs.map(_._2).min)
+    val first: Seq[(String, Window)] = ordered.map { case (name, fn) =>
+      (name, measure(fn, spark, sfDir, name))
     }
-    // Re-measure suspected regressions before reporting them: a concurrent
-    // GC cycle can span a small query's entire rep window and inflate all
-    // of its minima at once (observed: tx_mixture_sample 0.20 -> 0.86 with
-    // no code change, all three reps). A genuine regression reproduces in
-    // a fresh window at the end of the run; a transient does not. The
-    // smaller measurement wins — it is the better estimate of intrinsic
-    // cost either way.
-    val baselineForRetry = loadBaseline()
-    val results2 = baselineForRetry match {
-      case Some(b) if b.sf == sfDir =>
-        results.map { case r @ (name, wall, cpu) =>
-          b.cpu.get(name) match {
-            case Some(base) if cpu > base * b.threshold &&
-                               cpu - base > RegressionNoiseFloorSec =>
-              System.gc()
-              val rerun = (1 to Reps).map { _ =>
-                val c0 = processCpuNs()
-                val t0 = System.nanoTime()
-                try ordered.find(_._1 == name).get._2(spark, sfDir)
-                  .write.format("noop").mode("overwrite").save()
-                catch { case _: Throwable => () }
-                ((System.nanoTime() - t0) / 1e9,
-                  if (c0 < 0) -1.0 else (processCpuNs() - c0) / 1e9)
-              }
-              (name, math.min(wall, rerun.map(_._1).min),
-                math.min(cpu, rerun.map(_._2).min))
-            case _ => r
-          }
-        }
-      case _ => results
+    // Re-measure suspected regressions before reporting them — through the
+    // contention gate, so the retry window is attributable to the code and
+    // not to whatever else the box was running. A genuine regression
+    // reproduces in the quiet window; load contamination does not
+    // (round-6: nm_match_topk 341.7 CPU-s under loadavg 19.3, 31.9 on an
+    // idle box). Both measurements and both windows' evidence are emitted —
+    // the min is still what lands in queries_cpu (the better estimate of
+    // intrinsic cost either way), but nothing is taken silently.
+    val baseline = loadBaseline().filter(_.sf == sfDir)
+    val flagged = baseline.map { b =>
+      first.filter { case (name, w) =>
+        b.cpu.get(name).exists(base =>
+          w.cpu > base * b.threshold && w.cpu - base > noiseFloorSec(base))
+      }.map(_._1).toSet
+    }.getOrElse(Set.empty)
+    val retries: Map[String, (Window, Double)] = flagged.map { name =>
+      val gateExt = awaitQuietBox()
+      val fn = ordered.find(_._1 == name).get._2
+      name -> (measure(fn, spark, sfDir, name), gateExt)
+    }.toMap
+    val results = first.map { case (name, w) =>
+      retries.get(name) match {
+        case Some((r, _)) =>
+          (name, math.min(w.wall, r.wall), math.min(w.cpu, r.cpu))
+        case None => (name, w.wall, w.cpu)
+      }
     }
     val loadEnd = loadavg()
-    val qs = results2.map { case (k, w, _) => "\"" + k + "\":" + f"$w%.3f" }
+    val qs = results.map { case (k, w, _) => "\"" + k + "\":" + jnum(w) }
       .mkString("{", ",", "}")
-    val qsCpu = results2.map { case (k, _, c) => "\"" + k + "\":" + f"$c%.3f" }
+    val qsCpu = results.map { case (k, _, c) => "\"" + k + "\":" + jnum(c) }
       .mkString("{", ",", "}")
-    val total = results2.map(_._2).sum
-    val totalCpu = results2.map(_._3).sum
-    // regressions vs the pinned baseline, only when benching the same SF
-    val regressions = loadBaseline() match {
-      case Some(b) if b.sf == sfDir =>
-        results2.flatMap { case (name, _, cpu) =>
-          b.cpu.get(name).collect {
-            case base if cpu > base * b.threshold &&
-                         cpu - base > RegressionNoiseFloorSec =>
-              "\"" + name + "\":" + f"""{"cpu":$cpu%.3f,"baseline":$base%.3f,"ratio":${cpu / base}%.2f}"""
-          }
-        }.mkString("{", ",", "}")
-      case _ => "{}"
-    }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"total_cpu":$totalCpu%.3f,"regressions":$regressions,"reps":$Reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val totalCpu = results.map(_._3).sum
+    val firstByName = first.toMap
+    // Every retried query, with both windows' evidence — including the ones
+    // the retry CLEARED, so a transient flag leaves a visible trace.
+    val remeasured = retries.toSeq.sortBy(_._1).map { case (name, (r, gateExt)) =>
+      val w = firstByName(name)
+      "\"" + name + "\":" +
+        s"""{"first_cpu":${jnum(w.cpu)},"retry_cpu":${jnum(r.cpu)},""" +
+        s""""first_ext_cores":${jnum(w.extCores)},"retry_ext_cores":${jnum(r.extCores)},""" +
+        s""""first_load1":${jnum(w.load1)},"retry_load1":${jnum(r.load1)},""" +
+        s""""gate_ext_cores":${jnum(gateExt)}}"""
+    }.mkString("{", ",", "}")
+    // regressions vs the pinned baseline: flag on the BEST (post-retry)
+    // number, carrying the contention evidence of both windows.
+    val regressions = baseline.map { b =>
+      results.flatMap { case (name, _, cpu) =>
+        b.cpu.get(name).collect {
+          case base if cpu > base * b.threshold &&
+                       cpu - base > noiseFloorSec(base) =>
+            val w = firstByName(name)
+            val retryPart = retries.get(name).map { case (r, _) =>
+              s""","retry_cpu":${jnum(r.cpu)},"retry_ext_cores":${jnum(r.extCores)},"retry_load1":${jnum(r.load1)}"""
+            }.getOrElse("")
+            "\"" + name + "\":" +
+              s"""{"cpu":${jnum(cpu)},"baseline":${jnum(base)},"ratio":${f"${cpu / base}%.2f"},""" +
+              s""""ext_cores":${jnum(w.extCores)},"load1":${jnum(w.load1)}$retryPart}"""
+        }
+      }.mkString("{", ",", "}")
+    }.getOrElse("{}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"total_cpu":$totalCpu%.3f,"regressions":$regressions,"remeasured":$remeasured,"reps":$Reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
