@@ -26,14 +26,17 @@ import graft.functions._
  *      joined back by id for exact verification.
  *
  * Degenerate buckets (a boilerplate string shared by millions of docs) are
- * frequency-capped via `maxBucketSize`. The cap is a RECALL/COST tradeoff,
- * not a lossless delegation: a band/block collision does not imply
- * duplication, so pairs whose only shared bucket is above the cap are lost
- * (for [[simhashNearDup]] the Hamming<=3 pigeonhole completeness guarantee
- * only holds below the cap). Dropped buckets are surfaced via the observed
- * `dropped_hot_buckets` metrics so the hole is visible, and the default cap
- * is high (10k members ~ 50M generated pairs per bucket) because the
- * explode-first generator keeps per-row memory O(s) even at the cap.
+ * frequency-capped via `maxBucketSize` — but not dropped outright: every
+ * variant carries a SECOND content-derived signature per row, and an
+ * over-cap bucket is sub-split by it so that true near-dup pairs (which
+ * agree on the secondary signature with high probability) keep being
+ * generated inside capped sub-groups while the coincidental members spread
+ * out (see [[candidatesFromKeyed]]). Only a sub-group that is STILL over
+ * the cap — essentially one text duplicated cap+ times, which shares every
+ * signature — is dropped, surfaced via the observed `dropped_hot_buckets`
+ * metrics so the hole is visible. The default cap is high (10k members ~
+ * 50M generated pairs per group) because the explode-first generator keeps
+ * per-row memory O(s) even at the cap.
  */
 object Dedup {
 
@@ -58,40 +61,80 @@ object Dedup {
    * so a < b by construction). Peak per-row memory is O(s) — one copy of the
    * bucket array plus one suffix slice — even for a bucket at the cap.
    *
-   * Buckets above `maxBucketSize` are dropped — a recall/cost tradeoff (see
-   * the object doc: an over-cap LSH bucket can hide true pairs the exact
-   * pass will NOT recover) — and surfaced through the
-   * `dedup_candidates_<tag>` observed metric (`dropped_hot_buckets`,
-   * `dropped_hot_bucket_rows`) so the hole is visible to operators via
-   * QueryExecutionListener. CAVEAT (verified on Spark 4.1.2): AQE drops
-   * observed metrics attached below an exchange — listeners receive an
-   * empty map; run the audit query with spark.sql.adaptive.enabled=false
-   * when the counts matter (OperatorsSpec pins both behaviors' reality).
-   * The metric name is DETERMINISTIC per
-   * composition site (the caller-supplied `metricTag`), so listeners can
-   * subscribe to a stable name across plan rebuilds. Spark rejects a query
-   * containing two `observe` nodes with the same name
+   * HOT-BUCKET SALVAGE: when the caller supplies `subKeyCol` — a SECOND
+   * content-derived signature carried on each keyed row (an extra minhash
+   * with a different seed, another simhash block, a different-seed
+   * hyperplane bucket) — buckets above `maxBucketSize` are SUB-SPLIT by
+   * that signature instead of dropped outright: pairs are generated inside
+   * each (bucket, sub-signature) group that fits the cap. True near-dup
+   * pairs agree on the secondary signature with high probability (a single
+   * extra minhash collides with probability = their Jaccard; near-identical
+   * embeddings fall in the same seed' bucket), while the coincidental
+   * members that made the bucket hot spread across sub-groups — so the
+   * expensive s² blowup is still avoided but most true pairs survive. A
+   * sub-group still above the cap (the pathological case: one text
+   * duplicated cap+ times shares EVERY signature) is dropped and surfaced
+   * through the `dedup_candidates_<tag>` observed metric
+   * (`dropped_hot_buckets` = dropped groups, `dropped_hot_bucket_rows` =
+   * member rows in them, `salvaged_hot_bucket_rows` = hot-bucket rows that
+   * survived into capped sub-groups). Without `subKeyCol` the old
+   * semantics hold: over-cap buckets drop whole.
+   *
+   * Plan shape: ONE hash exchange on the bucket key — the bucket-size
+   * window, the sub-group window, and the final per-group gather are all
+   * key-prefix refinements satisfied by the same partitioning (pinned in
+   * PlanShapeSpec via dd_minhash_lsh).
+   *
+   * CAVEAT (verified on Spark 4.1.2): AQE drops observed metrics attached
+   * below an exchange — listeners receive an empty map; run the audit query
+   * with spark.sql.adaptive.enabled=false when the counts matter
+   * (OperatorsSpec pins both behaviors' reality). The metric name is
+   * DETERMINISTIC per composition site (the caller-supplied `metricTag`),
+   * so listeners can subscribe to a stable name across plan rebuilds. Spark
+   * rejects a query containing two `observe` nodes with the same name
    * (DUPLICATED_METRICS_NAME), so a query that composes the SAME variant
-   * twice (e.g. two minhash passes unioned) must pass distinct tags —
-   * each public entry point exposes `metricTag` for exactly that.
+   * twice (e.g. two minhash passes unioned) must pass distinct tags — each
+   * public entry point exposes `metricTag` for exactly that.
    */
   private[graft] def candidatesFromKeyed(keyed: DataFrame, keyCols: Seq[String],
                                          maxBucketSize: Int,
-                                         metricTag: String = "pairs"): DataFrame =
-    keyed.groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col("id")).as("ids"))
+                                         metricTag: String = "pairs",
+                                         subKeyCol: Option[String] = None): DataFrame = {
+    val keyExprs = keyCols.map(col)
+    val wBucket = Window.partitionBy(keyExprs: _*)
+    // the effective pair-group: the whole bucket when it fits the cap, the
+    // (bucket, secondary-signature) sub-split when it is hot. NULL sub key
+    // = "whole bucket" — it groups with itself only, since cold rows never
+    // mix with hot rows of the same bucket (bsz is a bucket-level constant).
+    val subExpr = subKeyCol match {
+      case Some(s) => when(col("__bsz") > maxBucketSize, col(s))
+      case None => lit(null).cast("long")
+    }
+    val wGroup = Window.partitionBy((keyExprs :+ col("__sub")): _*).orderBy(col("id"))
+    val whole = wGroup.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    keyed
+      .withColumn("__bsz", count(lit(1)).over(wBucket))
+      .withColumn("__sub", subExpr)
+      .withColumn("__gsz", count(lit(1)).over(whole))
+      .withColumn("__rn", row_number().over(wGroup))
       .observe(s"dedup_candidates_$metricTag",
-        sum(when(size(col("ids")) > maxBucketSize, 1L).otherwise(0L))
-          .as("dropped_hot_buckets"),
-        sum(when(size(col("ids")) > maxBucketSize, size(col("ids")).cast("long"))
-          .otherwise(0L)).as("dropped_hot_bucket_rows"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
+        sum(when(col("__gsz") > maxBucketSize && col("__rn") === 1, 1L)
+          .otherwise(0L)).as("dropped_hot_buckets"),
+        sum(when(col("__gsz") > maxBucketSize, 1L).otherwise(0L))
+          .as("dropped_hot_bucket_rows"),
+        sum(when(col("__bsz") > maxBucketSize && col("__gsz") <= maxBucketSize, 1L)
+          .otherwise(0L)).as("salvaged_hot_bucket_rows"))
+      .filter(col("__gsz") <= maxBucketSize)
+      .groupBy((keyExprs :+ col("__sub")): _*)
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
       .select(sort_array(col("ids")).as("ids"))
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
       .filter(col("id_a") =!= col("id_b")) // guards duplicate ids in a caller's input
       .distinct()
+  }
 
   /**
    * MinHash-LSH near-duplicate candidate pairs with exact-Jaccard
@@ -110,12 +153,20 @@ object Dedup {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
+    // numHashes + 1 minhash values: the first numHashes feed the band fold
+    // (identical buckets to a plain numHashes signature — each position is
+    // an independent seeded hash), and the EXTRA one is the hot-bucket
+    // salvage sub-key: a different-seed minhash two near-dups collide on
+    // with probability = their Jaccard, uncorrelated with any band
     val keyed = df.select(
         col(idCol).as("id"),
-        minhash_sig(col(textCol), lit(shingleW), lit(numHashes)).as("sig"))
+        minhash_sig(col(textCol), lit(shingleW), lit(numHashes + 1)).as("sigx"))
       .select(col("id"),
-        posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "band_key")))
-    val cand = candidatesFromKeyed(keyed, Seq("band", "band_key"), maxBucketSize, metricTag)
+        element_at(col("sigx"), numHashes + 1).as("sub_key"),
+        posexplode(bandKeys(slice(col("sigx"), 1, numHashes), bands, rows))
+          .as(Seq("band", "band_key")))
+    val cand = candidatesFromKeyed(keyed, Seq("band", "band_key"), maxBucketSize,
+      metricTag, subKeyCol = Some("sub_key"))
     val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
     cand
       .join(texts.withColumnsRenamed(Map("id" -> "id_a", "text" -> "text_a")), "id_a")
@@ -206,12 +257,21 @@ object Dedup {
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
                      maxHamming: Int = 3, maxBucketSize: Int = 10000,
                      metricTag: String = "simhash"): DataFrame = {
+    // per exploded row, the NEXT block ((i+1) mod 4) of the same fingerprint
+    // is the hot-bucket salvage sub-key: Hamming<=3 pairs agree on it unless
+    // one of the (at most 3) flipped bits lands exactly there — a recall
+    // trade strictly better than dropping the bucket whole
     val keyed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
       .select(struct(col("id"), col("sim")).as("id"),
         posexplode(array((0 until 4).map(i =>
-          shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
-          .as(Seq("block_idx", "block_val")))
-    candidatesFromKeyed(keyed, Seq("block_idx", "block_val"), maxBucketSize, metricTag)
+          struct(
+            shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bv"),
+            shiftrightunsigned(col("sim"), ((i + 1) % 4) * 16).bitwiseAND(lit(0xFFFFL)).as("sk"))): _*))
+          .as(Seq("block_idx", "bs")))
+      .select(col("id"), col("block_idx"), col("bs.bv").as("block_val"),
+        col("bs.sk").as("sub_key"))
+    candidatesFromKeyed(keyed, Seq("block_idx", "block_val"), maxBucketSize,
+      metricTag, subKeyCol = Some("sub_key"))
       .select(
         col("id_a.id").as("id_a"), col("id_b.id").as("id_b"),
         bit_count(col("id_a.sim").bitwiseXOR(col("id_b.sim"))).as("hamming"))
@@ -344,10 +404,16 @@ object Dedup {
                        dim: Int = 64, seed: Long = 42L,
                        maxBucketSize: Int = 10000,
                        metricTag: String = "embedding"): DataFrame = {
+    // a second hyperplane bucket with seed+1 is the hot-bucket salvage
+    // sub-key: near-identical embeddings land in the same bucket under any
+    // seed with high probability, while the coincidental members of a hot
+    // bucket spread across 2^planes sub-groups
     val keyed = SimilaritySearch.withHyperplaneBucket(
         df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", planes, dim, seed)
-      .select(col("id"), col("bucket"))
-    val cand = candidatesFromKeyed(keyed, Seq("bucket"), maxBucketSize, metricTag)
+      .withColumn("sub_key", hyperplane_bucket(col("vec"), lit(planes), lit(seed + 1)))
+      .select(col("id"), col("bucket"), col("sub_key"))
+    val cand = candidatesFromKeyed(keyed, Seq("bucket"), maxBucketSize, metricTag,
+      subKeyCol = Some("sub_key"))
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     cand
       .join(vecs.withColumnsRenamed(Map("id" -> "id_a", "vec" -> "vec_a")), "id_a")

@@ -300,13 +300,19 @@ object TextAnalysis {
       val b = math.floor(rate * 65536).toInt
       if (b >= 65536) "g" else f"$b%04x" // "g" sorts after every hex prefix
     }
+    // __stratum internal name (the __h/__toks convention): the caller's
+    // expression is evaluated ONCE against the original columns — a plain
+    // withColumn("stratum", ...) would clobber any pre-existing stratum
+    // column BEFORE the filter re-evaluates expressions referencing it
     val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(hexThreshold(defaultRate))) {
-      case (acc, (k, r)) => when(stratum === k, lit(hexThreshold(r))).otherwise(acc)
+      case (acc, (k, r)) => when(col("__stratum") === k, lit(hexThreshold(r))).otherwise(acc)
     }
     // coalesce: a NULL text must follow its stratum's rate like any other
     // document (a raw NULL hash would silently drop it at every rate)
-    df.withColumn("stratum", stratum)
+    df.withColumn("__stratum", stratum)
       .filter(substring(md5(coalesce(col(textCol), lit(""))), 1, 4) < thr)
+      .drop("stratum")
+      .withColumnRenamed("__stratum", "stratum")
   }
 
   /**
@@ -324,11 +330,15 @@ object TextAnalysis {
                             stratum: Column, keepFrac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(keepFrac > 0 && keepFrac <= 1, "keepFrac must be in (0, 1]")
-    val w = Window.partitionBy(col("stratum"))
+    // __stratum: evaluate the caller's expression against the ORIGINAL
+    // columns, never a clobbered one (see mixtureSample)
+    val w = Window.partitionBy(col("__stratum"))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
-    df.withColumn("stratum", stratum)
+    df.withColumn("__stratum", stratum)
       .withColumn("quality_pr", percent_rank().over(w))
       .filter(col("quality_pr") <= keepFrac)
+      .drop("stratum")
+      .withColumnRenamed("__stratum", "stratum")
   }
 
   /**
@@ -353,16 +363,20 @@ object TextAnalysis {
                       budgets: Map[String, Long],
                       defaultBudget: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("stratum"))
+    // __stratum: evaluate the caller's expression against the ORIGINAL
+    // columns, never a clobbered one (see mixtureSample)
+    val w = Window.partitionBy(col("__stratum"))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
-      case (acc, (k, b)) => when(col("stratum") === k, lit(b)).otherwise(acc)
+      case (acc, (k, b)) => when(col("__stratum") === k, lit(b)).otherwise(acc)
     }
-    df.withColumn("stratum", stratum)
+    df.withColumn("__stratum", stratum)
       .withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
       .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("tokens_before") < budget)
+      .drop("stratum")
+      .withColumnRenamed("__stratum", "stratum")
   }
 
   /** Language-ID + fingerprint profile of a documents table. */

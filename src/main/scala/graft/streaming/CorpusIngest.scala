@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 import graft.operators.Dedup
 
 /**
@@ -24,9 +24,18 @@ import graft.operators.Dedup
  *    over all input (pinned in CorpusIngestSpec). Duplicates WITHIN an
  *    ingest window are not each other's blockers by design; the periodic
  *    corpus-wide [[Dedup.corpusDedup]] compaction owns those.
- *  - `foreachBatch` + file sink + checkpoint gives at-least-once delivery
- *    with replay on restart; batch ids ride along for idempotent downstream
- *    merges.
+ *  - IDEMPOTENT OUTPUT under at-least-once replay: each batch writes its
+ *    own hive-style partition directory `outDir/batch_id=<id>` with
+ *    mode("overwrite"). foreachBatch replays a batch (same batchId, same
+ *    input files) when a crash lands between the parquet commit and the
+ *    checkpoint advance — a plain append would duplicate those rows at the
+ *    output path, while overwriting the batch's OWN directory makes replay
+ *    a no-op for readers of `outDir` (they see batch_id as a partition
+ *    column). This is the standard exactly-once-by-idempotence recipe for
+ *    deterministic batches.
+ *  - `schema` makes the empty-source bootstrap explicit: without it the
+ *    source schema is inferred from existing parquet under `sourceDir`,
+ *    which fails outright when the directory is empty at start time.
  */
 object CorpusIngest {
 
@@ -34,9 +43,10 @@ object CorpusIngest {
                            corpus: DataFrame, textCol: String, idCol: String,
                            outDir: String, checkpointDir: String,
                            jaccardThreshold: Double = 0.8,
-                           maxFilesPerTrigger: Int = 1): Unit = {
-    val schema = spark.read.parquet(sourceDir).schema
-    val stream = spark.readStream.schema(schema)
+                           maxFilesPerTrigger: Int = 1,
+                           schema: Option[StructType] = None): Unit = {
+    val srcSchema = schema.getOrElse(spark.read.parquet(sourceDir).schema)
+    val stream = spark.readStream.schema(srcSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
     val q = stream.writeStream
@@ -44,8 +54,7 @@ object CorpusIngest {
         Dedup.incrementalDedup(corpus, batch, textCol, idCol,
           jaccardThreshold = jaccardThreshold,
           metricTag = s"ingest_$batchId")
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -66,6 +66,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("hot-bucket salvage: true pairs sharing the sub-key survive the cap") {
+    // bucket 0 is HOT (10 members > cap 5). Ids 1 and 2 are the "true pair"
+    // — they share the secondary signature, as near-dups do with high
+    // probability — while the coincidental members that made the bucket hot
+    // carry distinct sub-keys. Pre-salvage semantics dropped the whole
+    // bucket (losing the pair); now the pair survives inside its capped
+    // sub-group, and no cross-sub-group pair is fabricated.
+    val keyed = (Seq((0, 1L, 100L), (0, 2L, 100L)) ++
+      (3L to 10L).map(i => (0, i, 200L + i))).toDF("k", "id", "sub_key")
+    val got = Dedup.candidatesFromKeyed(keyed, Seq("k"), maxBucketSize = 5,
+      subKeyCol = Some("sub_key")).as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+    // control: without the sub-key the hot bucket still drops whole
+    assert(Dedup.candidatesFromKeyed(keyed, Seq("k"), maxBucketSize = 5)
+      .count() === 0L)
+  }
+
+  test("hot-bucket salvage: a sub-group still over the cap is dropped") {
+    // the pathological hot bucket: every member shares the secondary
+    // signature too (one text duplicated cap+ times) — sub-splitting cannot
+    // help, so the group drops exactly as before
+    val keyed = (1L to 10L).map(i => (0, i, 7L)).toDF("k", "id", "sub_key")
+    assert(Dedup.candidatesFromKeyed(keyed, Seq("k"), maxBucketSize = 5,
+      subKeyCol = Some("sub_key")).count() === 0L)
+    // and a cold bucket is untouched by the sub-key column
+    val cold = Seq((0, 1L, 5L), (0, 2L, 6L)).toDF("k", "id", "sub_key")
+    assert(Dedup.candidatesFromKeyed(cold, Seq("k"), maxBucketSize = 5,
+      subKeyCol = Some("sub_key")).as[(Long, Long)].collect().toSet
+      === Set((1L, 2L)))
+  }
+
   test("candidate generation stays bounded on a 5000-member hot bucket") {
     // The old pair generator built s² structs inside ONE array value; at
     // s=5000 that is 25M structs in a single row. The explode-first upper-

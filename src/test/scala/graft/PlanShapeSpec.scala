@@ -147,6 +147,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("dedup candidate gen: bucket windows, salvage sub-split and gather share ONE exchange") {
+    import org.apache.spark.sql.functions._
+    val keyed = spark.range(100).select(
+      (col("id") % 5).as("k"), col("id"), (col("id") % 7).as("sub_key"))
+    val df = graft.operators.Dedup.candidatesFromKeyed(keyed, Seq("k"),
+      maxBucketSize = 10, subKeyCol = Some("sub_key"))
+    val p = plan(df)
+    // the bucket-size window (k), the sub-group window/row_number
+    // (k, __sub) and the final gather groupBy (k, __sub) are key-prefix
+    // refinements of hashpartitioning(k): exactly one exchange feeds all of
+    // them; the only other exchange is the terminal pair distinct()
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 2, s"expected 2 exchanges (bucket key + pair distinct), got $exchanges in:\n$p")
+  }
+
   test("chunking is shuffle-free: tokenize + explode inside one codegen stage") {
     val p = plan(SparkEntry.queries("tx_chunk")(spark, sf))
     assert(!p.contains("Exchange"), p)
