@@ -55,10 +55,15 @@ object MatchBlocking {
     *  3. every char `gram`-gram of the username vs the `gram`-char prefix of
     *     first/last — embedded and truncated tokens (`iamkulkarni`,
     *     `bhatiaX`, `deepz`). `gram`=3 favors recall; raise to 4 at larger
-    *     rosters to shrink bucket collision volume (the recall/cost knob).
+    *     rosters to shrink bucket collision volume (the recall/cost knob);
+    *  4. the trailing-digit-stripped username vs the first+last-initial
+    *     composite — `harshm37`-style usernames land on `harshm` directly
+    *     instead of fanning out through the (often hot) bare first-name
+    *     token, so on low-name-cardinality rosters they keep a
+    *     DISCRIMINATIVE key that no cap can take away.
     */
-  /** Per-key employee cap (see [[candidatePairs]]): keys held by more
-    * employees than this are dropped before the key join. The reference
+  /** Per-key employee cap (see [[candidatePairs]]): a key held by more
+    * employees than this keeps only its cap-smallest emp_ids. The reference
     * workload's hottest key holds < 20 employees, so the default changes
     * nothing there; a pathological roster (thousands of employees sharing
     * one name) stays bounded at `cap * |U_key|` candidates per key. */
@@ -74,7 +79,9 @@ object MatchBlocking {
       s"transform(sequence(1, greatest(length(u_norm) - ${gram - 1}, 1)), i -> substring(u_norm, i, $gram))")
     val uKeys = u.select(col("username"),
         explode(array_distinct(concat(
-          array(col("u_norm"), col("u_sdx"), col("u_mp"), col("u_part1"), col("u_part2")),
+          array(col("u_norm"), col("u_sdx"), col("u_mp"), col("u_part1"), col("u_part2"),
+            // tier 4: trailing digits stripped — `harshm37` -> `harshm`
+            regexp_replace(col("u_norm"), "\\d+$", "")),
           uGrams)))
           .as("block_key"))
       .filter(length(col("block_key")) > 0)
@@ -83,27 +90,40 @@ object MatchBlocking {
           col("e_first"), col("e_last"),
           substring(col("e_first"), 1, gram), substring(col("e_last"), 1, gram),
           col("e_sdx_first"), col("e_sdx_last"),
-          col("e_mp_first"), col("e_mp_last")))))
+          col("e_mp_first"), col("e_mp_last"),
+          // tier 4: first + last-initial composite — the discriminative
+          // landing spot for digit-stripped usernames like `harshm`
+          concat(col("e_first"), substring(col("e_last"), 1, 1))))))
           .as("block_key"))
       .filter(length(col("block_key")) > 0)
     // FREQUENCY CAP (the skew mitigation promised above): a blocking key
-    // shared by more than `maxEmployeesPerKey` employees is a low-signal hot
-    // key — it contributes |U_key| * |E_key| candidate pairs while ranking
-    // signal comes from the SCORE, not key multiplicity. Dropping hot keys
-    // bounds per-key candidate volume; recall on name-diverse rosters is
-    // untouched (MatchBlockingSpec pins both properties). The hot-key set is
-    // tiny by construction (few keys can exceed the cap), so the exclusion
-    // is a broadcast anti join, and the count aggregation shuffles only
-    // narrow (key, emp_id) rows. Dropped keys are observable via the
-    // `<metricTag>_capped_keys` metric — deterministic per composition
-    // site; a query composing candidatePairs twice passes distinct tags
-    // (Spark rejects duplicate observe names in one plan).
-    val hotKeys = eKeys.groupBy("block_key")
-      .agg(count(lit(1)).as("n_emp"))
-      .filter(col("n_emp") > maxEmployeesPerKey)
-      .select("block_key")
-      .observe(s"${metricTag}_capped_keys", count(lit(1)).as("n_capped_keys"))
-    val eKeysCapped = eKeys.join(broadcast(hotKeys), Seq("block_key"), "left_anti")
+    // shared by more than `maxEmployeesPerKey` employees contributes
+    // |U_key| * |E_key| candidate pairs while ranking signal comes from the
+    // SCORE, not key multiplicity. Hot keys are not dropped whole (that
+    // turned every digit-suffix username on a low-name-cardinality roster
+    // into USER NOT FOUND — its only keys were the hot name tokens);
+    // instead each key keeps its `maxEmployeesPerKey` SMALLEST emp_ids —
+    // the same asc-string order the pipeline's top-k tiebreak uses, so the
+    // deterministic winner of a score tie is the candidate most likely to
+    // survive the cut. Volume stays bounded at cap * |U_key| per key;
+    // recall THROUGH a hot key degrades only for employees ranked past the
+    // cap (MatchBlockingSpec pins both properties). The rank filter is a
+    // WindowGroupLimit: each map task emits at most cap rows per key before
+    // the exchange, so the window never materializes a hot key's full
+    // roster. Keys that REACHED the cap (>= cap members — the observe must
+    // sit above the rank filter or it would block the WindowGroupLimit
+    // rewrite) are counted in the `<metricTag>_capped_keys` metric —
+    // deterministic per composition site; a query composing candidatePairs
+    // twice passes distinct tags (Spark rejects duplicate observe names in
+    // one plan).
+    val byKey = Window.partitionBy(col("block_key")).orderBy(col("emp_id").asc)
+    val eKeysCapped = eKeys
+      .withColumn("__rk", row_number().over(byKey))
+      .filter(col("__rk") <= maxEmployeesPerKey)
+      .observe(s"${metricTag}_capped_keys",
+        sum(when(col("__rk") === maxEmployeesPerKey, 1L).otherwise(0L))
+          .as("n_capped_keys"))
+      .drop("__rk")
     uKeys.join(eKeysCapped, "block_key")
       .select("username", "emp_id")
       .distinct()

@@ -57,20 +57,33 @@ object MatchPipeline {
     *
     * The cross join is COMPUTE-bound, not IO-bound: each stream row fans out
     * into |roster| kernel evaluations, so task parallelism — not data volume
-    * — decides wall clock. An explicit `repartition(defaultParallelism)` on
-    * the stream side pins one compute slice per core: without it, AQE sees a
-    * few KB of shuffled usernames and coalesces the exchange down to one
-    * partition, serializing the entire O(U*E) scoring loop onto one thread
-    * (measured 48s -> ~2s at sf0.1 on local[32]). The shuffled rows are tiny
-    * (bare username strings; invariants are derived after the exchange), so
-    * the repartition costs nothing relative to the scoring it spreads. */
+    * — decides wall clock. An explicit `repartition` on the stream side pins
+    * fine compute slices across cores: without it, AQE sees a few KB of
+    * shuffled usernames and coalesces the exchange down to one partition,
+    * serializing the entire O(U*E) scoring loop onto one thread (measured
+    * 48s -> ~2s at sf0.1 on local[32]). The shuffled rows are tiny (bare
+    * username strings; invariants are derived after the exchange), so the
+    * repartition costs nothing relative to the scoring it spreads — on a
+    * SMALL input. A 100 TB username table arriving already spread over
+    * thousands of scan/shuffle partitions needs no rebalancing, so the
+    * exchange is SIZE-AWARE: it is skipped when the input's planned (pre-
+    * AQE) partition count is already >= 2x defaultParallelism (both shapes
+    * pinned in PlanShapeSpec). An explicit numPartitions repartition is
+    * never AQE-coalesced, so the small-input fix cannot regress. */
   def scoredPairs(usernames: DataFrame, employees: DataFrame): DataFrame = {
     val spark = usernames.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    // static planned partition count: queryExecution.sparkPlan is the
+    // pre-adaptive physical plan, so reading it triggers no execution (the
+    // adaptive plan's .rdd would run every upstream stage eagerly)
+    val planned = usernames.queryExecution.sparkPlan.outputPartitioning.numPartitions
     // 4 waves of fine-grained tasks: with one task per core a single
     // straggler (GC pause, CPU steal) stretches the whole stage; finer
-    // slices rebalance. The shuffled rows are bare username strings.
-    val u = prepareUsernames(
-      usernames.repartition(4 * spark.sparkContext.defaultParallelism))
+    // slices rebalance.
+    val stream =
+      if (planned >= 2 * parallelism) usernames
+      else usernames.repartition(4 * parallelism)
+    val u = prepareUsernames(stream)
     val e = prepareEmployees(employees)
     u.crossJoin(broadcast(e))
       .withColumn("score",

@@ -46,7 +46,11 @@ class MatchBlockingSpec extends AnyFunSuite {
     // duplicates, so most name-derived keys are over the cap and dropped.
     // This pins how often the blocked path still lands the SAME best match
     // as the exact path at bench scale (the metric a user of the
-    // approximate path actually cares about).
+    // approximate path actually cares about). Hot keys keep their
+    // cap-smallest emp_ids instead of dropping whole (round-7): before
+    // that, every digit-suffix username (`cold358`) was USER NOT FOUND
+    // here — its only keys were the over-cap name tokens — and agreement
+    // floored at 0.667.
     def top1(df: org.apache.spark.sql.DataFrame): Map[String, String] = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("username"))
@@ -61,7 +65,7 @@ class MatchBlockingSpec extends AnyFunSuite {
     val agree = exact.count { case (u, e) => blocked.get(u).contains(e) }
     val agreement = agree.toDouble / exact.size
     info(f"top-1 agreement on sf0.01 synthetic: $agreement%.4f ($agree/${exact.size})")
-    assert(agreement >= 0.60, f"top-1 agreement $agreement%.4f below floor")
+    assert(agreement >= 0.80, f"top-1 agreement $agreement%.4f below floor")
   }
 
   test("candidate volume is a small fraction of the cross product") {
@@ -89,8 +93,10 @@ class MatchBlockingSpec extends AnyFunSuite {
   test("frequency cap bounds candidate volume on a pathologically skewed roster") {
     // 3000 employees sharing ONE name: every name-derived blocking key holds
     // 3000 employees, so uncapped blocking degenerates toward the cross
-    // product (the round-2 bench regression). The cap drops those keys and
-    // bounds the volume.
+    // product (the round-2 bench regression). Each hot key keeps only its
+    // cap-smallest emp_ids, so the volume stays bounded WITHOUT starving
+    // the probes of candidates (pre-round-7 the keys dropped whole and
+    // every probe here was USER NOT FOUND).
     val skewed = spark.range(1, 3001).selectExpr(
       "CAST(id AS STRING) AS emp_id",
       "'john' AS first_name", "'smith' AS last_name",
@@ -103,7 +109,10 @@ class MatchBlockingSpec extends AnyFunSuite {
     info(s"skewed roster candidates: uncapped=$uncapped capped=$capped")
     // uncapped: every name-matching probe pairs with all 3000 employees
     assert(uncapped >= 4 * 3000L, s"skew fixture not degenerate: $uncapped")
-    // capped: hot keys dropped entirely -> no candidate explosion
-    assert(capped == 0, s"cap left $capped candidates on an all-hot-key roster")
+    // capped: every key keeps the same cap-smallest employees, so each
+    // name-matching probe contributes at most ~cap distinct candidates
+    assert(capped > 0, "cap starved an all-hot-key roster of all candidates")
+    assert(capped <= 4L * MatchBlocking.DefaultMaxEmployeesPerKey,
+      s"cap failed to bound candidate volume: $capped")
   }
 }

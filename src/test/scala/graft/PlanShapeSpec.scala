@@ -45,6 +45,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"similarity join must never shuffle-sort the username side:\n$p")
   }
 
+  test("scoredPairs repartition is size-aware: forced for narrow inputs, skipped for wide ones") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val employees = Seq(("1", "amit", "jain", "Amit Jain"))
+      .toDF("emp_id", "first_name", "last_name", "employee_name")
+    val narrow = Seq("amit123", "jain_a").toDF("username") // few planned partitions
+    val pNarrow = plan(graft.pipeline.MatchPipeline.scoredPairs(narrow, employees))
+    assert(pNarrow.contains("RoundRobinPartitioning"),
+      s"small input must still get the AQE-collapse-proof exchange:\n$pNarrow")
+    // an input already spread over >= 2x defaultParallelism partitions must
+    // NOT pay a second forced shuffle on a 100 TB username table
+    val wide = narrow.repartition(2 * spark.sparkContext.defaultParallelism, col("username"))
+    val pWide = plan(graft.pipeline.MatchPipeline.scoredPairs(wide, employees))
+    assert(!pWide.contains("RoundRobinPartitioning"),
+      s"wide input paid a forced round-robin exchange:\n$pWide")
+  }
+
   test("per-group top-k installs the pre-shuffle WindowGroupLimit") {
     val p = plan(SparkEntry.queries("q4_topk_pergroup")(spark, sf))
     assert(p.contains("WindowGroupLimit"), p)
