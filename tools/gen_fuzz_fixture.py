@@ -314,6 +314,108 @@ def java_pct(score: float) -> str:
     return str(Decimal(score).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
 
 
+# ------------------------------------------------- synthetic sf workload
+
+def synth_workload(sf_dir: str):
+    """Reproduce SparkEntry's deterministic synthetic match workload at
+    `sf_dir`: roster = part (STAFF_ID=p_partkey, Full Name=p_name) through
+    the normalizer (first-whitespace split), usernames = the 1-in-97 part
+    sample shaped by p_partkey mod 3 plus the two fixed no-match probes."""
+    import duckdb
+    rows = duckdb.connect().execute(
+        f"SELECT p_partkey, p_name FROM read_parquet('{sf_dir}/part.parquet') "
+        "ORDER BY p_partkey").fetchall()
+    roster = []
+    for pk, name in rows:
+        name = name.strip(" ")
+        toks = re.split(r"\s+", name, maxsplit=1)
+        first = toks[0].strip(" ") if toks else ""
+        last = toks[1] if len(toks) > 1 else ""
+        roster.append((str(pk), first, last, name))
+    usernames = set()
+    for pk, name in rows:
+        if pk % 97 != 0:
+            continue
+        toks = name.strip(" ").split(" ")
+        f, l = toks[0].lower(), (toks[1].lower() if len(toks) > 1 else "")
+        if pk % 3 == 0:
+            usernames.add(f + "." + l)
+        elif pk % 3 == 1:
+            usernames.add(l + "_" + f)
+        else:
+            usernames.add(f + str(pk % 1000))
+    usernames |= {"testme", "xq.zvw"}
+    return sorted(usernames), roster
+
+
+MAX_EMPLOYEES_PER_KEY = 200
+
+
+def username_block_keys(u_norm: str) -> set:
+    """MatchBlocking's username-side blocking keys (tiers 1-4)."""
+    parts = re.split(r"[._\-\s]", u_norm)
+    p1 = parts[0] if parts else ""
+    p2 = parts[1] if len(parts) > 1 else ""
+    grams = {u_norm[i:i + 3] for i in range(0, max(len(u_norm) - 2, 1))}
+    keys = {u_norm, soundex(u_norm), metaphone(u_norm), p1, p2,
+            re.sub(r"\d+$", "", u_norm)} | grams
+    return {k for k in keys if k}
+
+
+def employee_block_keys(first: str, last: str) -> set:
+    """MatchBlocking's employee-side blocking keys (tiers 1-4)."""
+    f, l = first.strip(" ").lower(), last.strip(" ").lower()
+    keys = {f + "." + l, l + "." + f, f + "_" + l, l + "_" + f,
+            f + l, l + f, f + " " + l, l + " " + f,
+            f, l, f[:3], l[:3],
+            soundex(f), soundex(l), metaphone(f), metaphone(l),
+            f + l[:1]}
+    return {k for k in keys if k}
+
+
+def candidate_pairs(usernames, roster) -> set:
+    """(username, emp_id) pairs MatchBlocking.candidatePairs admits: shared
+    blocking key, with each key keeping only its cap-smallest emp_ids
+    (string asc — the same order Spark/DuckDB binary-compare VARCHARs)."""
+    by_key = {}
+    for emp_id, first, last, _ in roster:
+        for k in employee_block_keys(first, last):
+            by_key.setdefault(k, []).append(emp_id)
+    capped = {k: set(sorted(v)[:MAX_EMPLOYEES_PER_KEY])
+              for k, v in by_key.items()}
+    pairs = set()
+    for u in usernames:
+        u_norm = u.lower().strip(" ")
+        for k in username_block_keys(u_norm):
+            for emp_id in capped.get(k, ()):
+                pairs.add((u, emp_id))
+    return pairs
+
+
+def gen_match_synth(sf_dir: str, out_csv: str) -> None:
+    """fixtures/match_synth.csv: the composite score for EVERY (username,
+    employee) pair of the synthetic sf workload — same bit-exact technique
+    as match_golden.csv — plus `is_cand`, whether MatchBlocking admits the
+    pair, so BOTH nm_match_topk and nm_match_topk_blocked reduce to window
+    SQL over this fixture for the DuckDB oracle."""
+    usernames, roster = synth_workload(sf_dir)
+    cand = candidate_pairs(usernames, roster)
+    n = 0
+    with open(out_csv, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["username", "emp_id", "employee_name", "score",
+                    "score_fmt", "is_cand"])
+        for u in usernames:
+            ul = u.lower().strip(" ")
+            for emp_id, first, last, name in roster:
+                sc = composite_score(ul, first, last)
+                w.writerow([u, emp_id, name, repr(sc), java_pct(sc),
+                            1 if (u, emp_id) in cand else 0])
+                n += 1
+    print(f"wrote {n} match_synth rows ({len(usernames)} users x "
+          f"{len(roster)} employees, {len(cand)} blocked candidates) from {sf_dir}")
+
+
 # ---------------------------------------------------------------- generate
 
 def main() -> None:
@@ -362,6 +464,10 @@ def main() -> None:
                 w.writerow([u, emp_id, fn, ln, disp, repr(sc), java_pct(sc)])
                 n += 1
     print(f"wrote {n} match_golden rows")
+
+    # match_synth.csv: the same end-to-end technique for the SF-scaled
+    # synthetic workload (sf0.01 — the scale the round driver verifies at)
+    gen_match_synth("/root/testdata/sf0.01", "fixtures/match_synth.csv")
 
 
 if __name__ == "__main__":
