@@ -8,11 +8,16 @@ import org.apache.spark.sql.types._
  * Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
  * columns with typed metadata, processed per-partition in bounded batches.
  *
- * The actual media decode is STUBBED (this container has no image/audio
- * codecs) behind [[MediaDecoder]] — a deterministic fake that parses our
- * synthetic header format. Everything Spark-side is real and tested: the
- * schema, the partition-batched `mapPartitions` pipeline (the Scala analogue
- * of `mapInPandas` batch processing), the feature schema, and the
+ * The media decode is REAL on every modality the pipeline claims: images
+ * (PNG/JPEG/BMP via `javax.imageio`), multi-frame video (animated GIF via
+ * the ImageIO frame reader), audio (WAV/AIFF/AU via `javax.sound.sampled`),
+ * and MP4 container metadata (hand-rolled ISO-BMFF box walk; MP4 *sample*
+ * decode is the one thing left out — no pure-JVM H.264 codec exists — and
+ * an MP4 payload yields its real container metadata instead). A payload
+ * whose magic matches none of these is a decode failure, not a fake vector.
+ * Spark-side everything is real and tested: the schema, the
+ * partition-batched `mapPartitions` pipeline (the Scala analogue of
+ * `mapInPandas` batch processing), the feature schema, and the
  * repartition-by-size strategy.
  *
  * Scale notes: media rows are fat (MBs); `repartitionForPayload` targets
@@ -43,26 +48,31 @@ object Multimodal {
    * `javax.imageio` handles — pure JVM, no native codecs) is parsed to a
    * BufferedImage and summarized as a 4x4 grid of mean luminances — the
    * decode / resize / feature-extract path a production pipeline runs, at
-   * toy feature dimensionality. AUDIO payloads are decoded FOR REAL too:
-   * WAV/AIFF/AU containers parse with pure-JVM `javax.sound.sampled` (no
-   * native codecs), are converted to 16-bit signed PCM, and summarized as
-   * per-window RMS energy over [[FeatDim]] equal time windows. VIDEO
-   * container metadata (MP4 `mvhd`/`tkhd` boxes: duration, dimensions,
-   * track count) is parsed FOR REAL; the frame decode itself remains
-   * STUBBED (no pure-JVM video codec exists) — a corrupt container is a
-   * decode failure, a valid one yields its real metadata as the leading
-   * feature slots. The signature and batch shape are identical across all
-   * modalities, so swapping in a real codec touches nothing Spark-side.
+   * toy feature dimensionality. Multi-frame GIF payloads (the frame-bearing
+   * video format `javax.imageio` decodes pure-JVM) are FRAME-DECODED FOR
+   * REAL: every frame parses through the ImageIO GIF reader and [[FeatDim]]
+   * evenly frame-sampled mean luminances form a temporal profile — the
+   * decode / frame-sample / feature-extract path a video pipeline runs.
+   * AUDIO payloads are decoded FOR REAL too: WAV/AIFF/AU containers parse
+   * with pure-JVM `javax.sound.sampled` (no native codecs), are converted
+   * to 16-bit signed PCM, and summarized as per-window RMS energy over
+   * [[FeatDim]] equal time windows. MP4 container metadata (`mvhd`/`tkhd`
+   * boxes: duration, dimensions, track count) is parsed FOR REAL; MP4
+   * *sample* decode is out of scope (no pure-JVM H.264 codec exists) — a
+   * corrupt container is a decode failure, a valid one yields its real
+   * metadata as the leading feature slots. Any payload whose magic matches
+   * none of the above is a decode FAILURE (`decode_ok = false`) — there is
+   * no fake/hash fallback. The signature and batch shape are identical
+   * across all modalities, so adding a codec touches nothing Spark-side.
    */
   object MediaDecoder {
     val FeatDim = 16
 
-    // magic prefixes of the formats javax.imageio decodes out of the box:
-    // PNG, JPEG, GIF, BMP
+    // magic prefixes of the single-frame formats javax.imageio decodes out
+    // of the box: PNG, JPEG, BMP (GIF is routed to the frame decoder below)
     private val ImageMagics: Seq[Array[Byte]] = Seq(
       Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), // PNG
       Array(0xFF, 0xD8, 0xFF).map(_.toByte),                               // JPEG
-      "GIF8".getBytes("US-ASCII"),                                         // GIF87a/89a
       "BM".getBytes("US-ASCII"))                                           // BMP
 
     private[operators] def looksLikeImage(payload: Array[Byte]): Boolean =
@@ -70,36 +80,102 @@ object Multimodal {
         payload.length >= m.length &&
           java.util.Arrays.equals(payload, 0, m.length, m, 0, m.length))
 
+    private[operators] def looksLikeGif(payload: Array[Byte]): Boolean = {
+      val m = "GIF8".getBytes("US-ASCII") // GIF87a / GIF89a
+      payload != null && payload.length >= m.length &&
+        java.util.Arrays.equals(payload, 0, m.length, m, 0, m.length)
+    }
+
+    @inline private def luminance(rgb: Int): Double =
+      (0.299 * ((rgb >> 16) & 0xFF) +
+       0.587 * ((rgb >> 8) & 0xFF) +
+       0.114 * (rgb & 0xFF)) / 255.0
+
+    /** Reduce one frame to a 4x4 grid of mean luminances in [0,1]
+      * (row-major, 16 = FeatDim). */
+    private def gridLuminance(img: java.awt.image.BufferedImage): Array[Float] = {
+      val grid = 4
+      val sums = new Array[Double](FeatDim)
+      val counts = new Array[Long](FeatDim)
+      var y = 0
+      while (y < img.getHeight) {
+        val gy = y * grid / img.getHeight
+        var x = 0
+        while (x < img.getWidth) {
+          val gx = x * grid / img.getWidth
+          val cell = gy * grid + gx
+          sums(cell) += luminance(img.getRGB(x, y)); counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(FeatDim)(i =>
+        if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
+    }
+
+    /** Whole-frame mean luminance in [0,1]. */
+    private def meanLuminance(img: java.awt.image.BufferedImage): Float = {
+      var sum = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += luminance(img.getRGB(x, y)); x += 1 }
+        y += 1
+      }
+      (sum / (img.getWidth.toLong * img.getHeight)).toFloat
+    }
+
     /** Real image decode: parse the payload with ImageIO and reduce to a
       * 4x4 grid of mean luminances in [0,1] (row-major, 16 = FeatDim). */
     private[operators] def decodeImage(payload: Array[Byte]): Option[Array[Float]] =
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         if (img == null || img.getWidth == 0 || img.getHeight == 0) None
-        else {
-          val grid = 4
-          val sums = new Array[Double](FeatDim)
-          val counts = new Array[Long](FeatDim)
-          var y = 0
-          while (y < img.getHeight) {
-            val gy = y * grid / img.getHeight
-            var x = 0
-            while (x < img.getWidth) {
-              val gx = x * grid / img.getWidth
-              val rgb = img.getRGB(x, y)
-              val lum = (0.299 * ((rgb >> 16) & 0xFF) +
-                         0.587 * ((rgb >> 8) & 0xFF) +
-                         0.114 * (rgb & 0xFF)) / 255.0
-              val cell = gy * grid + gx
-              sums(cell) += lum; counts(cell) += 1
-              x += 1
-            }
-            y += 1
-          }
-          Some(Array.tabulate(FeatDim)(i =>
-            if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat))
-        }
+        else Some(gridLuminance(img))
       } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Real multi-frame decode for GIF, the frame-bearing format ImageIO
+      * handles pure-JVM: parse EVERY frame with the GIF `ImageReader`, then
+      * frame-sample [[FeatDim]] positions evenly across the animation and
+      * emit each sampled frame's mean luminance — a temporal luminance
+      * profile, the decode / frame-sample / feature-extract shape a video
+      * pipeline runs. A single-frame GIF degrades to the still-image 4x4
+      * grid so stills are comparable across container formats. Frames are
+      * decoded as independent rasters (GIF inter-frame disposal/compositing
+      * is NOT applied — fine for a feature summary, documented here). A
+      * header-corrupt stream (no decodable frame) is a decode failure; a
+      * stream cut mid-animation yields its complete leading frames (the
+      * ImageIO reader stops counting at the last whole frame). */
+    private[operators] def decodeGifFrames(payload: Array[Byte]): Option[Array[Float]] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true) // full stream scan: truncation throws
+          if (n <= 0) None
+          else if (n == 1) {
+            val img = reader.read(0)
+            if (img.getWidth == 0 || img.getHeight == 0) None else Some(gridLuminance(img))
+          } else {
+            val frames = new Array[java.awt.image.BufferedImage](n)
+            val out = new Array[Float](FeatDim)
+            var i = 0
+            while (i < FeatDim) {
+              val fi = (i.toLong * n / FeatDim).toInt
+              if (frames(fi) == null) frames(fi) = reader.read(fi)
+              out(i) = meanLuminance(frames(fi))
+              i += 1
+            }
+            Some(out)
+          }
+        } finally reader.dispose()
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally iis.close()
+    }
 
     // magic prefixes of the audio containers javax.sound.sampled decodes
     // out of the box: WAV (RIFF....WAVE), AIFF (FORM....AIFF), AU (.snd)
@@ -168,10 +244,11 @@ object Multimodal {
     /** Real MP4 container parse: walk the ISO-BMFF box tree to `moov/mvhd`
       * (timescale + duration) and `moov/trak/tkhd` (16.16-fixed width and
       * height), without decoding any sample data. Features: [duration_s,
-      * width, height, n_tracks, 0...]. Frame-level features stay stubbed —
-      * there is no pure-JVM video codec — so a valid container yields its
-      * REAL metadata and a truncated/corrupt one is a decode failure, the
-      * same contract as the image and audio paths. */
+      * width, height, n_tracks, 0...]. MP4 *sample* decode is out of scope
+      * (no pure-JVM H.264 codec; frame-bearing video is covered for real by
+      * [[decodeGifFrames]]) — a valid container yields its REAL metadata
+      * and a truncated/corrupt one is a decode failure, the same contract
+      * as the image and audio paths. */
     private[operators] def decodeVideoMeta(payload: Array[Byte]): Option[Array[Float]] =
       try {
         val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.BIG_ENDIAN)
@@ -229,31 +306,18 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
-    /** Deterministic fake "decode" for the stubbed modalities: hashes
-      * payload windows into a feature vector. */
-    private def fakeDecode(payload: Array[Byte]): Array[Float] = {
-      val out = new Array[Float](FeatDim)
-      var i = 0
-      while (i < payload.length) {
-        val slot = i % FeatDim
-        out(slot) = out(slot) + (payload(i) & 0xFF) / 255.0f
-        i += 1
-      }
-      var j = 0
-      while (j < FeatDim) { out(j) = out(j) / math.max(1, payload.length / FeatDim); j += 1 }
-      out
-    }
-
-    /** Bytes -> features. Real decode for image and audio payloads, real
-      * container-metadata parse for MP4 video (frame decode stubbed), byte-
-      * hash stub for everything else; None for null/empty/corrupt payloads
-      * (decode failure path). */
+    /** Bytes -> features. Real decode for image (PNG/JPEG/BMP grid
+      * luminance), GIF (per-frame temporal luminance profile), and audio
+      * (windowed PCM RMS) payloads; real container-metadata parse for MP4.
+      * None for null/empty/corrupt payloads AND for unrecognized formats —
+      * an unknown byte blob is a decode failure, never a fake vector. */
     def decodeToFeatures(payload: Array[Byte]): Option[Array[Float]] = {
-      if (payload == null || payload.isEmpty) return None
-      if (looksLikeImage(payload)) decodeImage(payload)
+      if (payload == null || payload.isEmpty) None
+      else if (looksLikeImage(payload)) decodeImage(payload)
+      else if (looksLikeGif(payload)) decodeGifFrames(payload)
       else if (looksLikeAudio(payload)) decodeAudio(payload)
       else if (looksLikeVideo(payload)) decodeVideoMeta(payload)
-      else Some(fakeDecode(payload))
+      else None
     }
   }
 
@@ -284,23 +348,130 @@ object Multimodal {
     media.repartitionByRange(parts, col("media_id"))
   }
 
-  /** Synthetic media table for tests/benchmarks (deterministic). */
+  /** Test-data generators for REAL media payloads (deterministic given id).
+    * These exist so the fixture exercises the genuine codec paths — PNG for
+    * image rows, WAV for audio rows, and for video rows an alternation of
+    * animated GIF (real frame decode) and minimal MP4 (real container
+    * metadata parse). Encoder output is deterministic within a JVM, which
+    * is all the specs and the driver gate need. */
+  private[operators] object SyntheticMedia {
+    import java.awt.image.BufferedImage
+
+    private def frame(id: Long, f: Int, w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((id * 31 + f * 53 + x * 8 + y) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    def png(id: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(frame(id, 0, 8, 8), "png", bos)
+      bos.toByteArray
+    }
+
+    /** 16-bit mono PCM WAV: 400 frames of a sine whose frequency and
+      * amplitude derive from the id. */
+    def wav(id: Long): Array[Byte] = {
+      val nFrames = 400
+      val sampleRate = 8000f
+      val freq = 200.0 + (id % 17) * 50.0
+      val amp = 0.2 + (id % 5) * 0.15
+      val pcm = new Array[Byte](nFrames * 2)
+      var i = 0
+      while (i < nFrames) {
+        val s = (math.sin(2 * math.Pi * freq * i / sampleRate) * amp * 32767).toInt
+        pcm(i * 2) = (s & 0xFF).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Animated GIF with 2 + id%4 frames via the ImageIO sequence writer. */
+    def gif(id: Long): Array[Byte] = {
+      val nFrames = 2 + (id % 4).toInt
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(frame(id, f, 8, 8), null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    /** Minimal ISO-BMFF: ftyp + moov(mvhd + trak(tkhd)), timescale 600,
+      * duration and track dimensions derived from the id. */
+    def mp4(id: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 8 + 92)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putInt(16); bb.put("ftypisom".getBytes("US-ASCII")); bb.putInt(0)
+      bb.putInt(8 + 108 + 8 + 92); bb.put("moov".getBytes("US-ASCII"))
+      bb.putInt(108); bb.put("mvhd".getBytes("US-ASCII"))
+      bb.putInt(0)                                   // version 0 + flags
+      bb.putInt(0); bb.putInt(0)                     // ctime, mtime
+      bb.putInt(600); bb.putInt((600 * (1 + id % 30)).toInt) // timescale, duration
+      bb.position(bb.position() + 108 - 8 - 20)      // rate..next_track_id: zeros
+      bb.putInt(8 + 92); bb.put("trak".getBytes("US-ASCII"))
+      bb.putInt(92); bb.put("tkhd".getBytes("US-ASCII"))
+      bb.putInt(0)                                   // version 0 + flags
+      bb.putInt(0); bb.putInt(0); bb.putInt(1); bb.putInt(0)
+      bb.putInt((600 * (1 + id % 30)).toInt)
+      bb.position(bb.position() + 8 + 2 + 2 + 2 + 2 + 36) // reserved..matrix
+      bb.putInt((320 + (id % 8).toInt * 16) << 16)   // 16.16 fixed width
+      bb.putInt((240 + (id % 8).toInt * 16) << 16)   // 16.16 fixed height
+      bb.array()
+    }
+
+    def payload(id: Long): Array[Byte] = (id % 3) match {
+      case 0 => png(id)
+      case 1 => wav(id)
+      case 2 => if ((id / 3) % 2 == 0) gif(id) else mp4(id)
+    }
+  }
+
+  /** Synthetic media table for tests/benchmarks (deterministic): REAL
+    * payloads — PNG / WAV / animated-GIF / MP4 — so every fixture row rides
+    * a genuine decode path. `n_bytes` is the actual payload size (honest
+    * input to [[repartitionForPayload]]). The udf is a test-data generator,
+    * not a query-path operator. */
   def synthetic(spark: SparkSession, n: Int): DataFrame = {
     import org.apache.spark.sql.functions.{udf => sparkUdf}
-    val payloadGen = sparkUdf((id: Long) => {
-      val bytes = new Array[Byte](64 + (id % 193).toInt)
-      var i = 0
-      while (i < bytes.length) { bytes(i) = ((id * 31 + i * 7) % 251).toByte; i += 1 }
-      bytes
-    })
+    val payloadGen = sparkUdf((id: Long) => SyntheticMedia.payload(id))
     spark.range(n.toLong).select(
       col("id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("id") % 3 + 1).cast("int")).as("modality"),
       payloadGen(col("id")).as("payload"),
-      lit("application/octet-stream").as("mime"),
-      (col("id") % 193 + 64).as("n_bytes"),
-      lit(64).as("width"), lit(64).as("height"),
+      element_at(array(lit("image/png"), lit("audio/wav"),
+        when(col("id") % 6 === 2, "image/gif").otherwise("video/mp4")),
+        (col("id") % 3 + 1).cast("int")).as("mime"),
+      lit(8).as("width"), lit(8).as("height"),
       (col("id") % 10000).as("duration_ms"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .select("media_id", "modality", "payload", "mime", "n_bytes",
+        "width", "height", "duration_ms")
   }
 }

@@ -304,8 +304,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotTop === expectTop)
   }
 
-  test("multimodal: deterministic stub decode over mapPartitions") {
+  test("multimodal: deterministic REAL decode of every fixture modality over mapPartitions") {
+    // synthetic(50) covers all four container types: PNG (id%3=0), WAV
+    // (id%3=1), animated GIF (id%6=2), MP4 (id%6=5) — every row must ride a
+    // genuine codec path (there is no fake/hash fallback anymore)
     val media = Multimodal.synthetic(spark, 50)
+    assert(media.select("mime").distinct().as[String].collect().toSet ===
+      Set("image/png", "audio/wav", "image/gif", "video/mp4"))
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length === 50)
     assert(feats.forall(_.decode_ok))
@@ -338,8 +343,9 @@ class OperatorsSpec extends AnyFunSuite {
     for (row <- 0 until 4; c <- 2 until 4)
       assert(real.features(row * 4 + c) > 0.95, s"cell ($row,$c) should be white")
 
-    // a non-PNG payload still rides the deterministic stub path
-    assert(feats(2L).decode_ok)
+    // an unrecognized byte blob is a decode FAILURE, never a fake vector
+    assert(!feats(2L).decode_ok)
+    assert(feats(2L).features.isEmpty)
 
     // corrupt PNG header (magic ok, body broken) -> decode failure, not a crash
     val broken = png.take(20)
@@ -521,6 +527,64 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((2L, "video", mp4.take(40), 40L)).toDF("media_id", "modality", "payload", "n_bytes"))
       .collect().head
     assert(!bad.decode_ok, "truncated MP4 must report decode failure")
+  }
+
+  test("multimodal: REAL animated-GIF frame decode — temporal luminance profile") {
+    // write a 4-frame 8x8 animated GIF in memory (black, white, black,
+    // white) with the ImageIO sequence writer; the 16 frame-sampled slots
+    // map 4 per frame, so the profile must alternate ~0 / ~1 in runs of 4
+    def solidFrame(rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until 4)
+      writer.writeToSequence(new javax.imageio.IIOImage(
+        solidFrame(if (f % 2 == 0) 0x000000 else 0xFFFFFF), null, null), null)
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    val gif = bos.toByteArray
+
+    val media = Seq((1L, "video", gif, gif.length.toLong))
+      .toDF("media_id", "modality", "payload", "n_bytes")
+    val real = Multimodal.extractFeatures(media).collect().head
+    assert(real.decode_ok, "animated GIF must frame-decode")
+    assert(real.features.length === Multimodal.MediaDecoder.FeatDim)
+    for (i <- 0 until 16) {
+      val expectWhite = (i / 4) % 2 == 1
+      if (expectWhite) assert(real.features(i) > 0.95, s"slot $i should sample a white frame")
+      else assert(real.features(i) < 0.05, s"slot $i should sample a black frame")
+    }
+
+    // a single-frame GIF degrades to the still-image 4x4 grid contract
+    val bos1 = new java.io.ByteArrayOutputStream()
+    val half = solidFrame(0x000000)
+    for (y <- 0 until 8; x <- 4 until 8) half.setRGB(x, y, 0xFFFFFF)
+    javax.imageio.ImageIO.write(half, "gif", bos1)
+    val still = Multimodal.extractFeatures(
+      Seq((2L, "image", bos1.toByteArray, 1L)).toDF("media_id", "modality", "payload", "n_bytes"))
+      .collect().head
+    assert(still.decode_ok)
+    for (row <- 0 until 4; c <- 0 until 2)
+      assert(still.features(row * 4 + c) < 0.05, s"cell ($row,$c) should be black")
+    for (row <- 0 until 4; c <- 2 until 4)
+      assert(still.features(row * 4 + c) > 0.95, s"cell ($row,$c) should be white")
+
+    // header-truncated GIF (magic intact, cut inside the logical screen
+    // descriptor / palette, zero complete frames) -> decode failure. A cut
+    // mid-animation still yields the complete leading frames (ImageIO
+    // reader leniency, documented on decodeGifFrames) — that case is a
+    // successful partial decode, not a failure.
+    val bad = Multimodal.extractFeatures(
+      Seq((3L, "video", gif.take(20), 3L)).toDF("media_id", "modality", "payload", "n_bytes"))
+      .collect().head
+    assert(!bad.decode_ok, "header-truncated GIF must report decode failure")
   }
 
   test("dropped-hot-bucket metrics surface under a stable name via QueryExecutionListener") {
