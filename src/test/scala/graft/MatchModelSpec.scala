@@ -19,6 +19,25 @@ class MatchModelSpec extends AnyFunSuite {
     assert(acc >= 0.85, f"accuracy $acc%.4f below the 0.85 reference band")
   }
 
+  test("RandomForest on the 40k labeled pairs reaches the published ~90% accuracy band") {
+    // the reference ships model_40000(Accu~90).pkl trained from
+    // training_data(40000).csv (train_model.py with the 40k input); the
+    // binary .pkl itself is sklearn-only, so parity is pinned at the
+    // accuracy level: same 5 features, 100 trees, seed 32, 70/30 split.
+    // NOTE the dataset's structure: 40 000 pairs but only 10 distinct
+    // employee_names, and each username appears twice (once label 1, once
+    // label 0 against a different name) — a random row split therefore
+    // leaks near-duplicate feature rows across train/test, which is what
+    // makes ~90% reachable at all. We reproduce the reference's protocol,
+    // leakage included, and band against its published number.
+    val pairs = spark.read.option("header", "true")
+      .csv("/root/reference/TRAINING_DATA/training_data(40000).csv")
+      .select(col("username"), col("employee_name"), col("label").cast("int").as("label"))
+    val (_, acc) = MatchModel.trainAndEvaluate(pairs)
+    assert(acc >= 0.85 && acc <= 0.95,
+      f"accuracy $acc%.4f outside the published ~0.90 band [0.85, 0.95]")
+  }
+
   test("model persistence roundtrip (M5)") {
     import spark.implicits._
     val pairs = Seq(
