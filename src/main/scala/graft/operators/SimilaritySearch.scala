@@ -11,8 +11,8 @@ import graft.functions._
  *
  * Scale shape: the query set is the SMALL side (broadcast); the corpus is the
  * 100 TB side and is never shuffled for the brute-force scan — cosine runs
- * inside the scan's codegen stage and top-k uses the rank-limit window
- * (bounded per-group state before the exchange). The LSH/IVF variant prunes
+ * inside the scan's codegen stage and top-k uses a bounded-heap partial
+ * aggregate (O(queries x k) rows shuffled, no sort — [[topKPerQuery]]). The LSH/IVF variant prunes
  * the corpus scan to matching buckets via an equi-join on the bucket key.
  */
 object SimilaritySearch {
@@ -28,31 +28,26 @@ object SimilaritySearch {
     df.withColumn("bucket", hyperplane_bucket(col(vecCol), lit(planes), lit(seed)))
 
   /**
-   * Brute-force exact top-k cosine neighbors for every query vector.
-   * `queries` (small, broadcast) x `corpus` -> BroadcastNestedLoopJoin,
-   * cosine in codegen.
-   *
-   * Top-k selection: for a Long id column the per-query top-k runs as the
+   * Per-query top-k selection over a scored candidate frame, shared by the
+   * brute / LSH / IVF variants. For a Long id column it runs as the
    * bounded-heap [[graft.functions.TopKAgg]] aggregate — a
    * TypedImperativeAggregate participates in PARTIAL aggregation, so each
-   * map task reduces its corpus slice to a k-element heap BEFORE the
+   * map task reduces its candidate slice to a k-element heap BEFORE the
    * exchange and the shuffle carries O(queries x k) rows per partition
-   * instead of the full |corpus| x |queries| scored set, with no sort at
-   * all (measured ~15% CPU off ss_knn_classify at sf0.1 — 1.07 vs 1.28
-   * converged min-CPU; the win grows with corpus size). Heap eviction order (ord DESC, id ASC) is exactly
-   * the window form's `ORDER BY cosine DESC, id ASC` — q20_topk_agg
-   * hash-matches the window oracle, proving the equivalence. Non-Long id
-   * columns fall back to the rank-limit window (WindowGroupLimit bounds
-   * pre-shuffle state there too, but still sorts and still moves one row
-   * per scored pair).
+   * instead of one row per scored pair, with no sort at all (measured ~15%
+   * CPU off ss_knn_classify at sf0.1 — 1.07 vs 1.28 converged min-CPU; the
+   * win grows with candidate-set size). Heap eviction order (ord DESC, id
+   * ASC) is exactly the window form's `ORDER BY cosine DESC, id ASC` —
+   * q20_topk_agg hash-matches the window oracle, proving the equivalence.
+   * Non-Long id columns fall back to the rank-limit window
+   * (WindowGroupLimit bounds pre-shuffle state there too, but still sorts
+   * and still moves every scored pair). Callers must pre-deduplicate
+   * (queryId, corpusId) candidates — the heap has no id-dedup.
    */
-  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-                    corpusId: String = "vec_id", corpusVec: String = "embedding",
-                    queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+  private def topKPerQuery(scored: DataFrame, k: Int,
+                           queryId: String, corpusId: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("cosine", cosine_sim(col(corpusVec), col(queryVec)))
-    if (corpus.schema(corpusId).dataType == LongType) {
+    if (scored.schema(corpusId).dataType == LongType) {
       scored.groupBy(col(queryId))
         .agg(topk_by(col("cosine"), col(corpusId), k).as("topk"))
         .select(col(queryId), posexplode(col("topk")).as(Seq("pos", "p")))
@@ -65,6 +60,19 @@ object SimilaritySearch {
         .filter(col("rn") <= k)
         .select(col(queryId), col(corpusId), col("cosine"), col("rn"))
     }
+  }
+
+  /**
+   * Brute-force exact top-k cosine neighbors for every query vector.
+   * `queries` (small, broadcast) x `corpus` -> BroadcastNestedLoopJoin,
+   * cosine in codegen, bounded-heap top-k per query ([[topKPerQuery]]).
+   */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                    corpusId: String = "vec_id", corpusVec: String = "embedding",
+                    queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine", cosine_sim(col(corpusVec), col(queryVec)))
+    topKPerQuery(scored, k, queryId, corpusId)
   }
 
   /**
@@ -103,13 +111,14 @@ object SimilaritySearch {
    * bucket of each query within each table — one flipped sign bit — by
    * EXPLODING the query side into `planes + 1` probe rows per table. A
    * (query, corpus) pair can match in several tables, so candidates are
-   * deduplicated on `(queryId, corpusId)` before the top-k window (without
-   * this a near duplicate could occupy two of the k slots).
+   * deduplicated on `(queryId, corpusId)` before the top-k selection
+   * (without this a near duplicate could occupy two of the k slots).
    *
    * Scale shape: queries stay broadcast; the corpus is never shuffled for
    * candidate generation — it is exploded x`numTables` INSIDE the scan
    * stage (scan cost x L, no exchange). The only shuffles move the pruned
-   * candidate set, keyed by query: dedup + window. Corpus prune factor per
+   * candidate set, keyed by query: dedup + bounded-heap top-k
+   * ([[topKPerQuery]]). Corpus prune factor per
    * table is ~(planes+1)/2^planes; recall compounds across tables as
    * 1-(1-p)^L. Defaults (3 tables x 4 planes, Hamming<=1) give a
    * DETERMINISTIC 0.92 recall@5 on the driver's random-vector embeddings
@@ -136,11 +145,7 @@ object SimilaritySearch {
     val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .withColumn("cosine", cosine_sim(col(corpusVec), col(queryVec)))
       .dropDuplicates(queryId, corpusId)
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cosine").desc, col(corpusId).asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col(queryId), col(corpusId), col("cosine"), col("rn"))
+    topKPerQuery(scored, k, queryId, corpusId)
   }
 
   /** Deterministic IVF coarse-quantizer centroids: the first `n` corpus
@@ -216,10 +221,6 @@ object SimilaritySearch {
       .withColumn("cell", explode(slice(probes, 1, nprobe).getField("cid")))
     val scored = c.join(broadcast(q), Seq("cell"))
       .withColumn("cosine", cosine_sim(col(corpusVec), col(queryVec)))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cosine").desc, col(corpusId).asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col(queryId), col(corpusId), col("cosine"), col("rn"))
+    topKPerQuery(scored, k, queryId, corpusId)
   }
 }
