@@ -194,4 +194,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked in:\n$p")
   }
+
+  test("brute kNN: bounded-heap topk_by aggregates partially before the exchange, no sort") {
+    val p = plan(SparkEntry.queries("ss_knn_brute")(spark, sf))
+    // TypedImperativeAggregate plans as ObjectHashAggregate; the partial
+    // instance below the exchange reduces each map task's scored slice to a
+    // k-element heap, so the shuffle carries O(queries x k) rows — the
+    // property that keeps brute-force scoring viable on a 100 TB corpus
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final topk_by aggregate pair:\n$p")
+    assert(p.contains("partial_topk_by"), s"map-side heap missing:\n$p")
+    assert(!p.contains("WindowGroupLimit") && !p.toLowerCase.contains("sortexec"),
+      s"top-k must not fall back to the sort/window path:\n$p")
+  }
 }
