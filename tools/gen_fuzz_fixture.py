@@ -392,28 +392,38 @@ def candidate_pairs(usernames, roster) -> set:
     return pairs
 
 
-def gen_match_synth(sf_dir: str, out_csv: str) -> None:
+def gen_match_synth(sf_dirs, out_csv: str) -> None:
     """fixtures/match_synth.csv: the composite score for EVERY (username,
     employee) pair of the synthetic sf workload — same bit-exact technique
     as match_golden.csv — plus `is_cand`, whether MatchBlocking admits the
     pair, so BOTH nm_match_topk and nm_match_topk_blocked reduce to window
-    SQL over this fixture for the DuckDB oracle."""
-    usernames, roster = synth_workload(sf_dir)
-    cand = candidate_pairs(usernames, roster)
+    SQL over this fixture for the DuckDB oracle.
+
+    One slice per sf dir, discriminated by `n_part` (= the roster size =
+    `count(*) FROM part` at that scale): the oracle SQL selects its slice
+    with `WHERE n_part = (SELECT count(*) FROM part)`, so the SAME static
+    oracle adapts to whichever scale DuckDB is pointed at. sf0.1 is
+    deliberately NOT precomputed (20k-employee roster -> a 4M-row fixture;
+    the sf0.01 slice already oracles the identical code path end-to-end),
+    so at sf0.1 these two queries fall back to the rows-only check."""
     n = 0
     with open(out_csv, "w", newline="") as fh:
         w = csv.writer(fh)
         w.writerow(["username", "emp_id", "employee_name", "score",
-                    "score_fmt", "is_cand"])
-        for u in usernames:
-            ul = u.lower().strip(" ")
-            for emp_id, first, last, name in roster:
-                sc = composite_score(ul, first, last)
-                w.writerow([u, emp_id, name, repr(sc), java_pct(sc),
-                            1 if (u, emp_id) in cand else 0])
-                n += 1
-    print(f"wrote {n} match_synth rows ({len(usernames)} users x "
-          f"{len(roster)} employees, {len(cand)} blocked candidates) from {sf_dir}")
+                    "score_fmt", "is_cand", "n_part"])
+        for sf_dir in sf_dirs:
+            usernames, roster = synth_workload(sf_dir)
+            cand = candidate_pairs(usernames, roster)
+            for u in usernames:
+                ul = u.lower().strip(" ")
+                for emp_id, first, last, name in roster:
+                    sc = composite_score(ul, first, last)
+                    w.writerow([u, emp_id, name, repr(sc), java_pct(sc),
+                                1 if (u, emp_id) in cand else 0, len(roster)])
+                    n += 1
+            print(f"  {sf_dir}: {len(usernames)} users x {len(roster)} "
+                  f"employees, {len(cand)} blocked candidates")
+    print(f"wrote {n} match_synth rows")
 
 
 # ---------------------------------------------------------------- generate
@@ -466,8 +476,10 @@ def main() -> None:
     print(f"wrote {n} match_golden rows")
 
     # match_synth.csv: the same end-to-end technique for the SF-scaled
-    # synthetic workload (sf0.01 — the scale the round driver verifies at)
-    gen_match_synth("/root/testdata/sf0.01", "fixtures/match_synth.csv")
+    # synthetic workload — one n_part-discriminated slice per scale the
+    # tri-scale self-check runs at (sf0.01 is the driver's gate scale)
+    gen_match_synth(["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+                    "fixtures/match_synth.csv")
 
 
 if __name__ == "__main__":
