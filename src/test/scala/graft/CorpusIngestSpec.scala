@@ -42,6 +42,17 @@ class CorpusIngestSpec extends AnyFunSuite {
         "text", "doc_id", s"$base/out", s"$base/ckpt", jaccardThreshold = 0.5)
       assert(spark.read.parquet(s"$base/out").count() === streamed.count(),
         "restart replayed already-processed files")
+      // at-least-once REPLAY (crash between parquet commit and checkpoint
+      // advance, here emulated as the worst case — a fresh checkpoint
+      // replays EVERY batch with the same deterministic batch ids): each
+      // batch overwrites its own batch_id=<id> partition dir, so readers
+      // of outDir see identical content, not appended duplicates
+      CorpusIngest.ingestDedupStreaming(spark, s"$base/src", corpus,
+        "text", "doc_id", s"$base/out", s"$base/ckpt2", jaccardThreshold = 0.5)
+      val replayed = spark.read.parquet(s"$base/out")
+        .select("id", "dup_of", "jaccard", "is_new")
+        .as[(Long, Option[Long], Option[Double], Boolean)].collect().toSet
+      assert(replayed === want, "full replay must overwrite, never duplicate")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
