@@ -37,7 +37,7 @@ object MatchCli {
     val employees = EmployeeNormalizer.normalize(employeesRaw)
 
     val usernamesRaw = spark.read.option("header", "true").csv(usernamesPath)
-    val lowered = usernamesRaw.toDF(usernamesRaw.columns.map(_.toLowerCase): _*)
+    val lowered = usernamesRaw.toDF(usernamesRaw.columns.map(_.toLowerCase).toIndexedSeq: _*)
     require(lowered.columns.contains("username"),
       "usernames CSV must contain a 'username' column (main.py:153)")
 

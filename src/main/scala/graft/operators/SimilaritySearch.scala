@@ -189,7 +189,7 @@ object SimilaritySearch {
     * and no per-row window. `struct(-cosine, cid)` sorted ascending puts
     * the best centroid first. */
   private def cellExpr(vec: Column, centroids: Array[(Long, Array[Float])]): Column =
-    sort_array(array(centroids.map { case (cid, cvec) =>
+    sort_array(array(centroids.toIndexedSeq.map { case (cid, cvec) =>
       struct((-cosine_sim(vec, typedLit(cvec))).as("neg"), lit(cid).as("cid"))
     }: _*)).getItem(0).getField("cid")
 
@@ -214,7 +214,7 @@ object SimilaritySearch {
     val cents = centroids.getOrElse(ivfCentroids(corpus, nCentroids, corpusId, corpusVec))
     val c = corpus.withColumn("cell", cellExpr(col(corpusVec), cents))
     // nprobe nearest cells per query: same struct-sort, sliced to nprobe
-    val probes = sort_array(array(cents.map { case (cid, cvec) =>
+    val probes = sort_array(array(cents.toIndexedSeq.map { case (cid, cvec) =>
       struct((-cosine_sim(col(queryVec), typedLit(cvec))).as("neg"), lit(cid).as("cid"))
     }: _*))
     val q = queries

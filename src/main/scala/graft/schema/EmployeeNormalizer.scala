@@ -55,7 +55,7 @@ object EmployeeNormalizer {
   def normalize(raw: DataFrame): DataFrame = {
     val spark = raw.sparkSession
     // 1. lowercase headers
-    val lowered = raw.toDF(raw.columns.map(_.toLowerCase): _*)
+    val lowered = raw.toDF(raw.columns.map(_.toLowerCase).toIndexedSeq: _*)
     // 2. first-matching-alias rename
     var cols = lowered.columns.toSeq
     val renames = CanonicalAliases.flatMap { case (canonical, aliases) =>
