@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("fuzz_token_sort_ratio", "token-sort indel ratio 0..100")(a => FuzzTokenSortRatio(a(0), a(1)))
     inject("soundex_jf", "American Soundex, digit-safe")(a => SoundexJf(a(0)))
     inject("metaphone", "Metaphone (Philips 1990) phonetic code")(a => MetaphoneExpr(a(0)))
+    inject("unicode_normalize", "Unicode NFC/NFD/NFKC/NFKD normalization")(a => UnicodeNormalize(a(0), a(1)))
     inject("lang_id", "n-gram language-ID heuristic")(a => LangId(a(0)))
     inject("simhash64", "64-bit SimHash fingerprint")(a => SimHash64(a(0)))
     inject("rolling_fingerprint", "rolling-hash document fingerprint")(a => RollingFingerprint(a(0), a(1)))

@@ -164,6 +164,15 @@ object TextAlgos {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "by", "at", "from", "this", "be", "are", "was")
 
+  /** Unicode normalization via `java.text.Normalizer` — the
+    * canonicalization step that runs before dedup/fingerprinting so the
+    * same text in composed vs decomposed (or compatibility-variant) form
+    * hashes identically. `form` is NFC | NFD | NFKC | NFKD; an unknown
+    * form throws IllegalArgumentException at first evaluation. Bit-stable:
+    * the JDK implements the Unicode-specified normalization algorithm. */
+  def unicodeNormalize(s: String, form: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.valueOf(form))
+
   /** Heuristic language ID: character-class + stopword-ratio n-gram
     * heuristic. Deterministic; returns ISO-ish codes or "unknown". */
   def langId(text: String): String = {

@@ -92,6 +92,24 @@ case class MetaphoneExpr(child: Expression) extends UnaryStringStringExpression 
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) of a text column — the
+  * pre-dedup canonicalization kernel ([[TextAlgos.unicodeNormalize]]). */
+case class UnicodeNormalize(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def nullSafeEval(a: Any, f: Any): Any =
+    UTF8String.fromString(TextAlgos.unicodeNormalize(
+      a.asInstanceOf[UTF8String].toString, f.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, f) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.TextAlgos.unicodeNormalize($a.toString(), $f.toString()))")
+  override def prettyName: String = "unicode_normalize"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Deterministic language-ID heuristic over a text column. */
 case class LangId(child: Expression) extends UnaryStringStringExpression {
   override protected def kernel: String = "graft.functions.TextAlgos.langId"

@@ -34,6 +34,7 @@ package object functions {
   def metaphone(a: Column): Column = c(MetaphoneExpr(e(a)))
 
   // ---- text analysis / dedup surface ----
+  def unicode_normalize(a: Column, form: Column): Column = c(UnicodeNormalize(e(a), e(form)))
   def lang_id(a: Column): Column = c(LangId(e(a)))
   def simhash64(a: Column): Column = c(SimHash64(e(a)))
   def rolling_fingerprint(a: Column, window: Column): Column = c(RollingFingerprint(e(a), e(window)))
@@ -64,6 +65,7 @@ package object functions {
     reg2("fuzz_token_sort_ratio", a => FuzzTokenSortRatio(a(0), a(1)))
     reg2("soundex_jf", a => SoundexJf(a(0)))
     reg2("metaphone", a => MetaphoneExpr(a(0)))
+    reg2("unicode_normalize", a => UnicodeNormalize(a(0), a(1)))
     reg2("lang_id", a => LangId(a(0)))
     reg2("simhash64", a => SimHash64(a(0)))
     reg2("rolling_fingerprint", a => RollingFingerprint(a(0), a(1)))

@@ -33,6 +33,24 @@ object TextAnalysis {
     size(filter(pieces, p => length(p) > 0)) + length(text) * lit(0)
   }
 
+  /** Text canonicalization for dedup/fingerprinting: Unicode-normalize
+    * (default NFKC — compatibility fold: ligatures, width variants,
+    * composed/decomposed accents), optionally lowercase, collapse
+    * whitespace runs to single spaces, trim. Running this BEFORE
+    * minhash/simhash/exact-hash makes visually-identical text hash
+    * identically — without it a corpus crawled from mixed sources keeps
+    * `ﬁnal`/`final` and `café`/`cafe´` as distinct documents. Appends
+    * `text_norm` and `changed` (false for NULL text). Pure codegen
+    * projection — shuffle-free at any scale. */
+  def normalizeText(df: DataFrame, textCol: String, form: String = "NFKC",
+                    lowercase: Boolean = true): DataFrame = {
+    val normed = unicode_normalize(col(textCol), lit(form))
+    val lowered = if (lowercase) lower(normed) else normed
+    df.withColumn("text_norm", trim(regexp_replace(lowered, "\\s+", " ")))
+      .withColumn("changed",
+        col(textCol).isNotNull && col(textCol) =!= col("text_norm"))
+  }
+
   /** Quality features: length, token stats, punctuation + stopword ratios.
     * Returns df with appended columns. */
   def withQualityFeatures(df: DataFrame, textCol: String): DataFrame = {

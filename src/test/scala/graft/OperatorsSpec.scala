@@ -386,6 +386,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("unicode normalization: NFC/NFKC vectors, case, whitespace, null safety") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "café"),          // e + combining acute
+      (2L, "ﬁnal  Report"),   // fi ligature + double space
+      (3L, "Ｈｅllo"),     // fullwidth H, e
+      (4L, "  plain text "),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+
+    // NFKC (the dedup default): compatibility folding — ligature and
+    // fullwidth variants collapse to ASCII, accents compose
+    val nfkc = TextAnalysis.normalizeText(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(nfkc(1L).getAs[String]("text_norm") === "café")
+    assert(nfkc(2L).getAs[String]("text_norm") === "final report")
+    assert(nfkc(3L).getAs[String]("text_norm") === "hello")
+    assert(nfkc(4L).getAs[String]("text_norm") === "plain text")
+    assert((1L to 4L).forall(nfkc(_).getAs[Boolean]("changed")))
+    assert(nfkc(5L).getAs[String]("text_norm") === null)
+    assert(!nfkc(5L).getAs[Boolean]("changed"), "NULL text must report changed=false")
+
+    // NFC keeps compatibility characters (the oracle-facing form)
+    val nfc = TextAnalysis.normalizeText(docs, "text", form = "NFC", lowercase = false)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(nfc(1L).getAs[String]("text_norm") === "café")
+    assert(nfc(2L).getAs[String]("text_norm") === "ﬁnal Report")
+    assert(nfc(3L).getAs[String]("text_norm") === "Ｈｅllo")
+
+    // the canonicalization makes composed/decomposed twins dedup-identical
+    val twins = Seq((1L, "café menu"), (2L, "café   MENU")).toDF("doc_id", "text")
+    val norms = TextAnalysis.normalizeText(twins, "text")
+      .select("text_norm").distinct().count()
+    assert(norms === 1L, "decomposed twin must normalize to the composed form")
+  }
+
   test("repetition ratio: duplicate 3-gram fraction with exact known values") {
     import graft.operators.TextAnalysis
     val docs = Seq(
