@@ -37,6 +37,12 @@ import graft.functions._
  * metrics so the hole is visible. The default cap is high (10k members ~
  * 50M generated pairs per group) because the explode-first generator keeps
  * per-row memory O(s) even at the cap.
+ *
+ * Canonicalize first: run [[TextAnalysis.normalizeText]] over the text
+ * column before any of these (exact hash, minhash, simhash) so
+ * composed/decomposed and compatibility-variant renderings of the same
+ * text land in the same buckets — mixed-source crawls otherwise keep
+ * them as distinct documents.
  */
 object Dedup {
 

@@ -51,6 +51,33 @@ object TextAnalysis {
         col(textCol).isNotNull && col(textCol) =!= col("text_norm"))
   }
 
+  /** Line-level quality features — the heuristics corpus-curation
+    * pipelines run on crawled text where DOCUMENT-level stats look fine
+    * but the line structure betrays boilerplate: fraction of non-empty
+    * lines ending in terminal punctuation (prose ends sentences; nav/menu
+    * debris doesn't), fraction starting like bullets or numbered lists,
+    * and the duplicate-line fraction (repeated headers/footers). All
+    * computed with split + higher-order array functions inside the scan's
+    * codegen stage — shuffle-free at any scale. NULL text yields NULL
+    * features (the [[tokenCount]] arithmetic-guard convention). */
+  def withLineQualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    // NULL-propagation guard: NULL text -> NULL out; 0 otherwise
+    val guard = length(t) * lit(0)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => length(l) > 0)
+    val n = size(lines) // -1 for NULL text (Spark's size(null) convention)
+    def ratio(cnt: Column): Column =
+      when(n > 0, cnt.cast("double") / n).otherwise(lit(0.0)) + guard
+    df.withColumn("n_lines",
+        (when(n < 0, 0).otherwise(n) + guard).cast("long"))
+      .withColumn("term_punct_line_ratio",
+        ratio(size(filter(lines, l => l.rlike("[.!?]$")))))
+      .withColumn("bullet_line_ratio",
+        ratio(size(filter(lines, l => l.rlike("^([-*]|[0-9]+[.)])")))))
+      .withColumn("dup_line_ratio",
+        ratio(n - size(array_distinct(lines))))
+  }
+
   /** Quality features: length, token stats, punctuation + stopword ratios.
     * Returns df with appended columns. */
   def withQualityFeatures(df: DataFrame, textCol: String): DataFrame = {

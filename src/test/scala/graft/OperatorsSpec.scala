@@ -386,6 +386,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("line-level quality: terminal-punct, bullet, duplicate-line fractions") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      // 4 non-empty lines: 2 end in terminal punct, 2 bullets, no dups
+      (1L, "A sentence.\n- item one\n- item two\nAnother sentence!"),
+      // repeated footer: 3 lines, 1 dup pair -> dup ratio 1/3; no bullets;
+      // "Footer" unterminated -> term ratio 1/3
+      (2L, "Prose ends here.\nFooter\nFooter"),
+      // numbered list counts as bullets; blank lines don't count at all
+      (3L, "1. first\n\n2) second\n\n"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.withLineQualityFeatures(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_lines") === 4L)
+    assert(got(1L).getAs[Double]("term_punct_line_ratio") === 0.5)
+    assert(got(1L).getAs[Double]("bullet_line_ratio") === 0.5)
+    assert(got(1L).getAs[Double]("dup_line_ratio") === 0.0)
+    assert(got(2L).getAs[Double]("dup_line_ratio") === 1.0 / 3)
+    assert(got(2L).getAs[Double]("term_punct_line_ratio") === 1.0 / 3)
+    assert(got(2L).getAs[Double]("bullet_line_ratio") === 0.0)
+    assert(got(3L).getAs[Long]("n_lines") === 2L)
+    assert(got(3L).getAs[Double]("bullet_line_ratio") === 1.0)
+    assert(got(4L).getAs[Long]("n_lines") === 0L)
+    assert(got(4L).getAs[Double]("dup_line_ratio") === 0.0)
+    assert(got(5L).isNullAt(got(5L).fieldIndex("n_lines")), "NULL text -> NULL features")
+    assert(got(5L).isNullAt(got(5L).fieldIndex("term_punct_line_ratio")))
+  }
+
   test("unicode normalization: NFC/NFKC vectors, case, whitespace, null safety") {
     import graft.operators.TextAnalysis
     val docs = Seq(
