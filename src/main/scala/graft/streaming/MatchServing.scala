@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{StructField, StructType, StringType}
+
+import graft.pipeline.MatchPipeline
+
+/**
+ * Streaming form of the flagship match pipeline — the engine's equivalent
+ * of the reference's always-on serving loop (`main.py:136-221` accepts an
+ * upload per request): a file-source stream of username batches is matched
+ * against a FIXED, pre-normalized roster, writing one ranked-match output
+ * per batch.
+ *
+ * Design notes for the serving shape:
+ *  - The roster is the small side and is broadcast inside the batch
+ *    pipeline ([[MatchPipeline.scoredPairs]] pins BroadcastNestedLoopJoin),
+ *    so each micro-batch costs O(|batch| x |roster|) kernel evaluations and
+ *    shuffles only the batch's own usernames — latency scales with the
+ *    request batch, never the corpus of past requests.
+ *  - A username's verdict depends ONLY on (username, roster): micro-batch
+ *    boundaries cannot change results, and the union of per-batch outputs
+ *    equals one batch-mode run over all input (pinned in MatchServingSpec).
+ *  - IDEMPOTENT OUTPUT under at-least-once replay: per-batch hive-style
+ *    `batch_id=<id>` partition directories with overwrite, the same
+ *    exactly-once-by-idempotence recipe as [[CorpusIngest]].
+ *  - `matchOutput` deduplicates usernames per batch; duplicates ACROSS
+ *    batches re-serve (same answer) by design — it is a serving loop, not
+ *    an ingest: each request deserves its response.
+ */
+object MatchServing {
+
+  /** The username-batch source schema (CSV-shaped: one string column). */
+  val UsernameSchema: StructType =
+    StructType(Seq(StructField("username", StringType, nullable = true)))
+
+  def matchStreaming(spark: SparkSession, sourceDir: String,
+                     employees: DataFrame, outDir: String,
+                     checkpointDir: String,
+                     maxFilesPerTrigger: Int = 1): Unit = {
+    val stream = spark.readStream.schema(UsernameSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        MatchPipeline.matchOutput(batch, employees)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
