@@ -43,10 +43,17 @@ object SimilaritySearch {
    * (WindowGroupLimit bounds pre-shuffle state there too, but still sorts
    * and still moves every scored pair). Callers must pre-deduplicate
    * (queryId, corpusId) candidates — the heap has no id-dedup.
+   *
+   * NULL-score contract: NULL cosines are dropped up front on BOTH paths
+   * (the heap aggregate would silently skip them while the window would
+   * rank them last — the filter makes the two paths agree). A candidate
+   * with a NULL score is a non-result, never a rank-k filler; a query
+   * whose every candidate scores NULL is absent from the output.
    */
-  private def topKPerQuery(scored: DataFrame, k: Int,
+  private def topKPerQuery(scored0: DataFrame, k: Int,
                            queryId: String, corpusId: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
+    val scored = scored0.filter(col("cosine").isNotNull)
     if (scored.schema(corpusId).dataType == LongType) {
       scored.groupBy(col(queryId))
         .agg(topk_by(col("cosine"), col(corpusId), k).as("topk"))

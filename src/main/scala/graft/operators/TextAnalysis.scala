@@ -313,13 +313,18 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     // coalesce before hashing: a NULL text would sort NULLS FIRST in Spark
     // but NULLS LAST in most SQL engines — md5('') is engine-agnostic
-    val w = Window.partitionBy(col("stratum"))
+    // __stratum internal name (the __h/__toks convention, same as the other
+    // three samplers): the caller's expression is evaluated ONCE against the
+    // original columns, and a frame that already carries a `stratum` (or
+    // whose idCol IS "stratum") can never collide with the window key
+    val w = Window.partitionBy(col("__stratum"))
       .orderBy(col("__h").asc, col(idCol).asc)
-    df.select(col(idCol), stratum.as("stratum"),
+    df.select(col(idCol), stratum.as("__stratum"),
         md5(coalesce(col(textCol), lit(""))).as("__h"))
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
       .drop("__h")
+      .withColumnRenamed("__stratum", "stratum")
   }
 
   /**

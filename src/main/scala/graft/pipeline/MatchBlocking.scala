@@ -161,8 +161,13 @@ object MatchBlocking {
           col("e_sdx_first"), col("e_sdx_last"), col("e_mp_first"), col("e_mp_last"),
           col("e_first_initial"), col("e_patterns")))
       .select("username", "emp_id", "employee_name", "score")
+    // same three-key total order as MatchPipeline.rankedTopK: employee_name
+    // is the FINAL tiebreak because emp_id alone is not a total order — the
+    // reference roster reuses EMP_IDs, so a same-id score tie at the top-k
+    // boundary would otherwise keep a nondeterministic name on this path
+    // while the exact path is pinned.
     val byUser = Window.partitionBy(col("username"))
-      .orderBy(col("score").desc, col("emp_id").asc)
+      .orderBy(col("score").desc, col("emp_id").asc, col("employee_name").asc)
     val byUserScore = Window.partitionBy(col("username")).orderBy(col("score").desc)
     val qualifies = col("score") >= threshold
     val ranked = scored

@@ -68,6 +68,30 @@ class MatchBlockingSpec extends AnyFunSuite {
     assert(agreement >= 0.80, f"top-1 agreement $agreement%.4f below floor")
   }
 
+  test("duplicate-emp_id roster: blocked top-k tiebreak matches the exact path") {
+    // The reference roster reuses EMP_IDs, so (score, emp_id) is not a total
+    // order. Five employees share id 14 and the same (first, last) — all
+    // score 100 on the pattern tier for `anna.bell` — so top-k membership is
+    // decided ONLY by the employee_name tiebreak. Round-7 the blocked window
+    // omitted that key and could keep either same-id row at the boundary.
+    val roster = Seq("c", "a", "e", "b", "d").map(sfx =>
+      ("14", "anna", "bell", s"anna bell $sfx"))
+      .toDF("emp_id", "first_name", "last_name", "employee_name")
+    val probes = Seq("anna.bell").toDF("username")
+    val exact = MatchPipeline.matchOutput(probes, roster)
+      .select("username", "emp_id", "emp_name", "confidence_score", "match_type")
+      .collect().map(_.toSeq).toSet
+    val blocked = MatchBlocking.matchOutput(probes, roster)
+      .select("username", "emp_id", "emp_name", "confidence_score", "match_type")
+      .collect().map(_.toSeq).toSet
+    assert(blocked === exact, "blocked path kept different same-id rows than exact")
+    // TopK=4 (reference NUM_TOP_GROUP_MATCHES + NUM_ADDITIONAL): the 5-way
+    // tie is cut at the boundary by employee_name asc alone
+    val kept = blocked.map(_(2).asInstanceOf[String])
+    assert(kept === Set("anna bell a", "anna bell b", "anna bell c", "anna bell d"),
+      s"top-4 not the name-asc smallest: $kept")
+  }
+
   test("candidate volume is a small fraction of the cross product") {
     val candidates = MatchBlocking.candidatePairs(usernames, employees).count()
     val crossProduct = usernames.count() * employees.count()

@@ -355,34 +355,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!bad.decode_ok, "truncated PNG must report decode failure")
   }
 
-  test("q16 sketches stay within documented error bounds of the exact answers") {
-    // q16 is rows-only at the driver gate (approx algorithms differ across
-    // engines); this pins its accuracy CONTRACT instead: HLL++ at Spark's
-    // default rsd 0.05 (allow 3 sigma ~ 15%), percentile_approx at accuracy
-    // 1000 (quantile rank error <= 0.001; allow 5x slack via the exact
-    // 0.495/0.505 and 0.985/0.995 quantile bands)
+  test("q16 emits exact answers plus in-query sketch error-bound booleans") {
+    // q16 is now hash-oracled: the output carries EXACT columns (distinct
+    // count, discrete p50/p99 at rank ceil(q*n)) plus booleans asserting
+    // the sketch contracts (HLL++ rsd 0.05 -> 15% band; percentile_approx
+    // accuracy 1000 -> the exact 0.495/0.505 and 0.985/0.995 rank bands).
+    // Re-derive the exact columns here by brute sorting in Scala — an
+    // implementation-independent check of the histogram+window construct.
     val li = spark.read.parquet(s"${SparkTestBase.Sf0001}/lineitem.parquet")
-    val approx = SparkEntry.queries("q16_sketches")(spark, SparkTestBase.Sf0001)
+      .select("l_returnflag", "l_partkey", "l_extendedprice")
+      .collect()
+      .groupBy(_.getString(0))
+    val out = SparkEntry.queries("q16_sketches")(spark, SparkTestBase.Sf0001)
       .collect().map(r => r.getString(0) -> r).toMap
-    val exact = li.groupBy("l_returnflag").agg(
-      countDistinct(col("l_partkey")).as("parts"),
-      expr("percentile(l_extendedprice, 0.495D)").as("p50_lo"),
-      expr("percentile(l_extendedprice, 0.505D)").as("p50_hi"),
-      expr("percentile(l_extendedprice, 0.985D)").as("p99_lo"),
-      expr("percentile(l_extendedprice, 0.995D)").as("p99_hi"))
-      .collect().map(r => r.getString(0) -> r).toMap
-    assert(approx.keySet === exact.keySet)
-    for ((flag, a) <- approx) {
-      val e = exact(flag)
-      val parts = e.getAs[Long]("parts").toDouble
-      assert(math.abs(a.getAs[Long]("approx_parts") - parts) / parts <= 0.15,
-        s"$flag: HLL distinct ${a.getAs[Long]("approx_parts")} vs exact $parts")
-      assert(a.getAs[Double]("p50_price") >= e.getAs[Double]("p50_lo") &&
-        a.getAs[Double]("p50_price") <= e.getAs[Double]("p50_hi"),
-        s"$flag: approx p50 outside the exact 0.495..0.505 band")
-      assert(a.getAs[Double]("p99_price") >= e.getAs[Double]("p99_lo") &&
-        a.getAs[Double]("p99_price") <= e.getAs[Double]("p99_hi"),
-        s"$flag: approx p99 outside the exact 0.985..0.995 band")
+    assert(out.keySet === li.keySet)
+    for ((flag, r) <- out) {
+      val rows = li(flag)
+      val prices = rows.map(_.getDouble(2)).sorted
+      def atRank(q: Double): Double = prices(math.ceil(q * prices.length).toInt - 1)
+      assert(r.getAs[Long]("exact_parts") === rows.map(_.getLong(1)).distinct.length.toLong,
+        s"$flag: exact distinct parts")
+      assert(r.getAs[Double]("p50_exact") === atRank(0.5), s"$flag: exact p50")
+      assert(r.getAs[Double]("p99_exact") === atRank(0.99), s"$flag: exact p99")
+      assert(r.getAs[Boolean]("hll_ok"), s"$flag: HLL estimate outside 15% band")
+      assert(r.getAs[Boolean]("p50_ok"), s"$flag: approx p50 outside rank band")
+      assert(r.getAs[Boolean]("p99_ok"), s"$flag: approx p99 outside rank band")
     }
   }
 
@@ -869,6 +866,32 @@ class OperatorsSpec extends AnyFunSuite {
       .count() === 3, "rate 1.0 must keep the NULL-text doc too")
     assert(TextAnalysis.stratifiedSample(d, "text", "id", col("grp"), 10)
       .count() === 3)
+  }
+
+  test("samplers never clobber a pre-existing stratum column (__stratum sweep)") {
+    // every sampler evaluates the caller's stratum EXPRESSION against the
+    // original columns under the internal __stratum name; a frame that
+    // already carries an unrelated `stratum` column must not leak into the
+    // grouping, the rate lookup, or the budget lookup
+    import graft.operators.TextAnalysis
+    val d = (1L to 100L).map(i => (i, s"doc $i body", "GARBAGE", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "stratum", "lang")
+    val byLang = col("lang")
+    val strat = TextAnalysis.stratifiedSample(d, "text", "doc_id", byLang, k = 7)
+    assert(strat.select("stratum").distinct().as[String].collect().toSet === Set("en", "de"))
+    assert(strat.count() === 14)
+    val mix = TextAnalysis.mixtureSample(d, "text", byLang, Map("de" -> 0.0))
+    assert(mix.select("stratum").distinct().as[String].collect().toSet === Set("en"),
+      "rate lookup must key on the expression, not the stale column")
+    assert(mix.count() === 50)
+    val qq = TextAnalysis.qualityQuantileFilter(
+      d.withColumn("score", col("doc_id").cast("double")), "score", "doc_id", byLang, 1.0)
+    assert(qq.select("stratum").distinct().as[String].collect().toSet === Set("en", "de"))
+    val tb = TextAnalysis.tokenBudgetFill(
+      d.withColumn("score", col("doc_id").cast("double")), "text", "doc_id",
+      "score", byLang, Map("de" -> 0L))
+    assert(tb.select("stratum").distinct().as[String].collect().toSet === Set("en"),
+      "budget lookup must key on the expression, not the stale column")
   }
 
   test("mixture resampling: per-stratum rates, nested samples, content-keyed") {
