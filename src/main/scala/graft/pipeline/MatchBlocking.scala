@@ -34,11 +34,12 @@ import graft.scoring.MatchScore
  * sharing 64 distinct names (the synthetic bench fixture) piles thousands of
  * emp_ids onto each key and blocking approaches the cross product while also
  * paying the key-explode shuffles — the exact broadcast path wins there.
- * Hot keys are FREQUENCY-CAPPED (`maxEmployeesPerKey` in [[candidatePairs]]):
- * keys above a per-key employee count are dropped before the join, bounding
- * candidate volume on pathological name skew at the cost of recall THROUGH
- * those keys only (a true match usually shares several keys, so most survive
- * the cap — MatchBlockingSpec pins recall with the cap active).
+ * Hot keys are FREQUENCY-CAPPED with SALVAGE (`maxEmployeesPerKey` in
+ * [[candidatePairs]]): a key above a per-key employee count is sub-split by
+ * a name-prefix signature (dedup's over-cap-bucket pattern) so probes that
+ * share name material still reach their employees through a discriminative
+ * sub-bucket; only residually-hot sub-buckets degrade to cap-smallest ids
+ * (MatchBlockingSpec pins recall with the cap active).
  */
 object MatchBlocking {
 
@@ -63,10 +64,11 @@ object MatchBlocking {
     *     DISCRIMINATIVE key that no cap can take away.
     */
   /** Per-key employee cap (see [[candidatePairs]]): a key held by more
-    * employees than this keeps only its cap-smallest emp_ids. The reference
+    * employees than this sub-splits by name-prefix signature, and residual
+    * over-cap sub-buckets keep their cap-smallest emp_ids. The reference
     * workload's hottest key holds < 20 employees, so the default changes
     * nothing there; a pathological roster (thousands of employees sharing
-    * one name) stays bounded at `cap * |U_key|` candidates per key. */
+    * one name) stays bounded at `cap * |sub-keys probed|` candidates. */
   val DefaultMaxEmployeesPerKey = 200
 
   def candidatePairs(usernames: DataFrame, employees: DataFrame,
@@ -78,14 +80,15 @@ object MatchBlocking {
     val uGrams = expr(
       s"transform(sequence(1, greatest(length(u_norm) - ${gram - 1}, 1)), i -> substring(u_norm, i, $gram))")
     val uKeys = u.select(col("username"),
-        explode(array_distinct(concat(
+        array_distinct(concat(
           array(col("u_norm"), col("u_sdx"), col("u_mp"), col("u_part1"), col("u_part2"),
             // tier 4: trailing digits stripped — `harshm37` -> `harshm`
             regexp_replace(col("u_norm"), "\\d+$", "")),
-          uGrams)))
-          .as("block_key"))
+          uGrams)).as("u_keys"),
+        uGrams.as("u_grams"))
+      .select(col("username"), col("u_grams"), explode(col("u_keys")).as("block_key"))
       .filter(length(col("block_key")) > 0)
-    val eKeys = e.select(col("emp_id"),
+    val eKeys = e.select(col("emp_id"), col("e_first"), col("e_last"),
         explode(array_distinct(concat(col("e_patterns"), array(
           col("e_first"), col("e_last"),
           substring(col("e_first"), 1, gram), substring(col("e_last"), 1, gram),
@@ -96,36 +99,57 @@ object MatchBlocking {
           concat(col("e_first"), substring(col("e_last"), 1, 1))))))
           .as("block_key"))
       .filter(length(col("block_key")) > 0)
-    // FREQUENCY CAP (the skew mitigation promised above): a blocking key
-    // shared by more than `maxEmployeesPerKey` employees contributes
-    // |U_key| * |E_key| candidate pairs while ranking signal comes from the
-    // SCORE, not key multiplicity. Hot keys are not dropped whole (that
-    // turned every digit-suffix username on a low-name-cardinality roster
-    // into USER NOT FOUND — its only keys were the hot name tokens);
-    // instead each key keeps its `maxEmployeesPerKey` SMALLEST emp_ids —
-    // the same asc-string order the pipeline's top-k tiebreak uses, so the
-    // deterministic winner of a score tie is the candidate most likely to
-    // survive the cut. Volume stays bounded at cap * |U_key| per key;
-    // recall THROUGH a hot key degrades only for employees ranked past the
-    // cap (MatchBlockingSpec pins both properties). The rank filter is a
-    // WindowGroupLimit: each map task emits at most cap rows per key before
-    // the exchange, so the window never materializes a hot key's full
-    // roster. Keys that REACHED the cap (>= cap members — the observe must
-    // sit above the rank filter or it would block the WindowGroupLimit
-    // rewrite) are counted in the `<metricTag>_capped_keys` metric —
-    // deterministic per composition site; a query composing candidatePairs
-    // twice passes distinct tags (Spark rejects duplicate observe names in
-    // one plan).
-    val byKey = Window.partitionBy(col("block_key")).orderBy(col("emp_id").asc)
-    val eKeysCapped = eKeys
-      .withColumn("__rk", row_number().over(byKey))
+    // FREQUENCY CAP with HOT-KEY SALVAGE (dedup's over-cap-bucket sub-split,
+    // mirrored — Dedup.candidatesFromKeyed): a blocking key shared by more
+    // than `maxEmployeesPerKey` employees contributes |U_key| * |E_key|
+    // candidate pairs while ranking signal comes from the SCORE, not key
+    // multiplicity. Hot keys are not dropped whole, and no longer keep a
+    // fixed id-order subset either (that made employees ranked past the cap
+    // UNREACHABLE through the key for every probe); instead a hot key is
+    // SUB-SPLIT by a secondary signature both sides can derive — the
+    // `gram`-char prefix of each employee name token vs every `gram`-gram
+    // of the username — so a probe that actually shares name material with
+    // an employee meets it in a discriminative sub-bucket regardless of id
+    // rank. Volume: a sub-bucket is the subset of the hot key agreeing on
+    // a name-prefix signature; residually-hot sub-buckets (e.g. thousands
+    // of literally identical names) fall back to cap-smallest emp_ids —
+    // graceful degradation, same shape as dedup's salvage-then-cap.
+    // Probe-side fan-out is bounded: only keys on the (broadcast) hot list
+    // explode into |grams| sub-keys.
+    // Metrics (one observe per composition site; pass distinct tags when
+    // composing twice): `<tag>_hot_keys` = keys that sub-split,
+    // `<tag>_capped_subkeys` = residual sub-buckets still at the cap.
+    val keyCounts = eKeys.groupBy("block_key")
+      .agg(count(lit(1)).as("__kc"))
+      .filter(col("__kc") > maxEmployeesPerKey)
+      .select(col("block_key"))
+    val hotKeys = broadcast(keyCounts
+      .observe(s"${metricTag}_hot_keys", count(lit(1)).as("n_hot_keys")))
+    // separator between key and signature: '' never occurs in
+    // normalized name material, so sub-keys cannot collide with plain keys
+    val sep = ""
+    val eCold = eKeys.join(hotKeys, Seq("block_key"), "left_anti")
+      .select("emp_id", "block_key")
+    val eHot = eKeys.join(hotKeys, Seq("block_key"), "left_semi")
+      .select(col("emp_id"), explode(array_distinct(array(
+          concat(col("block_key"), lit(sep), substring(col("e_first"), 1, gram)),
+          concat(col("block_key"), lit(sep), substring(col("e_last"), 1, gram)))))
+        .as("block_key"))
+    val bySubKey = Window.partitionBy(col("block_key")).orderBy(col("emp_id").asc)
+    val eHotCapped = eHot
+      .withColumn("__rk", row_number().over(bySubKey))
       .filter(col("__rk") <= maxEmployeesPerKey)
-      .observe(s"${metricTag}_capped_keys",
+      .observe(s"${metricTag}_capped_subkeys",
         sum(when(col("__rk") === maxEmployeesPerKey, 1L).otherwise(0L))
-          .as("n_capped_keys"))
+          .as("n_capped_subkeys"))
       .drop("__rk")
-    uKeys.join(eKeysCapped, "block_key")
-      .select("username", "emp_id")
+    val uCold = uKeys.select("username", "block_key")
+    val uHot = uKeys.join(hotKeys, Seq("block_key"), "left_semi")
+      .select(col("username"), col("block_key"), explode(col("u_grams")).as("__g"))
+      .select(col("username"),
+        concat(col("block_key"), lit(sep), col("__g")).as("block_key"))
+    uCold.join(eCold, "block_key").select("username", "emp_id")
+      .unionByName(uHot.join(eHotCapped, "block_key").select("username", "emp_id"))
       .distinct()
   }
 

@@ -32,7 +32,12 @@ import graft.operators.Dedup
  *    output path, while overwriting the batch's OWN directory makes replay
  *    a no-op for readers of `outDir` (they see batch_id as a partition
  *    column). This is the standard exactly-once-by-idempotence recipe for
- *    deterministic batches.
+ *    deterministic batches. SAME-CONFIG REQUIREMENT (shared with
+ *    [[MatchServing]]): overwrite only absorbs a replay that reproduces
+ *    the batch-to-file assignment — same source file set, listing order,
+ *    and `maxFilesPerTrigger`; a fresh-checkpoint replay under a changed
+ *    trigger config or a shrunk source dir partitions batches differently
+ *    and can leave stale `batch_id=` dirs — use a clean `outDir` then.
  *  - `schema` makes the empty-source bootstrap explicit: without it the
  *    source schema is inferred from existing parquet under `sourceDir`,
  *    which fails outright when the directory is empty at start time.

@@ -24,16 +24,41 @@ import graft.pipeline.MatchPipeline
  *    equals one batch-mode run over all input (pinned in MatchServingSpec).
  *  - IDEMPOTENT OUTPUT under at-least-once replay: per-batch hive-style
  *    `batch_id=<id>` partition directories with overwrite, the same
- *    exactly-once-by-idempotence recipe as [[CorpusIngest]].
+ *    exactly-once-by-idempotence recipe as [[CorpusIngest]]. SAME-CONFIG
+ *    REQUIREMENT (shared with CorpusIngest): overwrite-by-batch_id only
+ *    absorbs a replay that reproduces the batch-to-file assignment — same
+ *    source file set, listing order, and `maxFilesPerTrigger`. A
+ *    fresh-checkpoint replay with a different `maxFilesPerTrigger`, or
+ *    over a shrunk source dir, produces a different batch partitioning and
+ *    can leave STALE `batch_id=` dirs from the earlier run mixed into
+ *    `outDir`; when changing the trigger config or re-serving a pruned
+ *    source, point at a clean `outDir` (or delete it) instead of relying
+ *    on overwrite.
  *  - `matchOutput` deduplicates usernames per batch; duplicates ACROSS
  *    batches re-serve (same answer) by design — it is a serving loop, not
  *    an ingest: each request deserves its response.
+ *  - LATENCY per micro-batch = one broadcast-NLJ scoring pass over
+ *    |batch| x |roster| plus one username-partitioned window: seconds for
+ *    thousand-row request files against a 10^4-row roster on a small
+ *    cluster. `maxFilesPerTrigger` trades latency for throughput: 1 =
+ *    lowest per-request latency, higher values amortize fixed per-batch
+ *    planning cost across request files (results are invariant either
+ *    way — micro-batch boundaries cannot change a verdict).
  */
 object MatchServing {
 
   /** The username-batch source schema (CSV-shaped: one string column). */
   val UsernameSchema: StructType =
     StructType(Seq(StructField("username", StringType, nullable = true)))
+
+  /** Reader-side contract for the served output: partition discovery over
+    * the `batch_id=<id>` dirs yields the match columns plus a `batch_id`
+    * pinned to LONG (raw discovery would infer INT for small ids and
+    * silently widen once ids pass 2^31 — readers get one stable type). */
+  def readServed(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(outDir).withColumn("batch_id", col("batch_id").cast("long"))
+  }
 
   def matchStreaming(spark: SparkSession, sourceDir: String,
                      employees: DataFrame, outDir: String,

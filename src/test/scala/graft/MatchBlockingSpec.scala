@@ -114,6 +114,34 @@ class MatchBlockingSpec extends AnyFunSuite {
       "default cap changed the reference candidate set")
   }
 
+  test("hot-key salvage: a true match ranked past the cap survives via its sub-bucket") {
+    // Roster built so the probe's ONLY shared keys are hot: 2 first names x
+    // 3 last-name families x 10 digit variants. With cap=10, `john` (30
+    // employees), `joh`, and `zet` (20) are all over cap. The true match
+    // ("john.zeta" -> john zeta07, id 927) sorts PAST the cap-smallest ids
+    // of every hot key it shares (john-quin/john-rook ids 900-919 sort
+    // first), so round-7's cap-smallest behavior dropped it: its survival
+    // here is entirely the name-prefix sub-split ((john, zet) holds just
+    // the 10 john-zeta employees, under cap).
+    val roster = (for {
+      (f, fi) <- Seq("john", "mary").zipWithIndex
+      (fam, mi) <- Seq("quin", "rook", "zeta").zipWithIndex
+      d <- 0 until 10
+    } yield {
+      val id = (900 + fi * 100 + mi * 10 + d).toString
+      val last = fam + "%02d".format(d)
+      (id, f, last, s"$f $last")
+    }).toDF("emp_id", "first_name", "last_name", "employee_name")
+    val probes = Seq("john.zeta").toDF("username")
+    val cand = MatchBlocking.candidatePairs(probes, roster, maxEmployeesPerKey = 10)
+      .as[(String, String)].collect().toSet
+    val johnZetaIds = (920 to 929).map(_.toString).toSet
+    assert(johnZetaIds.subsetOf(cand.map(_._2)),
+      s"sub-bucket (john, zet) must admit all john-zeta ids; got ${cand.map(_._2)}")
+    // and the whole candidate set stays bounded: <= cap per sub-bucket probed
+    assert(cand.size <= 10 * 8, s"salvage exploded candidate volume: ${cand.size}")
+  }
+
   test("frequency cap bounds candidate volume on a pathologically skewed roster") {
     // 3000 employees sharing ONE name: every name-derived blocking key holds
     // 3000 employees, so uncapped blocking degenerates toward the cross

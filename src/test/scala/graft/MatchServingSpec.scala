@@ -44,11 +44,34 @@ class MatchServingSpec extends AnyFunSuite {
         "restart replayed already-served batches")
 
       // worst-case at-least-once replay (fresh checkpoint, same batch ids):
-      // per-batch overwrite dirs absorb it — identical content, no dupes
+      // per-batch overwrite dirs absorb it — identical content, no dupes.
+      // NOTE the scaladoc's same-config requirement: this only holds because
+      // the source file set, listing order, and maxFilesPerTrigger are
+      // unchanged; a different trigger config must use a clean outDir
       MatchServing.matchStreaming(spark, s"$base/src", employees,
         s"$base/out", s"$base/ckpt2")
       assert(key(spark.read.parquet(s"$base/out")) === want,
         "full replay must overwrite, never duplicate")
+
+      // reader contract: partition discovery + pinned LONG batch_id
+      val served = MatchServing.readServed(spark, s"$base/out")
+      assert(served.schema("batch_id").dataType ===
+        org.apache.spark.sql.types.LongType)
+      assert(served.columns.toSet === Set("username", "emp_id", "emp_name",
+        "confidence_score", "match_type", "batch_id"))
+
+      // maxFilesPerTrigger > 1: fewer micro-batches, identical verdicts
+      // (fresh out/ckpt dirs — a changed trigger config must not reuse them)
+      MatchServing.matchStreaming(spark, s"$base/src", employees,
+        s"$base/out_mft2", s"$base/ckpt_mft2", maxFilesPerTrigger = 2)
+      val mft2 = spark.read.parquet(s"$base/out_mft2")
+      // fresh read: `streamed`'s file listing is stale after the replays
+      val nBatches1 = spark.read.parquet(s"$base/out")
+        .select("batch_id").distinct().count()
+      assert(mft2.select("batch_id").distinct().count() < nBatches1,
+        "maxFilesPerTrigger=2 should coalesce source files into fewer batches")
+      assert(key(mft2) === want,
+        "maxFilesPerTrigger must not change any verdict")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm); f.delete()

@@ -373,22 +373,44 @@ def employee_block_keys(first: str, last: str) -> set:
     return {k for k in keys if k}
 
 
+GRAM = 3
+KEY_SEP = "\x01"  # never occurs in normalized name material
+
+
 def candidate_pairs(usernames, roster) -> set:
     """(username, emp_id) pairs MatchBlocking.candidatePairs admits: shared
-    blocking key, with each key keeping only its cap-smallest emp_ids
-    (string asc — the same order Spark/DuckDB binary-compare VARCHARs)."""
-    by_key = {}
+    blocking key, with HOT-KEY SALVAGE — a key held by more than cap
+    employees is sub-split by a name-prefix signature (gram-char prefix of
+    each employee name token vs every username gram); residually-hot
+    sub-buckets keep their cap-smallest emp_ids (string asc — the same
+    order Spark/DuckDB binary-compare VARCHARs)."""
+    by_key = {}  # key -> list of (emp_id, f, l)
     for emp_id, first, last, _ in roster:
+        f, l = first.strip(" ").lower(), last.strip(" ").lower()
         for k in employee_block_keys(first, last):
-            by_key.setdefault(k, []).append(emp_id)
-    capped = {k: set(sorted(v)[:MAX_EMPLOYEES_PER_KEY])
-              for k, v in by_key.items()}
+            by_key.setdefault(k, []).append((emp_id, f, l))
+    hot = {k for k, v in by_key.items() if len(v) > MAX_EMPLOYEES_PER_KEY}
+    cold = {k: {e for e, _, _ in v}
+            for k, v in by_key.items() if k not in hot}
+    sub = {}
+    for k in hot:
+        for emp_id, f, l in by_key[k]:
+            for sig in {f[:GRAM], l[:GRAM]}:
+                sub.setdefault(k + KEY_SEP + sig, set()).add(emp_id)
+    sub_capped = {sk: set(sorted(v)[:MAX_EMPLOYEES_PER_KEY])
+                  for sk, v in sub.items()}
     pairs = set()
     for u in usernames:
         u_norm = u.lower().strip(" ")
+        grams = {u_norm[i:i + GRAM] for i in range(0, max(len(u_norm) - GRAM + 1, 1))}
         for k in username_block_keys(u_norm):
-            for emp_id in capped.get(k, ()):
-                pairs.add((u, emp_id))
+            if k in hot:
+                for g in grams:
+                    for emp_id in sub_capped.get(k + KEY_SEP + g, ()):
+                        pairs.add((u, emp_id))
+            else:
+                for emp_id in cold.get(k, ()):
+                    pairs.add((u, emp_id))
     return pairs
 
 
@@ -402,10 +424,10 @@ def gen_match_synth(sf_dirs, out_csv: str) -> None:
     One slice per sf dir, discriminated by `n_part` (= the roster size =
     `count(*) FROM part` at that scale): the oracle SQL selects its slice
     with `WHERE n_part = (SELECT count(*) FROM part)`, so the SAME static
-    oracle adapts to whichever scale DuckDB is pointed at. sf0.1 is
-    deliberately NOT precomputed (20k-employee roster -> a 4M-row fixture;
-    the sf0.01 slice already oracles the identical code path end-to-end),
-    so at sf0.1 these two queries fall back to the rows-only check."""
+    oracle adapts to whichever scale DuckDB is pointed at. The sf0.1 slice
+    (3M pairs) lives in a separate gzipped file (match_synth_sf01.csv.gz,
+    see main) — DuckDB's read_csv takes the [csv, csv.gz] list — so the
+    flagship top-k pair is hash-oracled at the bench scale too."""
     n = 0
     with open(out_csv, "w", newline="") as fh:
         w = csv.writer(fh)
@@ -424,6 +446,58 @@ def gen_match_synth(sf_dirs, out_csv: str) -> None:
             print(f"  {sf_dir}: {len(usernames)} users x {len(roster)} "
                   f"employees, {len(cand)} blocked candidates")
     print(f"wrote {n} match_synth rows")
+
+
+# --- sf0.1 slice: same content, parallel + gzipped (3M pure-python scores) --
+
+_POOL_ROSTER = None
+
+
+def _pool_init(roster):
+    global _POOL_ROSTER
+    _POOL_ROSTER = roster
+
+
+def _score_user(args):
+    """All fixture rows for ONE username (worker side; roster via initializer
+    so 20k employee tuples aren't re-pickled per task)."""
+    u, cand_ids = args
+    ul = u.lower().strip(" ")
+    out = []
+    for emp_id, first, last, name in _POOL_ROSTER:
+        sc = composite_score(ul, first, last)
+        out.append((u, emp_id, name, repr(sc), java_pct(sc),
+                    1 if emp_id in cand_ids else 0))
+    return out
+
+
+def gen_match_synth_gz(sf_dir, out_gz: str) -> None:
+    """The sf0.1 match_synth slice as its own gzipped CSV: identical columns
+    and semantics to gen_match_synth, parallelized over usernames (pure-
+    python scoring of 152 x 20000 pairs is ~20 min serial) and written in
+    sorted-username order so regeneration is byte-deterministic."""
+    import gzip
+    import multiprocessing as mp
+    usernames, roster = synth_workload(sf_dir)
+    cand = candidate_pairs(usernames, roster)
+    cand_by_user = {}
+    for u, emp_id in cand:
+        cand_by_user.setdefault(u, set()).add(emp_id)
+    tasks = [(u, cand_by_user.get(u, frozenset())) for u in usernames]
+    n = 0
+    with gzip.open(out_gz, "wt", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["username", "emp_id", "employee_name", "score",
+                    "score_fmt", "is_cand", "n_part"])
+        with mp.Pool(initializer=_pool_init, initargs=(roster,)) as pool:
+            # imap preserves task order -> output order is username-sorted
+            for rows in pool.imap(_score_user, tasks, chunksize=1):
+                for r in rows:
+                    w.writerow(list(r) + [len(roster)])
+                    n += 1
+    print(f"  {sf_dir}: {len(usernames)} users x {len(roster)} employees, "
+          f"{len(cand)} blocked candidates")
+    print(f"wrote {n} match_synth rows to {out_gz}")
 
 
 # ---------------------------------------------------------------- generate
@@ -480,7 +554,17 @@ def main() -> None:
     # tri-scale self-check runs at (sf0.01 is the driver's gate scale)
     gen_match_synth(["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
                     "fixtures/match_synth.csv")
+    # the bench-scale slice is big (3M pairs) -> own gzipped file; the
+    # oracle SQL reads the [csv, csv.gz] pair and n_part-selects as before
+    gen_match_synth_gz("/root/testdata/sf0.1",
+                       "fixtures/match_synth_sf01.csv.gz")
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--sf01-only" in sys.argv:
+        # regenerate just the bench-scale gzipped slice (the expensive one)
+        gen_match_synth_gz("/root/testdata/sf0.1",
+                           "fixtures/match_synth_sf01.csv.gz")
+    else:
+        main()
