@@ -88,6 +88,14 @@ object MatchBlocking {
         uGrams.as("u_grams"))
       .select(col("username"), col("u_grams"), explode(col("u_keys")).as("block_key"))
       .filter(length(col("block_key")) > 0)
+    // localCheckpoint: the roster-side key table feeds THREE consumers
+    // below (hot-key census, cold anti join, hot semi join) and Spark
+    // re-executes a common subplan per consumer — without this the
+    // phonetic/pattern kernels over the roster run three times. The
+    // roster is the small side by contract (same assumption as the
+    // broadcast in matchOutput), so materializing |E| x ~17 narrow rows
+    // is cheap; the USERNAME side is never checkpointed — at scale it is
+    // the big side and its two consumers are scan-cheap projections.
     val eKeys = e.select(col("emp_id"), col("e_first"), col("e_last"),
         explode(array_distinct(concat(col("e_patterns"), array(
           col("e_first"), col("e_last"),
@@ -99,6 +107,7 @@ object MatchBlocking {
           concat(col("e_first"), substring(col("e_last"), 1, 1))))))
           .as("block_key"))
       .filter(length(col("block_key")) > 0)
+      .localCheckpoint()
     // FREQUENCY CAP with HOT-KEY SALVAGE (dedup's over-cap-bucket sub-split,
     // mirrored — Dedup.candidatesFromKeyed): a blocking key shared by more
     // than `maxEmployeesPerKey` employees contributes |U_key| * |E_key|
