@@ -207,4 +207,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("WindowGroupLimit") && !p.toLowerCase.contains("sortexec"),
       s"top-k must not fall back to the sort/window path:\n$p")
   }
+
+  test("q16: sketches + exact distinct share one scan; quantile window sorts distinct prices") {
+    val df = SparkEntry.queries("q16_sketches")(spark, sf)
+    val p = plan(df)
+    // one scan feeds the mixed sketch+countDistinct aggregate (Catalyst's
+    // distinct-agg rewrite), one feeds the exact-quantile histogram — the
+    // r08 fold of the separate exact-distinct scan must not regress to 3
+    // (string count: AQE wraps the tree, hiding scan nodes from collect)
+    val nScans = "Scan parquet".r.findAllIn(p).size
+    assert(nScans === 2, s"expected 2 lineitem scans, got $nScans:\n$p")
+    // the quantile windows sort AFTER the (flag, price) pre-aggregation:
+    // distinct prices per group, never raw rows (the 100 TB guard)
+    assert(p.contains("partial_count"), s"histogram must pre-aggregate:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final aggregate pairs on both branches:\n$p")
+  }
+
+  test("blocked matching: roster key table materializes once; hot list broadcasts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val users = Seq("john.zeta", "mary_quin").toDF("username")
+    val roster = (1 to 30).map(i => (i.toString, "john", f"zeta$i%02d", f"john zeta$i%02d"))
+      .toDF("emp_id", "first_name", "last_name", "employee_name")
+    val df = graft.pipeline.MatchBlocking.candidatePairs(users, roster,
+      maxEmployeesPerKey = 10)
+    val p = plan(df)
+    // the roster-side key explode is localCheckpoint'd (plans as an RDD
+    // scan), so its phonetic kernels run once for the census/cold/hot
+    // consumers instead of three times
+    assert(p.contains("Scan ExistingRDD"),
+      s"roster key table must be checkpointed, not recomputed per consumer:\n$p")
+    // the over-cap key census reaches the probe side via broadcast — the
+    // username side must never shuffle on the census
+    assert(p.contains("BroadcastExchange"), s"hot-key list must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate joins must stay broadcast/hash, never sort-merge:\n$p")
+  }
 }
