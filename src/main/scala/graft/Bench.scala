@@ -85,8 +85,9 @@ object Bench {
         def numMap(field: String): Map[String, Double] = {
           val m = scala.collection.mutable.Map[String, Double]()
           if (root.has(field)) {
-            val it = root.get(field).fields()
-            while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
+            val node = root.get(field)
+            val it = node.fieldNames()
+            while (it.hasNext) { val k = it.next(); m(k) = node.get(k).asDouble() }
           }
           m.toMap
         }

@@ -23,7 +23,10 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft", null, name, usage, "")
+    // the full constructor — the short (className, db, name, usage, extended)
+    // overload is deprecated since Spark 3.0
+    new ExpressionInfo("graft", null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def inject(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =

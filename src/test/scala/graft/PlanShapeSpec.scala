@@ -208,20 +208,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-k must not fall back to the sort/window path:\n$p")
   }
 
-  test("q16: sketches + exact distinct share one scan; quantile window sorts distinct prices") {
+  test("q16: no Expand in any aggregate; quantile window sorts distinct prices") {
     val df = SparkEntry.queries("q16_sketches")(spark, sf)
     val p = plan(df)
-    // one scan feeds the mixed sketch+countDistinct aggregate (Catalyst's
-    // distinct-agg rewrite), one feeds the exact-quantile histogram — the
-    // r08 fold of the separate exact-distinct scan must not regress to 3
-    // (string count: AQE wraps the tree, hiding scan nodes from collect)
-    val nScans = "Scan parquet".r.findAllIn(p).size
-    assert(nScans === 2, s"expected 2 lineitem scans, got $nScans:\n$p")
+    // the exact distinct count must stay a SEPARATE two-level aggregation:
+    // folding it into the sketch aggregate makes the distinct-agg rewrite
+    // Expand every row 2x and drag the wide sketch partial buffers through
+    // the (flag, partkey) shuffle — measured 3x the CPU of the extra scan
+    // (r08). Three cheap scans beat one fat shuffle.
+    assert(!p.contains("Expand"),
+      s"mixed distinct+sketch aggregate reintroduced the Expand shuffle:\n$p")
     // the quantile windows sort AFTER the (flag, price) pre-aggregation:
     // distinct prices per group, never raw rows (the 100 TB guard)
     assert(p.contains("partial_count"), s"histogram must pre-aggregate:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 4,
-      s"expected partial+final aggregate pairs on both branches:\n$p")
+      s"expected partial+final aggregate pairs per branch:\n$p")
+    assert(p.contains("partial_approx_count_distinct"),
+      s"sketch aggregate must combine map-side:\n$p")
   }
 
   test("blocked matching: roster key table materializes once; hot list broadcasts") {
