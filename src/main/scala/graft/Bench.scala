@@ -40,11 +40,15 @@ import org.apache.spark.sql.SparkSession
   * `queries_wall`). When the bench runs at the same SF, the output carries
   * a `regressions` object naming every query whose best (post-retry)
   * min-CPU exceeds its baseline by more than the pinned threshold (1.5x)
-  * AND by an absolute margin that clears timer noise — and, for sub-0.5 s
+  * AND by an absolute margin that clears timer noise — and, for sub-1 s
   * baselines, whose min-WALL breaches its pin too (see [[WallGateBelowSec]]:
   * GC/JIT attribution inflates CPU but not wall, so the dual gate stops
-  * sub-second pins crying wolf). Regression entries carry the wall numbers
-  * so the artifact shows the attribution evidence either way.
+  * sub-second pins crying wolf). The wall gate is overridden at
+  * [[HardCpuRatio]]: a CPU-only excursion that large is beyond observed
+  * attribution noise and flags even with flat wall, so a genuinely
+  * CPU-regressed parallel stage (whose wall moves only delta/32 on
+  * local[32]) cannot hide behind the gate indefinitely. Regression entries
+  * carry the wall numbers so the artifact shows the evidence either way.
   */
 object Bench {
 
@@ -108,12 +112,20 @@ object Bench {
     * well). 1.0 s covers the whole sub-second class the jitter lands on. */
   private val WallGateBelowSec = 1.0
 
+  /** CPU ratio above which a breach flags even with flat wall: observed
+    * attribution noise tops out ~2x on sub-second queries; a 3x CPU-only
+    * excursion is a real signal (e.g. a parallel stage tripling its work
+    * moves wall only delta/32 on local[32] and would otherwise never trip
+    * the wall gate). */
+  private val HardCpuRatio = 3.0
+
   private def breaches(b: Baseline, name: String,
                        cpu: Double, wall: Double): Boolean =
     b.cpu.get(name).exists { base =>
       val cpuBreach = cpu > base * b.threshold && cpu - base > noiseFloorSec(base)
       if (!cpuBreach) false
       else if (base >= WallGateBelowSec) true
+      else if (cpu > base * HardCpuRatio) true
       else b.wall.get(name).forall(wb =>
         wall > wb * b.threshold && wall - wb > noiseFloorSec(wb))
     }

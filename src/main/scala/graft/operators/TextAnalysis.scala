@@ -315,8 +315,13 @@ object TextAnalysis {
     // but NULLS LAST in most SQL engines — md5('') is engine-agnostic
     // __stratum internal name (the __h/__toks convention, same as the other
     // three samplers): the caller's expression is evaluated ONCE against the
-    // original columns, and a frame that already carries a `stratum` (or
-    // whose idCol IS "stratum") can never collide with the window key
+    // original columns, and a frame that already carries a `stratum` column
+    // can never collide with the window key. An idCol literally NAMED
+    // "stratum" would still leave two same-named output columns after the
+    // final rename — reject it up front instead of emitting an ambiguous
+    // frame.
+    require(idCol != "stratum",
+      "stratifiedSample: idCol must not be named 'stratum' (output carries a 'stratum' column)")
     val w = Window.partitionBy(col("__stratum"))
       .orderBy(col("__h").asc, col(idCol).asc)
     df.select(col(idCol), stratum.as("__stratum"),

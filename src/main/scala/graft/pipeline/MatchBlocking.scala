@@ -79,14 +79,27 @@ object MatchBlocking {
     val e = MatchPipeline.prepareEmployees(employees)
     val uGrams = expr(
       s"transform(sequence(1, greatest(length(u_norm) - ${gram - 1}, 1)), i -> substring(u_norm, i, $gram))")
+    // u_sigs: the probe-side sub-bucket signatures for HOT keys — every
+    // `gram`-gram (literal name material) PLUS the phonetic codes of the
+    // whole username and its split parts. The phonetic members matter: a
+    // probe like `jhon99` shares only the soundex key with a misspelled
+    // roster name, and grams alone would strand it in zero sub-buckets
+    // where the pre-salvage design still reached the cap-smallest ids.
+    // With sdx in the signature set it lands in the (hotkey, sdx)
+    // sub-bucket, which degrades to cap-smallest only when the roster is
+    // phonetically degenerate — graceful, never silently dead.
+    val uSigs = array_distinct(concat(
+      uGrams,
+      array(col("u_sdx"), graft.functions.soundex_jf(col("u_part1")),
+        graft.functions.soundex_jf(col("u_part2")))))
     val uKeys = u.select(col("username"),
         array_distinct(concat(
           array(col("u_norm"), col("u_sdx"), col("u_mp"), col("u_part1"), col("u_part2"),
             // tier 4: trailing digits stripped — `harshm37` -> `harshm`
             regexp_replace(col("u_norm"), "\\d+$", "")),
           uGrams)).as("u_keys"),
-        uGrams.as("u_grams"))
-      .select(col("username"), col("u_grams"), explode(col("u_keys")).as("block_key"))
+        uSigs.as("u_sigs"))
+      .select(col("username"), col("u_sigs"), explode(col("u_keys")).as("block_key"))
       .filter(length(col("block_key")) > 0)
     // localCheckpoint: the roster-side key table feeds THREE consumers
     // below (hot-key census, cold anti join, hot semi join) and Spark
@@ -94,9 +107,11 @@ object MatchBlocking {
     // phonetic/pattern kernels over the roster run three times. The
     // roster is the small side by contract (same assumption as the
     // broadcast in matchOutput), so materializing |E| x ~17 narrow rows
-    // is cheap; the USERNAME side is never checkpointed — at scale it is
-    // the big side and its two consumers are scan-cheap projections.
+    // is cheap. The USERNAME side is never checkpointed — at scale it is
+    // the big side — and it has exactly ONE consumer (the single-pass
+    // conditional expansion below), so its kernels evaluate once anyway.
     val eKeys = e.select(col("emp_id"), col("e_first"), col("e_last"),
+        col("e_sdx_first"), col("e_sdx_last"),
         explode(array_distinct(concat(col("e_patterns"), array(
           col("e_first"), col("e_last"),
           substring(col("e_first"), 1, gram), substring(col("e_last"), 1, gram),
@@ -112,38 +127,48 @@ object MatchBlocking {
     // mirrored — Dedup.candidatesFromKeyed): a blocking key shared by more
     // than `maxEmployeesPerKey` employees contributes |U_key| * |E_key|
     // candidate pairs while ranking signal comes from the SCORE, not key
-    // multiplicity. Hot keys are not dropped whole, and no longer keep a
+    // multiplicity. Hot keys are not dropped whole, and do not keep a
     // fixed id-order subset either (that made employees ranked past the cap
     // UNREACHABLE through the key for every probe); instead a hot key is
     // SUB-SPLIT by a secondary signature both sides can derive — the
-    // `gram`-char prefix of each employee name token vs every `gram`-gram
-    // of the username — so a probe that actually shares name material with
-    // an employee meets it in a discriminative sub-bucket regardless of id
-    // rank. Volume: a sub-bucket is the subset of the hot key agreeing on
-    // a name-prefix signature; residually-hot sub-buckets (e.g. thousands
-    // of literally identical names) fall back to cap-smallest emp_ids —
-    // graceful degradation, same shape as dedup's salvage-then-cap.
-    // Probe-side fan-out is bounded: only keys on the (broadcast) hot list
-    // explode into |grams| sub-keys.
+    // `gram`-char prefix AND soundex code of each employee name token vs
+    // every `gram`-gram plus the phonetic codes of the username — so a
+    // probe that shares name material (literal OR phonetic) with an
+    // employee meets it in a discriminative sub-bucket regardless of id
+    // rank. Residually-hot sub-buckets (thousands of literally identical
+    // names) fall back to cap-smallest emp_ids — graceful degradation,
+    // same shape as dedup's salvage-then-cap.
+    // Probe-side fan-out is bounded: only keys on the (broadcast) hot
+    // list expand, into |u_sigs| sub-keys each, inside ONE conditional
+    // generator — the probe side is a single pass over uKeys, so the
+    // username-side kernels (soundex, metaphone, grams) evaluate once,
+    // not once per cold/hot branch (the username side is the BIG side at
+    // scale and is never checkpointed).
     // Metrics (one observe per composition site; pass distinct tags when
     // composing twice): `<tag>_hot_keys` = keys that sub-split,
     // `<tag>_capped_subkeys` = residual sub-buckets still at the cap.
-    val keyCounts = eKeys.groupBy("block_key")
+    val hotKeys = broadcast(eKeys.groupBy("block_key")
       .agg(count(lit(1)).as("__kc"))
       .filter(col("__kc") > maxEmployeesPerKey)
-      .select(col("block_key"))
-    val hotKeys = broadcast(keyCounts
+      .select(col("block_key"), lit(true).as("__hot"))
       .observe(s"${metricTag}_hot_keys", count(lit(1)).as("n_hot_keys")))
-    // separator between key and signature: '' never occurs in
+    // separator between key and signature: '\u0001' never occurs in
     // normalized name material, so sub-keys cannot collide with plain keys
-    val sep = ""
+    val sep = "\u0001"
     val eCold = eKeys.join(hotKeys, Seq("block_key"), "left_anti")
       .select("emp_id", "block_key")
+    // distinct BEFORE the cap window: a roster that reuses emp_ids (the
+    // reference does) must not let one id consume two cap slots — and it
+    // keeps the Scala cap aligned with the fixture mirror's
+    // per-distinct-id sets (tools/gen_fuzz_fixture.py)
     val eHot = eKeys.join(hotKeys, Seq("block_key"), "left_semi")
       .select(col("emp_id"), explode(array_distinct(array(
           concat(col("block_key"), lit(sep), substring(col("e_first"), 1, gram)),
-          concat(col("block_key"), lit(sep), substring(col("e_last"), 1, gram)))))
+          concat(col("block_key"), lit(sep), substring(col("e_last"), 1, gram)),
+          concat(col("block_key"), lit(sep), col("e_sdx_first")),
+          concat(col("block_key"), lit(sep), col("e_sdx_last")))))
         .as("block_key"))
+      .distinct()
     val bySubKey = Window.partitionBy(col("block_key")).orderBy(col("emp_id").asc)
     val eHotCapped = eHot
       .withColumn("__rk", row_number().over(bySubKey))
@@ -152,13 +177,17 @@ object MatchBlocking {
         sum(when(col("__rk") === maxEmployeesPerKey, 1L).otherwise(0L))
           .as("n_capped_subkeys"))
       .drop("__rk")
-    val uCold = uKeys.select("username", "block_key")
-    val uHot = uKeys.join(hotKeys, Seq("block_key"), "left_semi")
-      .select(col("username"), col("block_key"), explode(col("u_grams")).as("__g"))
-      .select(col("username"),
-        concat(col("block_key"), lit(sep), col("__g")).as("block_key"))
-    uCold.join(eCold, "block_key").select("username", "emp_id")
-      .unionByName(uHot.join(eHotCapped, "block_key").select("username", "emp_id"))
+    // single probe-side pass: cold keys pass through unchanged, hot keys
+    // expand to their signature sub-keys inside one generator
+    val uAll = uKeys
+      .join(hotKeys, Seq("block_key"), "left")
+      .select(col("username"), explode(
+          when(col("__hot"),
+            transform(col("u_sigs"), g => concat(col("block_key"), lit(sep), g)))
+          .otherwise(array(col("block_key"))))
+        .as("block_key"))
+    uAll.join(eCold.unionByName(eHotCapped), "block_key")
+      .select("username", "emp_id")
       .distinct()
   }
 

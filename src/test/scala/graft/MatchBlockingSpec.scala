@@ -142,6 +142,25 @@ class MatchBlockingSpec extends AnyFunSuite {
     assert(cand.size <= 10 * 8, s"salvage exploded candidate volume: ${cand.size}")
   }
 
+  test("phonetic-only probe through a hot key degrades to cap-smallest, never zero") {
+    // `jhon99` shares NO literal gram with any roster name — its only
+    // shared keys are phonetic (soundex J500 of the misspelled `jhon`).
+    // With gram-only sub-signatures the salvage stranded such probes in
+    // zero sub-buckets (worse than the pre-salvage cap-smallest); the
+    // phonetic members of the signature set land it in the (J500, J500)
+    // sub-bucket, which caps to the 10 smallest ids — graceful, non-empty.
+    val roster = (1 to 30).map(i =>
+      (f"$i%03d", "john", f"zeta$i%02d", f"john zeta$i%02d"))
+      .toDF("emp_id", "first_name", "last_name", "employee_name")
+    val probes = Seq("jhon99").toDF("username")
+    val cand = MatchBlocking.candidatePairs(probes, roster, maxEmployeesPerKey = 10)
+      .as[(String, String)].collect().toSet
+    assert(cand.nonEmpty, "phonetic-only probe starved by hot-key salvage")
+    val expected = (1 to 10).map(i => f"$i%03d").toSet
+    assert(cand.map(_._2) === expected,
+      s"expected the cap-smallest ids through the phonetic sub-bucket: $cand")
+  }
+
   test("frequency cap bounds candidate volume on a pathologically skewed roster") {
     // 3000 employees sharing ONE name: every name-derived blocking key holds
     // 3000 employees, so uncapped blocking degenerates toward the cross

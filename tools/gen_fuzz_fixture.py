@@ -380,8 +380,9 @@ KEY_SEP = "\x01"  # never occurs in normalized name material
 def candidate_pairs(usernames, roster) -> set:
     """(username, emp_id) pairs MatchBlocking.candidatePairs admits: shared
     blocking key, with HOT-KEY SALVAGE — a key held by more than cap
-    employees is sub-split by a name-prefix signature (gram-char prefix of
-    each employee name token vs every username gram); residually-hot
+    distinct emp_ids is sub-split by a secondary signature (gram-char
+    prefix AND soundex of each employee name token, vs every username gram
+    plus the soundex of the username and its split parts); residually-hot
     sub-buckets keep their cap-smallest emp_ids (string asc — the same
     order Spark/DuckDB binary-compare VARCHARs)."""
     by_key = {}  # key -> list of (emp_id, f, l)
@@ -395,17 +396,21 @@ def candidate_pairs(usernames, roster) -> set:
     sub = {}
     for k in hot:
         for emp_id, f, l in by_key[k]:
-            for sig in {f[:GRAM], l[:GRAM]}:
+            for sig in {f[:GRAM], l[:GRAM], soundex(f), soundex(l)}:
                 sub.setdefault(k + KEY_SEP + sig, set()).add(emp_id)
     sub_capped = {sk: set(sorted(v)[:MAX_EMPLOYEES_PER_KEY])
                   for sk, v in sub.items()}
     pairs = set()
     for u in usernames:
         u_norm = u.lower().strip(" ")
-        grams = {u_norm[i:i + GRAM] for i in range(0, max(len(u_norm) - GRAM + 1, 1))}
+        parts = re.split(r"[._\-\s]", u_norm)
+        p1 = parts[0] if parts else ""
+        p2 = parts[1] if len(parts) > 1 else ""
+        sigs = ({u_norm[i:i + GRAM] for i in range(0, max(len(u_norm) - GRAM + 1, 1))}
+                | {soundex(u_norm), soundex(p1), soundex(p2)})
         for k in username_block_keys(u_norm):
             if k in hot:
-                for g in grams:
+                for g in sigs:
                     for emp_id in sub_capped.get(k + KEY_SEP + g, ()):
                         pairs.add((u, emp_id))
             else:
@@ -477,6 +482,7 @@ def gen_match_synth_gz(sf_dir, out_gz: str) -> None:
     python scoring of 152 x 20000 pairs is ~20 min serial) and written in
     sorted-username order so regeneration is byte-deterministic."""
     import gzip
+    import io
     import multiprocessing as mp
     usernames, roster = synth_workload(sf_dir)
     cand = candidate_pairs(usernames, roster)
@@ -485,7 +491,10 @@ def gen_match_synth_gz(sf_dir, out_gz: str) -> None:
         cand_by_user.setdefault(u, set()).add(emp_id)
     tasks = [(u, cand_by_user.get(u, frozenset())) for u in usernames]
     n = 0
-    with gzip.open(out_gz, "wt", newline="") as fh:
+    # mtime=0: gzip embeds a timestamp in its header by default, which
+    # would make byte-identical content hash differently per regeneration
+    with io.TextIOWrapper(gzip.GzipFile(out_gz, "wb", mtime=0),
+                          newline="") as fh:
         w = csv.writer(fh)
         w.writerow(["username", "emp_id", "employee_name", "score",
                     "score_fmt", "is_cand", "n_part"])
