@@ -80,18 +80,26 @@ object MatchBlocking {
     val uGrams = expr(
       s"transform(sequence(1, greatest(length(u_norm) - ${gram - 1}, 1)), i -> substring(u_norm, i, $gram))")
     // u_sigs: the probe-side sub-bucket signatures for HOT keys — every
-    // `gram`-gram (literal name material) PLUS the phonetic codes of the
-    // whole username and its split parts. The phonetic members matter: a
-    // probe like `jhon99` shares only the soundex key with a misspelled
-    // roster name, and grams alone would strand it in zero sub-buckets
-    // where the pre-salvage design still reached the cap-smallest ids.
-    // With sdx in the signature set it lands in the (hotkey, sdx)
-    // sub-bucket, which degrades to cap-smallest only when the roster is
-    // phonetically degenerate — graceful, never silently dead.
-    val uSigs = array_distinct(concat(
+    // `gram`-gram (literal name material) PLUS the phonetic codes
+    // (soundex AND metaphone — both are blocking-key tiers, so both must
+    // be salvageable) of the whole username and its split parts. The
+    // phonetic members matter: a probe like `jhon99` shares only the
+    // soundex key with a misspelled roster name, and `night01` vs a
+    // `knight` roster shares only the metaphone key (K-before-N and GH
+    // drop) — grams alone would strand either in zero sub-buckets where
+    // the pre-salvage design still reached the cap-smallest ids. With the
+    // phonetic sigs they land in the (hotkey, code) sub-bucket, which
+    // degrades to cap-smallest only when the roster is phonetically
+    // degenerate — graceful, never silently dead. Empty sigs (soundex of
+    // a missing part2) are filtered: they could only meet an
+    // empty-name-token employee — no shared material, pure join noise.
+    val uSigs = filter(array_distinct(concat(
       uGrams,
       array(col("u_sdx"), graft.functions.soundex_jf(col("u_part1")),
-        graft.functions.soundex_jf(col("u_part2")))))
+        graft.functions.soundex_jf(col("u_part2")),
+        col("u_mp"), graft.functions.metaphone(col("u_part1")),
+        graft.functions.metaphone(col("u_part2"))))),
+      g => length(g) > 0)
     val uKeys = u.select(col("username"),
         array_distinct(concat(
           array(col("u_norm"), col("u_sdx"), col("u_mp"), col("u_part1"), col("u_part2"),
@@ -111,7 +119,7 @@ object MatchBlocking {
     // the big side — and it has exactly ONE consumer (the single-pass
     // conditional expansion below), so its kernels evaluate once anyway.
     val eKeys = e.select(col("emp_id"), col("e_first"), col("e_last"),
-        col("e_sdx_first"), col("e_sdx_last"),
+        col("e_sdx_first"), col("e_sdx_last"), col("e_mp_first"), col("e_mp_last"),
         explode(array_distinct(concat(col("e_patterns"), array(
           col("e_first"), col("e_last"),
           substring(col("e_first"), 1, gram), substring(col("e_last"), 1, gram),
@@ -131,8 +139,9 @@ object MatchBlocking {
     // fixed id-order subset either (that made employees ranked past the cap
     // UNREACHABLE through the key for every probe); instead a hot key is
     // SUB-SPLIT by a secondary signature both sides can derive — the
-    // `gram`-char prefix AND soundex code of each employee name token vs
-    // every `gram`-gram plus the phonetic codes of the username — so a
+    // `gram`-char prefix, soundex, and metaphone of each employee name
+    // token vs every `gram`-gram plus the phonetic codes of the username
+    // and its split parts — so a
     // probe that shares name material (literal OR phonetic) with an
     // employee meets it in a discriminative sub-bucket regardless of id
     // rank. Residually-hot sub-buckets (thousands of literally identical
@@ -166,8 +175,13 @@ object MatchBlocking {
           concat(col("block_key"), lit(sep), substring(col("e_first"), 1, gram)),
           concat(col("block_key"), lit(sep), substring(col("e_last"), 1, gram)),
           concat(col("block_key"), lit(sep), col("e_sdx_first")),
-          concat(col("block_key"), lit(sep), col("e_sdx_last")))))
+          concat(col("block_key"), lit(sep), col("e_sdx_last")),
+          concat(col("block_key"), lit(sep), col("e_mp_first")),
+          concat(col("block_key"), lit(sep), col("e_mp_last")))))
         .as("block_key"))
+      // empty-sig sub-keys (missing name token) are join noise — the probe
+      // side filters them too, keeping the fixture mirror aligned
+      .filter(!col("block_key").endsWith(sep))
       .distinct()
     val bySubKey = Window.partitionBy(col("block_key")).orderBy(col("emp_id").asc)
     val eHotCapped = eHot

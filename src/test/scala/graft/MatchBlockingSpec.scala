@@ -161,6 +161,24 @@ class MatchBlockingSpec extends AnyFunSuite {
       s"expected the cap-smallest ids through the phonetic sub-bucket: $cand")
   }
 
+  test("metaphone-only probe through a hot key degrades to cap-smallest, never zero") {
+    // `night01` vs a `knight` roster shares NEITHER a literal gram NOR a
+    // soundex code (N230 vs K523) — only the metaphone key NT (metaphone
+    // drops K-before-N and silent GH). The signature set must therefore
+    // carry metaphone too, or this entire blocking tier dies through hot
+    // keys (the gap the round-8 review caught after the soundex fix).
+    val roster = (1 to 30).map(i =>
+      (f"$i%03d", "knight", f"zeta$i%02d", f"knight zeta$i%02d"))
+      .toDF("emp_id", "first_name", "last_name", "employee_name")
+    val probes = Seq("night01").toDF("username")
+    val cand = MatchBlocking.candidatePairs(probes, roster, maxEmployeesPerKey = 10)
+      .as[(String, String)].collect().toSet
+    assert(cand.nonEmpty, "metaphone-only probe starved by hot-key salvage")
+    val expected = (1 to 10).map(i => f"$i%03d").toSet
+    assert(cand.map(_._2) === expected,
+      s"expected the cap-smallest ids through the metaphone sub-bucket: $cand")
+  }
+
   test("frequency cap bounds candidate volume on a pathologically skewed roster") {
     // 3000 employees sharing ONE name: every name-derived blocking key holds
     // 3000 employees, so uncapped blocking degenerates toward the cross

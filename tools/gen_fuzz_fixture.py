@@ -380,11 +380,13 @@ KEY_SEP = "\x01"  # never occurs in normalized name material
 def candidate_pairs(usernames, roster) -> set:
     """(username, emp_id) pairs MatchBlocking.candidatePairs admits: shared
     blocking key, with HOT-KEY SALVAGE — a key held by more than cap
-    distinct emp_ids is sub-split by a secondary signature (gram-char
-    prefix AND soundex of each employee name token, vs every username gram
-    plus the soundex of the username and its split parts); residually-hot
-    sub-buckets keep their cap-smallest emp_ids (string asc — the same
-    order Spark/DuckDB binary-compare VARCHARs)."""
+    roster ROWS (per-row census, duplicate emp_ids counted per row, exactly
+    like Scala's count over eKeys) is sub-split by a secondary signature
+    (gram-char prefix, soundex, and metaphone of each employee name token,
+    vs every username gram plus the soundex/metaphone of the username and
+    its split parts; empty sigs dropped on both sides); residually-hot
+    sub-buckets keep their cap-smallest DISTINCT emp_ids (string asc — the
+    same order Spark/DuckDB binary-compare VARCHARs)."""
     by_key = {}  # key -> list of (emp_id, f, l)
     for emp_id, first, last, _ in roster:
         f, l = first.strip(" ").lower(), last.strip(" ").lower()
@@ -396,7 +398,9 @@ def candidate_pairs(usernames, roster) -> set:
     sub = {}
     for k in hot:
         for emp_id, f, l in by_key[k]:
-            for sig in {f[:GRAM], l[:GRAM], soundex(f), soundex(l)}:
+            sigs = {f[:GRAM], l[:GRAM], soundex(f), soundex(l),
+                    metaphone(f), metaphone(l)} - {""}
+            for sig in sigs:
                 sub.setdefault(k + KEY_SEP + sig, set()).add(emp_id)
     sub_capped = {sk: set(sorted(v)[:MAX_EMPLOYEES_PER_KEY])
                   for sk, v in sub.items()}
@@ -407,7 +411,8 @@ def candidate_pairs(usernames, roster) -> set:
         p1 = parts[0] if parts else ""
         p2 = parts[1] if len(parts) > 1 else ""
         sigs = ({u_norm[i:i + GRAM] for i in range(0, max(len(u_norm) - GRAM + 1, 1))}
-                | {soundex(u_norm), soundex(p1), soundex(p2)})
+                | {soundex(u_norm), soundex(p1), soundex(p2),
+                   metaphone(u_norm), metaphone(p1), metaphone(p2)}) - {""}
         for k in username_block_keys(u_norm):
             if k in hot:
                 for g in sigs:
