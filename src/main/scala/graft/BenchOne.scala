@@ -8,12 +8,19 @@ import org.apache.spark.sql.SparkSession
   * optimization loop can iterate on a single regression.
   *
   *   sbt "runMain graft.BenchOne dd_corpus_dedup /root/testdata/sf0.1 3"
+  *
+  * Optional args(3)/args(4) override the warmup rep count (default 1) and
+  * warmup dir (default sf0.01) — used to diagnose JIT-depth sensitivity
+  * (q15 round-9: CPU decayed 4.7 -> 1.2 over 10 reps, so "min of 3 after
+  * one warmup" measured mid-warmup state, not operator cost).
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
+    val warmupReps = if (args.length > 3) args(3).toInt else 1
+    val warmupDir = if (args.length > 4) args(4) else "/root/testdata/sf0.01"
     // same sizing contract as Bench.main — a host provisioned differently
     // would otherwise silently diverge from the sweep's numbers
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,9 +33,14 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     // same warmup contract as Bench: JIT + janino compile off the clock
-    fn(spark, "/root/testdata/sf0.01").write.format("noop").mode("overwrite").save()
+    (1 to warmupReps).foreach { _ =>
+      fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
+    }
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // protocol parity with Bench.measure: collect the warmup's garbage
+    // OUTSIDE the timed reps, or its GC worker CPU is attributed to rep 1+
+    System.gc()
     val runs = (1 to reps).map { i =>
       val c0 = os.getProcessCpuTime; val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -62,6 +62,14 @@ object MatchBlocking {
     *     instead of fanning out through the (often hot) bare first-name
     *     token, so on low-name-cardinality rosters they keep a
     *     DISCRIMINATIVE key that no cap can take away.
+    *
+    * EAGER: construction localCheckpoint()s the roster key table (and the
+    * hot-key census) — calling this method runs Spark jobs immediately,
+    * even for callers that only want the plan (explain, spec assertions).
+    * The checkpointed blocks live in executor storage until the backing
+    * RDDs become unreferenced on the driver and ContextCleaner reclaims
+    * them after a driver GC — see [[matchOutput]]'s lifecycle note for
+    * long-lived callers.
     */
   /** Per-key employee cap (see [[candidatePairs]]): a key held by more
     * employees than this sub-splits by name-prefix signature, and residual
@@ -79,7 +87,7 @@ object MatchBlocking {
     val e = MatchPipeline.prepareEmployees(employees)
     val uGrams = expr(
       s"transform(sequence(1, greatest(length(u_norm) - ${gram - 1}, 1)), i -> substring(u_norm, i, $gram))")
-    // u_sigs: the probe-side sub-bucket signatures for HOT keys — every
+    // uSigs: the probe-side sub-bucket signatures for HOT keys — every
     // `gram`-gram (literal name material) PLUS the phonetic codes
     // (soundex AND metaphone — both are blocking-key tiers, so both must
     // be salvageable) of the whole username and its split parts. The
@@ -93,6 +101,15 @@ object MatchBlocking {
     // degenerate — graceful, never silently dead. Empty sigs (soundex of
     // a missing part2) are filtered: they could only meet an
     // empty-name-token employee — no shared material, pure join noise.
+    //
+    // NOT materialized on uKeys: the signature array (~17 grams + 6 codes
+    // per username) would ride every exploded key row (~17x) through two
+    // generators even though it is consumed only on the rare hot rows.
+    // The expression is instead evaluated AFTER the hot-flag join, inside
+    // the hot branch of the conditional expansion — CaseWhen evaluates
+    // branches lazily, so cold rows (the overwhelming majority) never run
+    // the part-phonetic kernels and the probe side carries five narrow
+    // invariant strings instead of the array.
     val uSigs = filter(array_distinct(concat(
       uGrams,
       array(col("u_sdx"), graft.functions.soundex_jf(col("u_part1")),
@@ -101,13 +118,12 @@ object MatchBlocking {
         graft.functions.metaphone(col("u_part2"))))),
       g => length(g) > 0)
     val uKeys = u.select(col("username"),
-        array_distinct(concat(
+        col("u_norm"), col("u_part1"), col("u_part2"), col("u_sdx"), col("u_mp"),
+        explode(array_distinct(concat(
           array(col("u_norm"), col("u_sdx"), col("u_mp"), col("u_part1"), col("u_part2"),
             // tier 4: trailing digits stripped — `harshm37` -> `harshm`
             regexp_replace(col("u_norm"), "\\d+$", "")),
-          uGrams)).as("u_keys"),
-        uSigs.as("u_sigs"))
-      .select(col("username"), col("u_sigs"), explode(col("u_keys")).as("block_key"))
+          uGrams))).as("block_key"))
       .filter(length(col("block_key")) > 0)
     // localCheckpoint: the roster-side key table feeds THREE consumers
     // below (hot-key census, cold anti join, hot semi join) and Spark
@@ -156,11 +172,19 @@ object MatchBlocking {
     // Metrics (one observe per composition site; pass distinct tags when
     // composing twice): `<tag>_hot_keys` = keys that sub-split,
     // `<tag>_capped_subkeys` = residual sub-buckets still at the cap.
+    // The hot-key list is localCheckpointed: it feeds THREE joins below,
+    // and without it the census aggregate re-runs per consumer whenever
+    // the planner does not deduplicate the broadcast exchange — which also
+    // made `n_hot_keys` fire 1-3x depending on exchange reuse. The
+    // checkpoint runs the census exactly once (the metric is now
+    // deterministic) and the list itself is tiny by construction — only
+    // keys a >cap-employee roster pile-up produced.
     val hotKeys = broadcast(eKeys.groupBy("block_key")
       .agg(count(lit(1)).as("__kc"))
       .filter(col("__kc") > maxEmployeesPerKey)
       .select(col("block_key"), lit(true).as("__hot"))
-      .observe(s"${metricTag}_hot_keys", count(lit(1)).as("n_hot_keys")))
+      .observe(s"${metricTag}_hot_keys", count(lit(1)).as("n_hot_keys"))
+      .localCheckpoint())
     // separator between key and signature: '\u0001' never occurs in
     // normalized name material, so sub-keys cannot collide with plain keys
     val sep = "\u0001"
@@ -192,12 +216,13 @@ object MatchBlocking {
           .as("n_capped_subkeys"))
       .drop("__rk")
     // single probe-side pass: cold keys pass through unchanged, hot keys
-    // expand to their signature sub-keys inside one generator
+    // expand to their signature sub-keys inside one generator; uSigs is
+    // evaluated HERE, lazily in the hot branch (see its definition note)
     val uAll = uKeys
       .join(hotKeys, Seq("block_key"), "left")
       .select(col("username"), explode(
           when(col("__hot"),
-            transform(col("u_sigs"), g => concat(col("block_key"), lit(sep), g)))
+            transform(uSigs, g => concat(col("block_key"), lit(sep), g)))
           .otherwise(array(col("block_key"))))
         .as("block_key"))
     uAll.join(eCold.unionByName(eHotCapped), "block_key")
@@ -207,7 +232,21 @@ object MatchBlocking {
 
   /** [[MatchPipeline.matchOutput]] semantics over blocked candidates only.
     * Approximate: a username whose every true match lacks any shared key
-    * degrades to USER NOT FOUND. */
+    * degrades to USER NOT FOUND.
+    *
+    * localCheckpoint LIFECYCLE: each call materializes three small
+    * checkpoints (roster key table + hot-key census in [[candidatePairs]],
+    * candidate pairs here). The calls are eager — the jobs run at
+    * DataFrame-construction time — and the checkpointed blocks are NOT
+    * freed when this method returns: they are reclaimed by Spark's
+    * ContextCleaner only after the backing RDDs become unreferenced AND a
+    * driver GC runs. A one-shot batch job never notices. A long-lived
+    * driver calling this per micro-batch (a MatchServing-style loop)
+    * accumulates blocks between driver GCs; they are bounded by roster +
+    * candidate size per batch and are reclaimed automatically, but a
+    * memory-tight deployment should either reuse one matchOutput result
+    * per roster version (the roster-side work is probe-independent) or
+    * trigger periodic driver GC to cap executor storage. */
   def matchOutput(usernames: DataFrame, employees: DataFrame,
                   topK: Int = MatchPipeline.TopK,
                   threshold: Double = MatchPipeline.ScoreThreshold,

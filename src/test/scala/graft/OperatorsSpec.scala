@@ -163,6 +163,42 @@ class OperatorsSpec extends AnyFunSuite {
     res.unpersist()
   }
 
+  test("top-k NULL-cosine contract: heap and window paths agree; all-NULL queries absent") {
+    // NULL embeddings score NULL cosine against everything. The contract
+    // (SimilaritySearch.topKPerQuery): NULL scores are dropped BEFORE rank
+    // selection on BOTH the bounded-heap (Long id) and window-fallback
+    // (non-Long id) paths — a NULL is never a rank-k filler, and a query
+    // whose every candidate scores NULL vanishes from the output.
+    val corpus = Seq(
+      (1L, Option(Seq(1.0f, 0.0f))),
+      (2L, Option(Seq(0.9f, 0.1f))),
+      (3L, Option(Seq(0.5f, 0.5f))),
+      (4L, Option(Seq(0.1f, 0.9f))),
+      (11L, Option.empty[Seq[Float]]), // NULL candidates: must not occupy slots
+      (12L, Option.empty[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    val queries = Seq(
+      (100L, Option(Seq(1.0f, 0.0f))),
+      (200L, Option.empty[Seq[Float]]) // all-NULL query: must be absent
+    ).toDF("query_id", "query_vec")
+    val heap = SimilaritySearch.bruteForceKnn(corpus, queries, k = 5)
+    // a string corpus id forces the window-fallback path
+    val win = SimilaritySearch.bruteForceKnn(
+        corpus.withColumn("vec_id", col("vec_id").cast("string")), queries, k = 5)
+      .withColumn("vec_id", col("vec_id").cast("long"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int, Double)] =
+      df.select(col("query_id"), col("vec_id"), col("rn"),
+          round(col("cosine"), 9).as("c"))
+        .as[(Long, Long, Int, Double)].collect().toSeq.sorted
+    val h = rows(heap)
+    assert(h === rows(win), "heap and window paths must agree on NULL handling")
+    // k=5 over 4 scorable + 2 NULL candidates: exactly the 4 real ranks
+    assert(h.map(r => (r._1, r._2, r._3)) ===
+      Seq((100L, 1L, 1), (100L, 2L, 2), (100L, 3L, 3), (100L, 4L, 4)))
+    assert(heap.filter(col("cosine").isNull).count() === 0)
+    assert(heap.filter(col("query_id") === 200L).count() === 0)
+  }
+
   test("LSH kNN: self-match always survives bucketing; scores agree with brute force") {
     val corpus = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
     val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
