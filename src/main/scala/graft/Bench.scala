@@ -87,7 +87,8 @@ object Bench {
 
   private case class Baseline(sf: String, threshold: Double,
                               cpu: Map[String, Double],
-                              wall: Map[String, Double])
+                              wall: Map[String, Double],
+                              ref: Map[String, Double])
 
   private def loadBaseline(): Option[Baseline] =
     try {
@@ -107,7 +108,7 @@ object Bench {
         }
         val thr = if (root.has("threshold")) root.get("threshold").asDouble() else 1.5
         Some(Baseline(root.get("sf").asText(), thr,
-          numMap("queries_cpu"), numMap("queries_wall")))
+          numMap("queries_cpu"), numMap("queries_wall"), numMap("queries_cpu_ref")))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -136,6 +137,20 @@ object Bench {
     * grows. */
   private val HardCpuRatio = 3.0
   private val HardCpuAbsSec = 2.0
+
+  /** CUMULATIVE-drift guard: re-pinning `queries_cpu` at fresh sweep medians
+    * (the policy-correct answer to attribution noise) could, over rounds,
+    * ratchet a slow real regression into the baseline — each re-pin absorbs
+    * a sub-threshold increase and the next sweep compares against the
+    * inflated pin. `queries_cpu_ref` in BENCH_BASELINE.json pins the last
+    * JUDGE-ADJUDICATED per-query CPU and is updated ONLY on deliberate,
+    * documented cost changes (new semantics, fixture change) — never on a
+    * measurement re-median. Every artifact carries a `drift` object naming
+    * queries whose best CPU exceeds the ref by [[DriftRatio]] (with the
+    * same absolute noise floor), so creep is visible even when the
+    * round-local `regressions` gate is clean. Informational, not a flag:
+    * the judge adjudicates drift entries against the ref pin's history. */
+  private val DriftRatio = 2.0
 
   private def breaches(b: Baseline, name: String,
                        cpu: Double, wall: Double): Boolean =
@@ -347,7 +362,18 @@ object Bench {
         }
       }.mkString("{", ",", "}")
     }.getOrElse("{}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"queries_wall":$qsWall,"queries_load1":$qsLoad1,"queries_ext_cores":$qsExt,"total_cpu":$totalCpu%.3f,"regressions":$regressions,"remeasured":$remeasured,"reps":$Reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}""")
+    // cumulative drift vs the judge-adjudicated ref pins (see [[DriftRatio]])
+    val drift = baseline.map { b =>
+      results.flatMap { case (name, _, cpu) =>
+        b.ref.get(name)
+          .filter(ref => cpu > ref * DriftRatio && cpu - ref > noiseFloorSec(ref))
+          .map { ref =>
+            "\"" + name + "\":" +
+              s"""{"cpu":${jnum(cpu)},"ref":${jnum(ref)},"ratio":${f"${cpu / ref}%.2f"}}"""
+          }
+      }.mkString("{", ",", "}")
+    }.getOrElse("{}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cpu":$qsCpu,"queries_wall":$qsWall,"queries_load1":$qsLoad1,"queries_ext_cores":$qsExt,"total_cpu":$totalCpu%.3f,"regressions":$regressions,"drift":$drift,"remeasured":$remeasured,"reps":$Reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
