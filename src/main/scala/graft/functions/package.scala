@@ -53,6 +53,13 @@ package object functions {
   def topk_by(ord: Column, id: Column, k: Int): Column =
     c(TopKByOrd(e(ord), e(id), e(lit(k))).toAggregateExpression())
 
+  /** Misra-Gries heavy-hitters summary: at most k (item, est) counters per
+    * group, ordered (est desc, item asc), as array<struct<item,est>>.
+    * Mergeable with the n/(k+1) additive error bound — see
+    * [[HeavyHittersAgg]]. */
+  def heavy_hitters(item: Column, k: Int): Column =
+    c(HeavyHittersAgg(e(item), e(lit(k))).toAggregateExpression())
+
   /** Register every engine function with the session's SQL function registry.
     * Idempotent; cheap enough to call at the top of every query builder. */
   def registerAll(spark: SparkSession): Unit = {
@@ -75,5 +82,6 @@ package object functions {
     reg2("cosine_sim", a => CosineSim(a(0), a(1)))
     reg2("hyperplane_bucket", a => HyperplaneBucket(a(0), a(1), a(2)))
     reg2("topk_by", a => TopKByOrd(a(0), a(1), a(2)).toAggregateExpression())
+    reg2("heavy_hitters", a => HeavyHittersAgg(a(0), a(1)).toAggregateExpression())
   }
 }

@@ -163,6 +163,64 @@ class OperatorsSpec extends AnyFunSuite {
     res.unpersist()
   }
 
+  test("heavy_hitters: Misra-Gries guarantees hold across partition merges") {
+    import graft.functions.heavy_hitters
+    // n = 119 tokens, k = 4 counters -> additive error bound floor(119/5) = 23.
+    // Heavy items (true > 23): a (50), b (30). c (19) and the 20 singletons
+    // may or may not be tracked; a and b MUST be, underestimated by <= 23.
+    val stream = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(19)("c") ++
+      (1 to 20).map(i => s"d$i")
+    val n = stream.size
+    val bound = n / 5
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // repartition(7) forces partial summaries + the merge path (and the
+    // serialize/deserialize roundtrip through the exchange)
+    val est = stream.toDF("token").repartition(7)
+      .agg(heavy_hitters(col("token"), 4).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item").as("item"), col("e.est").as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(est.size <= 4, s"capacity 4 exceeded: $est")
+    est.foreach { case (item, e) =>
+      assert(e <= truth(item), s"$item overestimated: $e > ${truth(item)}")
+      assert(truth(item) - e <= bound,
+        s"$item error ${truth(item) - e} exceeds bound $bound")
+    }
+    Seq("a", "b").foreach { heavy =>
+      assert(est.contains(heavy), s"heavy item $heavy missing from $est")
+    }
+    // untracked items must all be at or below the error bound
+    truth.filterNot { case (i, _) => est.contains(i) }.foreach { case (i, c) =>
+      assert(c <= bound, s"untracked $i has true count $c > bound $bound")
+    }
+  }
+
+  test("tx_heavy_hitters / tx_keyterms driver queries: contract booleans and exact ranks") {
+    val hh = SparkEntry.queries("tx_heavy_hitters")(spark, SparkTestBase.Sf0001)
+      .select("underest_ok", "error_ok", "coverage_ok")
+      .as[(Boolean, Boolean, Boolean)].collect()
+    assert(hh.nonEmpty)
+    assert(hh.forall { case (u, e, c) => u && e && c },
+      "sketch contract boolean false at sf0.001")
+    // hand-computed keyterms on a 3-doc corpus: score = tf * N / df
+    val docs = Seq((1L, "x x y"), (2L, "y z"), (3L, "z z z w"))
+      .toDF("doc_id", "text").createOrReplaceTempView("kt_docs")
+    try {
+      val toks = spark.table("kt_docs")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, "term")
+        .withColumn("score", col("tf").cast("double") * lit(3.0) / col("df").cast("double"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+      val top = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("doc_id", "term", "score").as[(Long, String, Double)].collect().toSet
+      // d1: x = 2*3/1 = 6; d2: y = z = 1.5, term-asc tiebreak -> y; d3: z = 4.5
+      assert(top === Set((1L, "x", 6.0), (2L, "y", 1.5), (3L, "z", 4.5)))
+    } finally spark.catalog.dropTempView("kt_docs")
+  }
+
   test("top-k NULL-cosine contract: heap and window paths agree; all-NULL queries absent") {
     // NULL embeddings score NULL cosine against everything. The contract
     // (SimilaritySearch.topKPerQuery): NULL scores are dropped BEFORE rank
