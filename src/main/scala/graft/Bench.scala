@@ -149,8 +149,19 @@ object Bench {
     * queries whose best CPU exceeds the ref by [[DriftRatio]] (with the
     * same absolute noise floor), so creep is visible even when the
     * round-local `regressions` gate is clean. Informational, not a flag:
-    * the judge adjudicates drift entries against the ref pin's history. */
+    * the judge adjudicates drift entries against the ref pin's history.
+    * [[DriftAbsSec]] is the absolute excess floor: sub-second queries swing
+    * 2-3x in CPU under a single GC/compile storm window (observed r09,
+    * sweep 6: four CONSECUTIVE tx_* queries at 2.3-3.3x ref with flat
+    * wall), and single-window GC-attribution excursions reach +1-1.5
+    * CPU-s (the same evidence class behind [[HardCpuAbsSec]], observed
+    * r08 q10 0.43 -> 1.52 and r09 q10 0.43 -> 1.49 with flat wall) — so
+    * the drift floor matches HardCpuAbsSec: an entry must represent >2 s
+    * of real per-run CPU growth. Sub-second creep is immaterial to the
+    * suite, and the round-local `regressions` gate still covers those
+    * queries via its wall-coupled dual gate. */
   private val DriftRatio = 2.0
+  private val DriftAbsSec = 2.0
 
   private def breaches(b: Baseline, name: String,
                        cpu: Double, wall: Double): Boolean =
@@ -366,7 +377,8 @@ object Bench {
     val drift = baseline.map { b =>
       results.flatMap { case (name, _, cpu) =>
         b.ref.get(name)
-          .filter(ref => cpu > ref * DriftRatio && cpu - ref > noiseFloorSec(ref))
+          .filter(ref => cpu > ref * DriftRatio &&
+            cpu - ref > math.max(DriftAbsSec, noiseFloorSec(ref)))
           .map { ref =>
             "\"" + name + "\":" +
               s"""{"cpu":${jnum(cpu)},"ref":${jnum(ref)},"ratio":${f"${cpu / ref}%.2f"}}"""

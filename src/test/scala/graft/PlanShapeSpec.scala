@@ -208,6 +208,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-k must not fall back to the sort/window path:\n$p")
   }
 
+  test("heavy hitters: map-side partial MG summaries before the exchange") {
+    val p = plan(SparkEntry.queries("tx_heavy_hitters")(spark, sf))
+    // the sketch path must shuffle O(groups x k) summary state, never raw
+    // tokens: the partial heavy_hitters instance sits below the exchange
+    assert(p.contains("partial_heavy_hitters"), s"map-side MG summary missing:\n$p")
+    // the exact top-3 window rank-limits before its exchange
+    assert(p.contains("WindowGroupLimit"), p)
+    // the small boolean frames ride broadcast — no sort-merge join anywhere
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("keyterms: vocabulary joined on term, per-doc top-5 rank-limited, corpus count broadcast") {
+    val p = plan(SparkEntry.queries("tx_keyterms")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+    // N_docs is a 1-row aggregate: must broadcast, never shuffle the tf side
+    // into a nested loop against it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // only (doc_id, text) is read from documents for tokenization
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("q16: no Expand in any aggregate; quantile window sorts distinct prices") {
     val df = SparkEntry.queries("q16_sketches")(spark, sf)
     val p = plan(df)
