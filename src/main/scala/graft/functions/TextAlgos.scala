@@ -114,6 +114,20 @@ object TextAlgos {
     out
   }
 
+  /** Distinct word w-shingles, ascending — the SET form of [[shingles]].
+    * Prefix-filter dedup ([[graft.operators.Dedup.ngramJaccardPairs]])
+    * explodes it to narrow (id, shingle) rows; sorting makes the array
+    * itself deterministic for spec pins and oracle dumps. */
+  def shingleSet(text: String, w: Int): Array[Long] = {
+    val sh = shingles(text, w)
+    if (sh.length <= 1) sh
+    else {
+      val d = sh.distinct
+      java.util.Arrays.sort(d)
+      d
+    }
+  }
+
   /** Jaccard similarity of word w-shingle sets (exact, for oracle-able
     * pairwise checks and as the MinHash ground truth). */
   def ngramJaccard(a: String, b: String, w: Int): Double = {

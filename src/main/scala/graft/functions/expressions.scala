@@ -178,6 +178,24 @@ case class LshBands(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** Distinct word-w-shingle hashes of a text, ascending (TextAlgos.shingleSet).
+  * The narrow-row feed of prefix-filter set-similarity dedup. */
+case class ShingleSet(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def nullSafeEval(a: Any, w: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextAlgos.shingleSet(a.asInstanceOf[UTF8String].toString, w.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, w) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextAlgos.shingleSet($a.toString(), $w))")
+  override def prettyName: String = "shingle_set"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Exact word-w-shingle Jaccard similarity of two texts. */
 case class NGramJaccard(first: Expression, second: Expression, third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with ExpectsInputTypes {

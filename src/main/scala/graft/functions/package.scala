@@ -41,6 +41,7 @@ package object functions {
   def minhash_sig(a: Column, w: Column, k: Column): Column = c(MinHashSig(e(a), e(w), e(k)))
   def lsh_bands(sig: Column, rowsPerBand: Column): Column = c(LshBands(e(sig), e(rowsPerBand)))
   def ngram_jaccard(a: Column, b: Column, w: Column): Column = c(NGramJaccard(e(a), e(b), e(w)))
+  def shingle_set(a: Column, w: Column): Column = c(ShingleSet(e(a), e(w)))
 
   // ---- vectors / embeddings ----
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
@@ -79,6 +80,7 @@ package object functions {
     reg2("minhash_sig", a => MinHashSig(a(0), a(1), a(2)))
     reg2("lsh_bands", a => LshBands(a(0), a(1)))
     reg2("ngram_jaccard", a => NGramJaccard(a(0), a(1), a(2)))
+    reg2("shingle_set", a => ShingleSet(a(0), a(1)))
     reg2("cosine_sim", a => CosineSim(a(0), a(1)))
     reg2("hyperplane_bucket", a => HyperplaneBucket(a(0), a(1), a(2)))
     reg2("topk_by", a => TopKByOrd(a(0), a(1), a(2)).toAggregateExpression())

@@ -41,6 +41,40 @@ class OperatorsSpec extends AnyFunSuite {
       s"unrelated doc paired: $pairs")
   }
 
+  test("prefix-filter ngram Jaccard: EXACTLY the brute-force all-pairs result") {
+    // a corpus with exact dups, near dups at several edit distances, and
+    // unrelated docs — wide enough that prefixes genuinely prune (no doc
+    // pair shares every shingle) but every >=0.5 pair must still surface
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split(" ")
+    val corpus = (0 until 24).map { i =>
+      val base = words.drop(i % 4).take(8).mkString(" ")
+      val text =
+        if (i < 8) base                                     // 4 exact-dup groups
+        else if (i < 16) base.replace(words(i % 4 + 2), s"w$i") // near dups
+        else s"totally unrelated document number $i with its own private words ${i * 7} ${i * 13}"
+      (i.toLong, text)
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, "text", "doc_id",
+        shingleW = 3, jaccardThreshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = (for {
+      (ia, ta) <- corpus; (ib, tb) <- corpus if ia < ib
+      j = graft.functions.TextAlgos.ngramJaccard(ta, tb, 3) if j >= 0.5
+    } yield (ia, ib, j)).toSet
+    assert(expected.nonEmpty, "fixture must produce qualifying pairs")
+    assert(got === expected,
+      s"prefix filtering must lose nothing vs brute force:\n missing=${expected -- got}\n extra=${got -- expected}")
+  }
+
+  test("prefix-filter ngram Jaccard: empty/whitespace docs pair with nothing") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, ""), (3L, "   "),
+      (4L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, "text", "doc_id").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got === Set((1L, 4L, 1.0)), s"got $got")
+  }
+
   test("simhash near-dup finds exact duplicates at hamming 0") {
     val pairs = Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 3)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()

@@ -164,6 +164,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("ngram jaccard dedup: narrow equi-joins only, map-side df combine, pruned scan") {
+    val p = plan(SparkEntry.queries("dd_ngram_jaccard")(spark, sf))
+    // candidates come from the prefix-shingle equi-join — never a nested loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the global document-frequency aggregate combines map-side: the
+    // shingle-universe shuffle carries (sh, partial count), not raw rows
+    assert(p.contains("partial_count"), s"df aggregate must be partial:\n$p")
+    // the documents scan reads only (doc_id, text)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("dedup candidate gen: bucket windows, salvage sub-split and gather share ONE exchange") {
     import org.apache.spark.sql.functions._
     val keyed = spark.range(100).select(
