@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.functions.heavy_hitters
 
 /**
  * Structured-Streaming surface over the `events` table (SURVEY.md §2.9/§7.5).
@@ -69,6 +70,63 @@ object EventPipelines {
       .dropDuplicatesWithinWatermark(idCols)
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Tumbling-window frequent-user census per event_type — batch form.
+    * The Misra-Gries `heavy_hitters` aggregate reduces each map task to at
+    * most k counters before the exchange, so the shuffle carries
+    * O(windows × types × k) summary state instead of per-user counts;
+    * [[graft.functions.HeavyHittersAgg]] documents the underestimate /
+    * n-over-(k+1) / coverage theorems that hold for ANY merge order. */
+  def heavyUsersBatch(events: DataFrame, width: String = "1 hour",
+                      k: Int = 8): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(heavy_hitters(col("user_id").cast("string"), k).as("frequent_users"),
+           count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("frequent_users"), col("n_events"))
+
+  /**
+   * The same census as an incremental streaming query — the case a
+   * MERGEABLE sketch exists for: the state store keeps one serialized MG
+   * summary per (window, event_type) group and each micro-batch's partial
+   * summaries MERGE into it, so streaming state is bounded at
+   * O(live windows × types × k) counters regardless of how many distinct
+   * users the stream carries. The exact census would hold per-user state —
+   * unbounded on a 100 TB stream — and the mergeable-summaries theorem
+   * (PODS 2012) is precisely what makes the incremental merge sequence
+   * (batch 1 ⊕ batch 2 ⊕ …) carry the same n/(k+1) error contract as any
+   * batch merge tree over the identical data. With k at or above the
+   * per-group distinct-user count the summary never evicts, every estimate
+   * is exact, and stream output EQUALS batch output bit-for-bit
+   * (EventPipelinesSpec pins both regimes).
+   */
+  def heavyUsersStreaming(spark: SparkSession, sourceDir: String,
+                          width: String = "1 hour", watermark: String = "2 hours",
+                          k: Int = 8,
+                          queryName: String = "events_heavy_users",
+                          maxFilesPerTrigger: Int = 0): DataFrame = {
+    val schema = spark.read.parquet(sourceDir).schema
+    // maxFilesPerTrigger > 0 forces MULTIPLE micro-batches even under
+    // AvailableNow — the spec uses it so the state-merge path (summary ⊕
+    // summary, not just one batch's partials) is genuinely exercised
+    val reader0 = spark.readStream.schema(schema)
+    val reader = if (maxFilesPerTrigger > 0)
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
+    val agg = reader.parquet(sourceDir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(heavy_hitters(col("user_id").cast("string"), k).as("frequent_users"),
+           count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("frequent_users"), col("n_events"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()

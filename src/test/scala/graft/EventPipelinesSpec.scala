@@ -119,6 +119,58 @@ class EventPipelinesSpec extends AnyFunSuite {
       s"windowed state/watermark recovery broke: $got")
   }
 
+  test("heavy-hitter census: exact-regime stream == batch; small-k MG theorems hold") {
+    val ev = Tables.events(spark, SparkTestBase.Sf0001)
+    // exact per-(window, type, user) truth for both regimes
+    val truth = ev
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"),
+        col("user_id").cast("string").as("user"), col("n"))
+      .as[(java.sql.Timestamp, String, String, Long)].collect()
+      .groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(t => t._3 -> t._4).toMap).toMap
+    // EXACT regime: k above every group's distinct-user count -> the MG
+    // summary never evicts, every estimate is the true count, and the
+    // incremental multi-batch stream must equal batch BIT-FOR-BIT
+    val kExact = truth.values.map(_.size).max + 1
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .select("window_start", "event_type", "frequent_users", "n_events")
+      .as[(java.sql.Timestamp, String, Seq[(String, Long)], Long)].collect().toSet
+    val batch = collect(EventPipelines.heavyUsersBatch(ev, "1 hour", kExact))
+    val stream = collect(EventPipelines.heavyUsersStreaming(spark, eventsDir,
+      "1 hour", "2 hours", kExact, s"hh_exact_${System.nanoTime()}",
+      maxFilesPerTrigger = 2))
+    assert(stream === batch,
+      s"batch-only: ${(batch -- stream).take(2)}; stream-only: ${(stream -- batch).take(2)}")
+    assert(batch.exists(_._3.nonEmpty))
+    // SMALL-k regime: estimates are merge-order-dependent, but the MG
+    // theorems must hold for the streaming merge sequence exactly as for
+    // any batch merge tree: underestimate, n/(k+1) error bound, coverage
+    val k = 3
+    val small = collect(EventPipelines.heavyUsersStreaming(spark, eventsDir,
+      "1 hour", "2 hours", k, s"hh_small_${System.nanoTime()}",
+      maxFilesPerTrigger = 2))
+    assert(small.nonEmpty)
+    small.foreach { case (ws, tpe, frequent, n) =>
+      val exact = truth((ws, tpe))
+      assert(n === exact.values.sum)
+      val bound = n / (k + 1)
+      val est = frequent.toMap
+      assert(frequent.size <= k)
+      est.foreach { case (item, e) =>
+        assert(e <= exact.getOrElse(item, 0L),
+          s"overestimate for $item in ($ws,$tpe): est $e > true ${exact.get(item)}")
+      }
+      exact.foreach { case (user, t) =>
+        assert(t - est.getOrElse(user, 0L) <= bound,
+          s"error bound broken for $user in ($ws,$tpe): true $t est ${est.get(user)} bound $bound")
+        if (t > bound) assert(est.contains(user),
+          s"coverage broken: $user true $t > bound $bound but absent in ($ws,$tpe)")
+      }
+    }
+  }
+
   test("sliding windows cover each event exactly width/slide times") {
     val ev = Tables.events(spark, SparkTestBase.Sf0001)
     val total = ev.count()
