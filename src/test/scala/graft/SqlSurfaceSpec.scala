@@ -19,6 +19,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |       lang_id('the quick brown fox is here and it is fast') AS lang,
         |       size(lsh_bands(minhash_sig('a b c d e', 2, 8), 4)) AS nbands,
         |       ngram_jaccard('a b c d', 'a b c d', 2)  AS jac,
+        |       size(shingle_set('a b c d a b c', 2))   AS nsh,
         |       cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
         |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
         |       hyperplane_bucket(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 4, 42L) AS bkt
@@ -31,6 +32,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getAs[String]("lang") === "en")
     assert(row.getAs[Int]("nbands") === 2)
     assert(row.getAs[Double]("jac") === 1.0)
+    // shingles of "a b c d a b c" at w=2: ab bc cd da ab bc -> 4 distinct
+    assert(row.getAs[Int]("nsh") === 4)
     assert(math.abs(row.getAs[Double]("cos") - 1.0) < 1e-12)
     val bkt = row.getAs[Int]("bkt")
     assert(bkt >= 0 && bkt < 16)
@@ -47,7 +50,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val names = Seq("fuzz_ratio", "fuzz_partial_ratio", "fuzz_token_set_ratio",
       "fuzz_token_sort_ratio", "soundex_jf", "metaphone", "lang_id", "simhash64",
       "rolling_fingerprint", "minhash_sig", "lsh_bands", "ngram_jaccard",
-      "cosine_sim", "hyperplane_bucket")
+      "shingle_set", "cosine_sim", "hyperplane_bucket", "topk_by", "heavy_hitters")
     names.foreach { n =>
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)), n)
