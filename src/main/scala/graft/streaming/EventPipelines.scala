@@ -106,11 +106,15 @@ object EventPipelines {
    * is exact, and stream output EQUALS batch output bit-for-bit
    * (EventPipelinesSpec pins both regimes).
    */
-  def heavyUsersStreaming(spark: SparkSession, sourceDir: String,
-                          width: String = "1 hour", watermark: String = "2 hours",
-                          k: Int = 8,
-                          queryName: String = "events_heavy_users",
-                          maxFilesPerTrigger: Int = 0): DataFrame = {
+  /** The unterminated streaming census (no sink): callers attach a memory
+    * sink in Complete mode ([[heavyUsersStreaming]]) or an append-mode file
+    * sink with a checkpoint — the production shape, where a window's final
+    * summary is emitted exactly once when the watermark passes its end, and
+    * the serialized MG state lives in the checkpoint across restarts
+    * (EventPipelinesSpec pins the recovery). */
+  def heavyUsersStream(spark: SparkSession, sourceDir: String,
+                       width: String = "1 hour", watermark: String = "2 hours",
+                       k: Int = 8, maxFilesPerTrigger: Int = 0): DataFrame = {
     val schema = spark.read.parquet(sourceDir).schema
     // maxFilesPerTrigger > 0 forces MULTIPLE micro-batches even under
     // AvailableNow — the spec uses it so the state-merge path (summary ⊕
@@ -118,13 +122,21 @@ object EventPipelines {
     val reader0 = spark.readStream.schema(schema)
     val reader = if (maxFilesPerTrigger > 0)
       reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
-    val agg = reader.parquet(sourceDir)
+    reader.parquet(sourceDir)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(heavy_hitters(col("user_id").cast("string"), k).as("frequent_users"),
            count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("frequent_users"), col("n_events"))
+  }
+
+  def heavyUsersStreaming(spark: SparkSession, sourceDir: String,
+                          width: String = "1 hour", watermark: String = "2 hours",
+                          k: Int = 8,
+                          queryName: String = "events_heavy_users",
+                          maxFilesPerTrigger: Int = 0): DataFrame = {
+    val agg = heavyUsersStream(spark, sourceDir, width, watermark, k, maxFilesPerTrigger)
     val q = agg.writeStream
       .outputMode(OutputMode.Complete())
       .format("memory").queryName(queryName)

@@ -171,6 +171,51 @@ class EventPipelinesSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy-hitter census: serialized MG state survives a checkpoint restart") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = java.nio.file.Files.createTempDirectory("graft_hh_ckpt").toString
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"; val sink = s"$base/out"
+    def write(rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("event_id", "user_id", "ts_s")
+        .select(col("event_id"), col("user_id"),
+          to_timestamp(col("ts_s")).as("ts"), lit("typeA").as("event_type"),
+          lit(1.0).as("value"))
+        .write.mode(SaveMode.Append).parquet(src)
+    def run(): Unit = {
+      val q = EventPipelines.heavyUsersStream(spark, src, "1 hour", "1 hour", k = 8)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: hour-0 summary (user 10 twice, user 11 once) emits when the
+    // 02:10 row moves the watermark past the window end; the hour-2 row's
+    // PARTIAL summary (user 20 x1) stays behind in the checkpointed state
+    write(Seq((0L, 10L, "2024-01-01 00:10:00"), (1L, 10L, "2024-01-01 00:20:00"),
+              (2L, 11L, "2024-01-01 00:40:00"), (3L, 20L, "2024-01-01 02:10:00")))
+    run()
+    // restart: hour-2 gains user 20 again and user 21 — the final hour-2
+    // summary is only correct if the pre-restart partial was deserialized
+    // from the state store and MERGED; a LATE hour-0 row (user 55) must be
+    // dropped by the recovered watermark, not open a second hour-0 window
+    write(Seq((4L, 20L, "2024-01-01 02:20:00"), (5L, 21L, "2024-01-01 02:30:00"),
+              (6L, 55L, "2024-01-01 00:50:00"), (7L, 99L, "2024-01-01 05:00:00")))
+    run()
+    val got = spark.read.parquet(sink)
+      .select("window_start", "frequent_users", "n_events")
+      .as[(java.sql.Timestamp, Seq[(String, Long)], Long)].collect()
+      .sortBy(_._1.getTime)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    assert(got.map(_._1) === Seq(t("2024-01-01 00:00:00"), t("2024-01-01 02:00:00")),
+      s"expected exactly hour-0 and hour-2 windows once each: $got")
+    assert(got(0)._2 === Seq("10" -> 2L, "11" -> 1L) && got(0)._3 === 3L,
+      s"hour-0 summary wrong (late row must not reopen it): ${got(0)}")
+    assert(got(1)._2 === Seq("20" -> 2L, "21" -> 1L) && got(1)._3 === 3L,
+      s"hour-2 summary lost the pre-restart partial: ${got(1)}")
+  }
+
   test("sliding windows cover each event exactly width/slide times") {
     val ev = Tables.events(spark, SparkTestBase.Sf0001)
     val total = ev.count()

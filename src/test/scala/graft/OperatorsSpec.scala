@@ -75,6 +75,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Set((1L, 4L, 1.0)), s"got $got")
   }
 
+  test("ngram jaccard cap: over-cap prefix buckets drop whole and surface the metric") {
+    import java.util.concurrent.ConcurrentHashMap
+    val seen = new ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) => seen.put(name, row) }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 5 identical docs (4 distinct shingles, every df = 5) with cap 3:
+      // each doc's 3-shingle prefix lands in buckets of 5 members — all over
+      // the cap, all dropped whole. This is the documented pathological
+      // trade (a corpus that is copies of one document): ZERO pairs out,
+      // and the hole is visible through the deterministic metric name.
+      val dup = (1L to 5L).map((_, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text")
+      val out = Dedup.ngramJaccardPairs(dup, "text", "doc_id", maxBucketSize = 3)
+      assert(out.count() === 0L)
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!seen.containsKey("dedup_candidates_ngram") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val row = seen.get("dedup_candidates_ngram")
+      assert(row != null, s"metric not delivered; saw: ${seen.keySet()}")
+      assert(row.getAs[Long]("dropped_hot_buckets") === 3L, row.toString)
+      assert(row.getAs[Long]("dropped_hot_bucket_rows") === 15L, row.toString)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("simhash near-dup finds exact duplicates at hamming 0") {
     val pairs = Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 3)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
