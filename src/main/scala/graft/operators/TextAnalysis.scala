@@ -135,6 +135,44 @@ object TextAnalysis {
         .as("gram"))
   }
 
+  /**
+   * Corpus-relative rarity profile: for each document, the fraction of its
+   * DISTINCT words that are hapax legomena — words with corpus document
+   * frequency <= `rareDf` (default 1: they appear in no other document). A
+   * model-free statistical quality signal: natural-language documents share
+   * most of their vocabulary with the corpus, while random strings, ids,
+   * base64 blobs and OCR noise are hapax-dominated — the corpus-relative
+   * complement of the row-local heuristics in [[withQualityFeatures]] (a
+   * document full of plausible-looking but globally-unique tokens passes
+   * those untouched).
+   *
+   * Words are the 64-bit hashes of [[graft.functions.ShingleSet]] at w = 1
+   * (distinct per doc, so the census counts DOCUMENTS), which keeps every
+   * shuffle narrow — (hash, count) pairs, never strings — and makes the
+   * DuckDB oracle bit-exact through the already-mirrored FNV kernel.
+   *
+   * Scale shape: one explode to narrow (doc_id, word-hash) rows; the
+   * vocabulary census is a map-side-combined count on the hash; the
+   * scoring join is narrow-on-narrow (payloads never shuffle) and the
+   * per-document re-aggregation groups on the dense id. Empty/whitespace
+   * documents surface with n_words_distinct = 0 and NULL rare_frac.
+   */
+  def rareWordStats(df: DataFrame, textCol: String, idCol: String,
+                    rareDf: Long = 1L): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(shingle_set(col(textCol), lit(1))).as("wh"))
+    val census = words.groupBy("wh").agg(count(lit(1)).as("df"))
+    val scored = words.join(census, "wh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words_distinct"),
+           sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("n_rare"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_words_distinct"), lit(0L)).as("n_words_distinct"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        (col("n_rare").cast("double") / col("n_words_distinct")).as("rare_frac"))
+  }
+
   def frequentNgrams(df: DataFrame, textCol: String, idCol: String,
                      n: Int = 3, minDocs: Int = 5): DataFrame =
     ngramRows(df, textCol, idCol, "doc_id", n)

@@ -75,6 +75,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Set((1L, 4L, 1.0)), s"got $got")
   }
 
+  test("rare-word stats: exact hapax fractions against the corpus vocabulary") {
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick red dog"),
+      (3L, "zxqv wvut"),          // pure gibberish: every word is a hapax
+      (4L, ""),                   // empty doc: 0 words, NULL fraction
+      (5L, "the the the")         // one distinct word, shared with 1 & 2
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.rareWordStats(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    // df: the=3, quick=2, brown/fox/red/dog/zxqv/wvut=1
+    assert(got === Set(
+      (1L, 4L, 2L, Some(0.5)),
+      (2L, 4L, 2L, Some(0.5)),
+      (3L, 2L, 2L, Some(1.0)),
+      (4L, 0L, 0L, None),
+      (5L, 1L, 0L, Some(0.0))))
+  }
+
   test("ngram jaccard cap: over-cap prefix buckets drop whole and surface the metric") {
     import java.util.concurrent.ConcurrentHashMap
     val seen = new ConcurrentHashMap[String, org.apache.spark.sql.Row]()

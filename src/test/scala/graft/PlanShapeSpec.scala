@@ -175,6 +175,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("rare words: narrow hash-only shuffles, map-side census combine, pruned scan") {
+    val p = plan(SparkEntry.queries("tx_rare_words")(spark, sf))
+    // the vocabulary census combines map-side: the shuffle carries
+    // (word-hash, partial count), never text
+    assert(p.contains("partial_count"), s"census aggregate must be partial:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // only (doc_id, text) is ever read from documents
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("dedup candidate gen: bucket windows, salvage sub-split and gather share ONE exchange") {
     import org.apache.spark.sql.functions._
     val keyed = spark.range(100).select(
