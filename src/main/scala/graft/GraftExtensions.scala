@@ -50,6 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("lsh_bands", "LSH band keys of a minhash signature")(a => LshBands(a(0), a(1)))
     inject("ngram_jaccard", "exact word-shingle Jaccard similarity")(a => NGramJaccard(a(0), a(1), a(2)))
     inject("shingle_set", "distinct word-shingle hashes, ascending")(a => ShingleSet(a(0), a(1)))
+    inject("word_shingles", "ordered word-shingle hashes, duplicates preserved")(a => WordShingles(a(0), a(1)))
     inject("cosine_sim", "cosine similarity of float arrays")(a => CosineSim(a(0), a(1)))
     inject("hyperplane_bucket", "sign-bit LSH bucket of hyperplane projections")(a => HyperplaneBucket(a(0), a(1), a(2)))
     inject("topk_by", "bounded-heap top-k aggregate: k best (ord, id) pairs per group")(

@@ -196,6 +196,27 @@ case class ShingleSet(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** ORDERED word-w-shingle hashes of a text, duplicates preserved
+  * (TextAlgos.shingles) — position i is the hash of tokens [i, i+w).
+  * The positional companion of [[ShingleSet]]: set semantics serve
+  * similarity (Jaccard/minhash), ordered semantics serve sequence models
+  * (n-gram LM scoring needs shingle i aligned with its history token i). */
+case class WordShingles(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def nullSafeEval(a: Any, w: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextAlgos.shingles(a.asInstanceOf[UTF8String].toString, w.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, w) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextAlgos.shingles($a.toString(), $w))")
+  override def prettyName: String = "word_shingles"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Exact word-w-shingle Jaccard similarity of two texts. */
 case class NGramJaccard(first: Expression, second: Expression, third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with ExpectsInputTypes {

@@ -42,6 +42,7 @@ package object functions {
   def lsh_bands(sig: Column, rowsPerBand: Column): Column = c(LshBands(e(sig), e(rowsPerBand)))
   def ngram_jaccard(a: Column, b: Column, w: Column): Column = c(NGramJaccard(e(a), e(b), e(w)))
   def shingle_set(a: Column, w: Column): Column = c(ShingleSet(e(a), e(w)))
+  def word_shingles(a: Column, w: Column): Column = c(WordShingles(e(a), e(w)))
 
   // ---- vectors / embeddings ----
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
@@ -81,6 +82,7 @@ package object functions {
     reg2("lsh_bands", a => LshBands(a(0), a(1)))
     reg2("ngram_jaccard", a => NGramJaccard(a(0), a(1), a(2)))
     reg2("shingle_set", a => ShingleSet(a(0), a(1)))
+    reg2("word_shingles", a => WordShingles(a(0), a(1)))
     reg2("cosine_sim", a => CosineSim(a(0), a(1)))
     reg2("hyperplane_bucket", a => HyperplaneBucket(a(0), a(1), a(2)))
     reg2("topk_by", a => TopKByOrd(a(0), a(1), a(2)).toAggregateExpression())

@@ -173,6 +173,73 @@ object TextAnalysis {
         (col("n_rare").cast("double") / col("n_words_distinct")).as("rare_frac"))
   }
 
+  /**
+   * Corpus-trained bigram language-model fluency score — the CCNet-style
+   * statistical quality filter: train add-one-smoothed bigram counts over
+   * the corpus itself, then score each document by its MEAN conditional
+   * token probability P(w_i | w_{i-1}) = (c2(w_{i-1} w_i) + 1) /
+   * (c1(w_{i-1}) + V). Fluent prose rides high-count transitions; shuffled
+   * words, keyword stuffing and gibberish score low even when every
+   * individual token is common — the transition-level complement of
+   * [[rareWordStats]]'s vocabulary-level signal.
+   *
+   * DETERMINISM: each per-position probability is computed in EXACT integer
+   * arithmetic as `(c2 + 1) * 1e9 div (c1 + V)` nano-probability units, so
+   * the per-document sum is an order-independent long sum and the only
+   * floating-point op is one final division — hash-reproducible on any
+   * partitioning and bit-identical in the DuckDB oracle (no libm, no
+   * float-accumulation order). The long multiply bounds the corpus at
+   * c2 < 9.2e9 occurrences of one bigram at this scale factor; a trillion-
+   * token corpus would drop the scale to 1e6 or widen to DECIMAL.
+   *
+   * Scale shape: token/bigram hashing is row-local ([[graft.functions.WordShingles]],
+   * codegen); both count tables aggregate map-side on 64-bit hashes; the
+   * scoring joins are narrow-on-narrow (hash, count) equi-joins; V is a
+   * one-row broadcast. At 100 TB the count tables prune low-count tails
+   * (`minCount`) the way production LM filters do — counts below the floor
+   * carry no signal and dominate table size (Zipf).
+   *
+   * Output per document: `n_bigrams` (0 for docs under 2 tokens),
+   * `nano_mean` (exact mean nano-probability, NULL when no bigrams),
+   * `min_nano` (worst single transition — a localized-garbage detector),
+   * `mean_prob` (`nano_mean / 1e9` as double).
+   */
+  def bigramLmScore(df: DataFrame, textCol: String, idCol: String,
+                    minCount: Long = 0L): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      word_shingles(col(textCol), lit(1)).as("u"),
+      word_shingles(col(textCol), lit(2)).as("b"))
+    // unigram occurrence census over ALL docs (duplicates counted)
+    val uni = base.select(explode(col("u")).as("wh"))
+    val c1 = uni.groupBy("wh").agg(count(lit(1)).as("c1"))
+      .filter(col("c1") > minCount)
+    val vocab = uni.agg(countDistinct(col("wh")).as("v"))
+    // bigram positions only exist in docs with >= 2 tokens: below w the
+    // shingle kernel hashes the whole doc as one under-length gram
+    val pairs = base.filter(size(col("u")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(b, (bh, i) -> struct(u[i] AS ph, bh AS bh))")).as("z"))
+      .select(col("id"), col("z.ph").as("ph"), col("z.bh").as("bh"))
+    val c2 = pairs.groupBy("bh").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") > minCount)
+    val scored = pairs
+      .join(c2, "bh")
+      .join(c1.withColumnRenamed("wh", "ph"), "ph")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        expr("((c2 + 1) * CAST(1000000000 AS BIGINT)) div (c1 + v)").as("nano"))
+    val agg = scored.groupBy("id").agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(col("nano")).as("sum_nano"),
+      min(col("nano")).as("min_nano"))
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        expr("sum_nano div n_bigrams").as("nano_mean"),
+        col("min_nano"),
+        (expr("sum_nano div n_bigrams").cast("double") / lit(1e9)).as("mean_prob"))
+  }
+
   def frequentNgrams(df: DataFrame, textCol: String, idCol: String,
                      n: Int = 3, minDocs: Int = 5): DataFrame =
     ngramRows(df, textCol, idCol, "doc_id", n)

@@ -95,6 +95,31 @@ class OperatorsSpec extends AnyFunSuite {
       (5L, 1L, 0L, Some(0.0))))
   }
 
+  test("bigram LM score: exact nano-probabilities on a hand-counted corpus") {
+    val df = Seq(
+      (1L, "a b c"),
+      (2L, "a b d"),
+      (3L, "x"),     // one token: no bigram positions
+      (4L, ""),      // empty: no tokens at all
+      (5L, "a b c d")
+    ).toDF("doc_id", "text")
+    // c1: a=3 b=3 c=2 d=2 x=1, V=5; c2: ab=3 bc=2 bd=1 cd=1
+    // nano(prev, bigram) = (c2+1)*1e9 div (c1(prev)+5):
+    //   ab -> 4e9 div 8 = 500000000; bc -> 3e9 div 8 = 375000000
+    //   bd -> 2e9 div 8 = 250000000; cd -> 2e9 div 7 = 285714285
+    val got = graft.operators.TextAnalysis.bigramLmScore(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
+    assert(got === Set(
+      (1L, 2L, Some(437500000L), Some(375000000L), Some(0.4375)),
+      (2L, 2L, Some(375000000L), Some(250000000L), Some(0.375)),
+      (3L, 0L, None, None, None),
+      (4L, 0L, None, None, None),
+      (5L, 3L, Some(386904761L), Some(285714285L), Some(0.386904761))))
+  }
+
   test("ngram jaccard cap: over-cap prefix buckets drop whole and surface the metric") {
     import java.util.concurrent.ConcurrentHashMap
     val seen = new ConcurrentHashMap[String, org.apache.spark.sql.Row]()

@@ -185,6 +185,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("LM score: map-side count combine, broadcast vocab scalar, no cartesian, pruned scan") {
+    val p = plan(SparkEntry.queries("tx_lm_score")(spark, sf))
+    // both count censuses combine map-side: shuffles carry (hash, count)
+    assert(p.contains("partial_count"), s"count censuses must be partial:\n$p")
+    // the one-row vocab size rides a broadcast, never a cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("dedup candidate gen: bucket windows, salvage sub-split and gather share ONE exchange") {
     import org.apache.spark.sql.functions._
     val keyed = spark.range(100).select(
