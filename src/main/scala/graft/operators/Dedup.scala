@@ -296,6 +296,83 @@ object Dedup {
   }
 
   /**
+   * ASYMMETRIC containment join: all directed pairs (A, B) with
+   * `|A ∩ B| / |A| >= tau` over distinct word-shingle sets — "at least
+   * tau of A's content appears inside B". The doc-in-doc detector that
+   * symmetric Jaccard structurally misses: a page quoting a full article,
+   * a bundle concatenating many documents, a boilerplate wrapper around a
+   * copied body all have tiny Jaccard (the union is dominated by the big
+   * side) but containment ~1 in one direction — and corpus curation wants
+   * exactly that direction (drop A, keep B).
+   *
+   * Prefix filtering is ONE-SIDED here, the structural difference from
+   * [[ngramJaccardPairs]]: the required overlap `ceil(tau * |A|)` depends
+   * only on the PROBE side, so A indexes just its rare-first prefix of
+   * `|A| - ceil(tau * |A|) + 1` shingles, while B — whose matching A's
+   * size is unknown at index time — must index its FULL set (the known
+   * lower bound of containment indexing). The probe/index equi-join on the
+   * shingle is therefore probe-prefix × full-index; rare-first order keeps
+   * probe buckets keyed by each document's rarest content, and PPJoin's
+   * positional bound prunes at generation: a first collision at positions
+   * (rn_a, rn_b) of the common global order caps the overlap at
+   * `min(sz_a - rn_a, sz_b - rn_b) + 1`, which must still reach
+   * `ceil(tau * sz_a)`.
+   *
+   * Scale shape: one narrow (id, shingle) explode; map-side-combined
+   * document-frequency census; both join sides are narrow (id, sh, rn, sz)
+   * rows — text payloads are joined back by id only for verified-candidate
+   * pairs, on precomputed sorted shingle arrays. Index buckets are the
+   * shingle's document frequency itself, so `maxBucketSize` caps them
+   * directly: over-cap shingles leave the INDEX (boilerplate that would
+   * pair everything with everything), surfaced via the observed
+   * `dedup_candidates_<tag>` metric on the single-consumer index subtree.
+   * Empty-set documents enter neither side. `tau` must be binary-exact
+   * (0.5, 0.75, ...) for bit-identical SQL-oracle `ceil` agreement.
+   */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleW: Int = 3, tau: Double = 0.75,
+                       maxBucketSize: Int = 10000,
+                       metricTag: String = "containment"): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau ($tau) must be in (0, 1]")
+    val toks = df.select(col(idCol).as("id"),
+      explode(shingle_set(col(textCol), lit(shingleW))).as("sh"))
+    val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id")
+    val ranked = toks.join(dfreq, "sh")
+      .withColumn("sz", count(lit(1)).over(wDoc))
+      .withColumn("rn", row_number().over(
+        wDoc.orderBy(col("df").asc, col("sh").asc)))
+    val probe = ranked
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(tau)) + 1)
+      .select(col("id").as("id_a"), col("sh"),
+        col("rn").as("rn_a"), col("sz").as("sz_a"))
+    val index = ranked
+      .observe(s"dedup_candidates_$metricTag",
+        sum(when(col("df") > maxBucketSize, 1L).otherwise(0L))
+          .as("dropped_index_rows"),
+        max(when(col("df") > maxBucketSize, col("df"))).as("max_dropped_bucket"))
+      .filter(col("df") <= maxBucketSize)
+      .select(col("id").as("id_b"), col("sh"),
+        col("rn").as("rn_b"), col("sz").as("sz_b"))
+    val cand = probe.join(index, "sh")
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) + lit(1) >=
+        ceil(col("sz_a") * lit(tau)))
+      .select("id_a", "id_b")
+      .distinct()
+    val sets = df.select(col(idCol).as("id"),
+      shingle_set(col(textCol), lit(shingleW)).as("ss"))
+    cand
+      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "ss" -> "ss_a")), "id_a")
+      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "ss" -> "ss_b")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
+          size(col("ss_a")))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /**
    * Incremental near-dup admission: dedup a NEW batch against an EXISTING
    * corpus without re-pairing the corpus with itself — the form a 100 TB
    * pipeline actually runs on every ingest (the corpus's minhash band index

@@ -95,6 +95,23 @@ class OperatorsSpec extends AnyFunSuite {
       (5L, 1L, 0L, Some(0.0))))
   }
 
+  test("containment join: directed doc-in-doc pairs, exact fractions, no symmetric leak") {
+    val df = Seq(
+      (1L, "p q"),       // {p,q}
+      (2L, "p q r s"),   // {p,q,r,s}
+      (3L, "x y z p"),   // {x,y,z,p}
+      (4L, "q")          // {q}
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .containmentPairs(df, "text", "doc_id", shingleW = 1, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // containment(A->B) = |A inter B| / |A|; tau = 0.5
+    assert(got === Set(
+      (1L, 2L, 1.0), (1L, 3L, 0.5), (1L, 4L, 0.5),   // A into B/C/D
+      (2L, 1L, 0.5),                                 // B half-contained in A
+      (4L, 1L, 1.0), (4L, 2L, 1.0)))                 // D fully inside A and B
+  }
+
   test("bigram LM score: exact nano-probabilities on a hand-counted corpus") {
     val df = Seq(
       (1L, "a b c"),

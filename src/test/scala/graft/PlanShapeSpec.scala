@@ -194,6 +194,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("containment join: equi-join candidates, map-side census, no cartesian, pruned scan") {
+    val p = plan(SparkEntry.queries("dd_containment")(spark, sf))
+    // probe-prefix x index candidates come from a shingle EQUI-join, and
+    // payload verification joins by id -- never an all-pairs product
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), s"df census must combine map-side:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("dedup candidate gen: bucket windows, salvage sub-split and gather share ONE exchange") {
     import org.apache.spark.sql.functions._
     val keyed = spark.range(100).select(
