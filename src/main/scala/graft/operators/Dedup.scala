@@ -373,6 +373,77 @@ object Dedup {
   }
 
   /**
+   * ExactSubstr-style duplicated-SPAN profiling (the Lee et al.
+   * "Deduplicating Training Data Makes Language Models Better" signal,
+   * re-expressed relationally): for every document, the fraction of its
+   * tokens covered by word-`k`-grams that also occur in at least
+   * `minDocs - 1` OTHER documents. Document-level dedup ([[exact]],
+   * [[minhashLsh]]) misses partial copying — a page that quotes three
+   * paragraphs of another keeps a low doc-level similarity while its
+   * training impact is the verbatim span; this operator measures exactly
+   * that, per document, as merged MAXIMAL spans (overlapping/adjacent
+   * duplicated grams coalesce, so a 50-token verbatim quote counts 50
+   * tokens once, not 43 overlapping 8-grams).
+   *
+   * Relational plan (vs the reference suffix-array formulation — a global
+   * sort over the corpus concatenation that has no distributed analogue
+   * without a terabyte-wide sort):
+   *
+   *   1. one narrow explode of (id, pos, gram) position-grams;
+   *   2. gram census on DISTINCT (gram, id) — map-side combined; a gram is
+   *      "duplicated" when its document frequency >= `minDocs`;
+   *   3. LEFT-SEMI join of positions against the duplicated vocabulary —
+   *      semi joins cannot blow up on hot grams (a boilerplate gram in
+   *      millions of docs contributes one census row and marks, never
+   *      multiplies, its positions);
+   *   4. per-document gaps-and-islands interval merge under ONE doc_id
+   *      window: a new span starts where the gap since the previous
+   *      duplicated start exceeds `k`; covered tokens per span =
+   *      max(start) - min(start) + k.
+   *
+   * All arithmetic is integral until the single final division, so the
+   * output double is bit-exact across engines. Documents shorter than `k`
+   * tokens carry no grams and report zero duplication (the under-length
+   * convention of the reference metric).
+   */
+  def dupSpans(df: DataFrame, textCol: String, idCol: String,
+               k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2, s"need k >= 1 (got $k), minDocs >= 2 (got $minDocs)")
+    val base = df
+      .select(col(idCol).as("id"),
+        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("ts"))
+      .select(col("id"), col("ts"), size(col("ts")).cast("long").as("n_tokens"))
+    val grams = base.filter(col("n_tokens") >= k)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0L), col("n_tokens") - k),
+        i => array_join(slice(col("ts"), (i + 1).cast("int"), lit(k)), " "))))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
+    val dupVocab = grams.select("gram", "id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select("gram")
+    val hits = grams.join(dupVocab, Seq("gram"), "left_semi")
+    val wOrd = Window.partitionBy("id").orderBy("pos")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = hits
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(wOrd).isNull
+          .or(col("pos") - lag(col("pos"), 1).over(wOrd) > k), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy("id", "island")
+      .agg((max(col("pos")) - min(col("pos")) + k).as("covered"))
+    val perDoc = spans.groupBy("id")
+      .agg(sum(col("covered")).as("dup_tokens"), count(lit(1)).as("n_spans"))
+    base.join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).as("dup_fraction"))
+  }
+
+  /**
    * Incremental near-dup admission: dedup a NEW batch against an EXISTING
    * corpus without re-pairing the corpus with itself — the form a 100 TB
    * pipeline actually runs on every ingest (the corpus's minhash band index

@@ -112,6 +112,30 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, 1L, 1.0), (4L, 2L, 1.0)))                 // D fully inside A and B
   }
 
+  test("dup spans: islands merge on overlap AND exact adjacency, break past gap k") {
+    val df = Seq(
+      (1L, "a b c d e"),  // grams at 0..3 all duplicated -> ONE span, whole doc
+      (2L, "x a b c y"),  // hits at 1,2 -> one 3-token span of 5
+      (3L, "c d q d e"),  // hits at 0 and 3: gap 3 > k=2 -> TWO spans, 2+2 of 5
+      (4L, "zz"),         // under-length (1 token < k): no grams, zero dup
+      (5L, ""),           // empty: n_tokens 0, fraction 0.0 (not NaN)
+      (6L, "p q"),        // exactly k tokens: one gram, duplicated via doc 8
+      (8L, "p q p q")     // hits at 0,2: gap == k -> adjacent spans MERGE to 4
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dupSpans(df, "text", "doc_id", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got === Set(
+      (1L, 5L, 5L, 1L, 1.0),
+      (2L, 5L, 3L, 1L, 0.6),
+      (3L, 5L, 4L, 2L, 0.8),
+      (4L, 1L, 0L, 0L, 0.0),
+      (5L, 0L, 0L, 0L, 0.0),
+      (6L, 2L, 2L, 1L, 1.0),
+      (8L, 4L, 4L, 1L, 1.0)))
+  }
+
   test("bigram LM score: exact nano-probabilities on a hand-counted corpus") {
     val df = Seq(
       (1L, "a b c"),

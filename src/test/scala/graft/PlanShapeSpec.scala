@@ -204,6 +204,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("dup spans: semi-join vocabulary marking, map-side census, no cartesian, pruned scan") {
+    val p = plan(SparkEntry.queries("dd_dup_spans")(spark, sf))
+    // hot grams must MARK positions (left-semi), never multiply them; the
+    // census combines map-side; nothing all-pairs anywhere in the plan
+    assert(p.contains("LeftSemi"), s"dup vocabulary must join left-semi:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), s"gram census must combine map-side:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("dedup candidate gen: bucket windows, salvage sub-split and gather share ONE exchange") {
     import org.apache.spark.sql.functions._
     val keyed = spark.range(100).select(
