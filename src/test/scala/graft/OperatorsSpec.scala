@@ -136,6 +136,28 @@ class OperatorsSpec extends AnyFunSuite {
       (8L, 4L, 4L, 1L, 1.0)))
   }
 
+  test("bm25: rational-idf scores bit-exact, only matching docs scored, rank order") {
+    val df = Seq(
+      (1L, "Apple banana apple"),            // dl 3; apple tf 2, banana tf 1
+      (2L, "apple cherry"),                  // dl 2; apple tf 1
+      (3L, "banana banana banana banana"),   // dl 4; banana tf 4
+      (4L, "durian")                         // no query term: never scored
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Bm25
+      .search(df, "text", "doc_id", Seq("apple", "banana"), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // mirror of the operator's arithmetic, same association order
+    val avgdl = 10.0 / 4.0
+    val idf = ((4L - 2L).toDouble + 0.5) / (2L.toDouble + 0.5) // both terms: df 2
+    def s(tf: Long, dl: Long): Double =
+      idf * ((tf.toDouble * (1.2 + 1.0)) / (tf.toDouble + 1.2 *
+        ((1.0 - 0.75) + 0.75 * (dl.toDouble / avgdl))))
+    assert(got === Seq(
+      (1L, 1L, s(2, 3) + s(1, 3)),
+      (3L, 2L, 0.0 + s(4, 4)),
+      (2L, 3L, s(1, 2) + 0.0)))
+  }
+
   test("bigram LM score: exact nano-probabilities on a hand-counted corpus") {
     val df = Seq(
       (1L, "a b c"),

@@ -215,6 +215,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("bm25: term filter precedes agg, map-side combine, TakeOrdered top-k, pruned scan") {
+    val p = plan(SparkEntry.queries("tx_bm25")(spark, sf))
+    // global top-k must be per-partition heaps + driver merge, not a sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), s"tf/df aggs must combine map-side:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("dedup candidate gen: bucket windows, salvage sub-split and gather share ONE exchange") {
     import org.apache.spark.sql.functions._
     val keyed = spark.range(100).select(
