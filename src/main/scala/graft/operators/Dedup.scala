@@ -405,18 +405,23 @@ object Dedup {
    * output double is bit-exact across engines. Documents shorter than `k`
    * tokens carry no grams and report zero duplication (the under-length
    * convention of the reference metric).
+   *
+   * Grams travel as their 64-bit FNV hashes ([[word_shingles]], mirrored
+   * bit-for-bit by the DuckDB oracle kernels), never as ~`k`-word strings:
+   * the census and semi-join shuffle 8-byte keys. A 64-bit collision
+   * falsely marks the colliding positions duplicated — birthday math puts
+   * that at a handful of tokens corpus-wide even at 10^10 grams, noise
+   * well under the signal this metric feeds (filter thresholds ~0.3).
    */
   def dupSpans(df: DataFrame, textCol: String, idCol: String,
                k: Int = 8, minDocs: Int = 2): DataFrame = {
     require(k >= 1 && minDocs >= 2, s"need k >= 1 (got $k), minDocs >= 2 (got $minDocs)")
     val base = df
-      .select(col(idCol).as("id"),
-        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("ts"))
-      .select(col("id"), col("ts"), size(col("ts")).cast("long").as("n_tokens"))
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        size(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
     val grams = base.filter(col("n_tokens") >= k)
-      .select(col("id"), posexplode(transform(
-        sequence(lit(0L), col("n_tokens") - k),
-        i => array_join(slice(col("ts"), (i + 1).cast("int"), lit(k)), " "))))
+      .select(col("id"), posexplode(word_shingles(col("text"), lit(k))))
       .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
     val dupVocab = grams.select("gram", "id").distinct()
       .groupBy("gram").agg(count(lit(1)).as("ndocs"))
