@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -29,5 +30,60 @@ object DataQuality {
         col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("orphan_orders"))
     checks.crossJoin(orphans)
+  }
+
+  /**
+   * Per-group robust outlier detection (the median/MAD "Hampel filter"
+   * family): flags rows whose integer metric deviates from their GROUP's
+   * median by more than `nMads` median-absolute-deviations — the
+   * distribution-drift detector a corpus pipeline runs per source / shard
+   * / ingest day, robust exactly where mean/stddev fail (both get dragged
+   * by the outliers being hunted; one 10M-token document moves a source's
+   * mean, not its median).
+   *
+   * Medians are EXACT and computed by WINDOW SORT — per group: row_number
+   * over the metric order plus a partition count, then average the middle
+   * pair. Never Spark's exact `percentile` aggregate (its buffer
+   * materializes every group's values in executor memory — the 100 TB
+   * hazard) and never approx_percentile (not hash-reproducible). On
+   * integer metrics every derived value — median (= (lo+hi)/2), absolute
+   * deviation, MAD, the `nMads * mad` threshold — is an exactly
+   * representable double, so the output hashes bit-for-bit across
+   * engines.
+   *
+   * Scale shape: ONE corpus scan and ONE shuffle. All four window layers
+   * (metric rank, middle-pair pick, deviation rank, MAD pick) share the
+   * same `groupCol` partitioning, so Catalyst stacks them over a single
+   * exchange — a join-back formulation would rescan the input once per
+   * statistics table instead (four scans, measured). Window sorts spill;
+   * per-group state never lives in RAM (the reason this is window-sort
+   * and not Spark's exact `percentile` aggregate, whose buffer
+   * materializes every group's values in executor memory).
+   */
+  def robustOutliers(df: DataFrame, metricCol: String, groupCol: String,
+                     idCol: String, nMads: Double = 3.0): DataFrame = {
+    require(nMads > 0, s"nMads ($nMads) must be positive")
+    val wg = Window.partitionBy("grp")
+    // middle-pair window median: lo = value at row (cnt+1) div 2, hi = at
+    // cnt div 2 + 1 (equal when cnt is odd), each lifted to the whole
+    // partition by a MAX over the single matching row
+    def withMedian(in: DataFrame, valueCol: String, outCol: String): DataFrame =
+      in.withColumn("__rn",
+          row_number().over(wg.orderBy(col(valueCol), col("id"))))
+        .withColumn("__cnt", count(lit(1)).over(wg))
+        .withColumn("__lo",
+          max(when(col("__rn") === expr("(__cnt + 1) div 2"), col(valueCol))).over(wg))
+        .withColumn("__hi",
+          max(when(col("__rn") === expr("__cnt div 2 + 1"), col(valueCol))).over(wg))
+        .withColumn(outCol, (col("__lo") + col("__hi")).cast("double") / lit(2.0))
+        .drop("__rn", "__cnt", "__lo", "__hi")
+    val base = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      col(metricCol).cast("long").as("m"))
+    val withDev = withMedian(base, "m", "med")
+      .withColumn("dev", abs(col("m").cast("double") - col("med")))
+    withMedian(withDev, "dev", "mad")
+      .select(col("id").as(idCol), col("grp").as(groupCol),
+        col("m").as(metricCol), col("med"), col("mad"),
+        (col("dev") > lit(nMads) * col("mad")).as("is_outlier"))
   }
 }

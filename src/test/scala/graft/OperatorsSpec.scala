@@ -136,6 +136,28 @@ class OperatorsSpec extends AnyFunSuite {
       (8L, 4L, 4L, 1L, 1.0)))
   }
 
+  test("robust outliers: exact odd/even medians, MAD flag, per-group isolation") {
+    val df = Seq(
+      // group A, odd count: lengths 1,2,3,4,100 -> med 3, dev {2,1,0,1,97},
+      // mad 1 -> only the 100 exceeds 3 MADs
+      (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L), (5L, "a", 100L),
+      // group B, even count: 10,20,30,40 -> med 25.0, dev {15,5,5,15},
+      // mad (5+15)/2 = 10 -> nothing beyond 30
+      (6L, "b", 10L), (7L, "b", 20L), (8L, "b", 30L), (9L, "b", 40L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val got = graft.operators.DataQuality
+      .robustOutliers(df, "n_tokens", "source", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toSet
+    assert(got === Set(
+      (1L, "a", 1L, 3.0, 1.0, false), (2L, "a", 2L, 3.0, 1.0, false),
+      (3L, "a", 3L, 3.0, 1.0, false), (4L, "a", 4L, 3.0, 1.0, false),
+      (5L, "a", 100L, 3.0, 1.0, true),
+      (6L, "b", 10L, 25.0, 10.0, false), (7L, "b", 20L, 25.0, 10.0, false),
+      (8L, "b", 30L, 25.0, 10.0, false), (9L, "b", 40L, 25.0, 10.0, false)))
+  }
+
   test("bm25: rational-idf scores bit-exact, only matching docs scored, rank order") {
     val df = Seq(
       (1L, "Apple banana apple"),            // dl 3; apple tf 2, banana tf 1

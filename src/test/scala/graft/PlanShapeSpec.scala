@@ -215,6 +215,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("robust outliers: ONE scan, ONE exchange, stacked windows, no joins") {
+    val p = plan(SparkEntry.queries("dq_outliers")(spark, sf))
+    // all four window layers share the source partitioning: a single
+    // corpus scan and a single shuffle, no stat-table join-backs
+    assert(p.split("FileScan").length - 1 === 1, s"expected exactly 1 scan:\n$p")
+    assert(p.split("Exchange").length - 1 === 1, s"expected exactly 1 exchange:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
+  }
+
   test("bm25: term filter precedes agg, map-side combine, TakeOrdered top-k, pruned scan") {
     val p = plan(SparkEntry.queries("tx_bm25")(spark, sf))
     // global top-k must be per-partition heaps + driver merge, not a sort
