@@ -153,6 +153,25 @@ object Dedup {
                  jaccardThreshold: Double = 0.8,
                  maxBucketSize: Int = 10000,
                  metricTag: String = "minhash"): DataFrame = {
+    val cand = minhashCandidates(df, textCol, idCol, shingleW, numHashes,
+      bands, maxBucketSize, metricTag)
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    cand
+      .join(texts.withColumnsRenamed(Map("id" -> "id_a", "text" -> "text_a")), "id_a")
+      .join(texts.withColumnsRenamed(Map("id" -> "id_b", "text" -> "text_b")), "id_b")
+      .withColumn("jaccard", ngram_jaccard(col("text_a"), col("text_b"), lit(shingleW)))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The banding stage of [[minhashLsh]]: distinct UNVERIFIED candidate
+    * pairs from the (band, band_key) equi-join, hot buckets sub-split by
+    * the extra-seed salvage minhash. Shared by [[minhashLsh]] (which
+    * verifies with exact Jaccard) and [[lshEval]] (which measures how much
+    * verification the banding wastes). */
+  private def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                                shingleW: Int, numHashes: Int, bands: Int,
+                                maxBucketSize: Int, metricTag: String): DataFrame = {
     // the band fold derives its band count as numHashes/rowsPerBand, so a
     // non-dividing `bands` would silently change the b/r collision tuning
     // (and bands > numHashes would divide by zero) — fail fast instead
@@ -171,15 +190,83 @@ object Dedup {
         element_at(col("sigx"), numHashes + 1).as("sub_key"),
         posexplode(bandKeys(slice(col("sigx"), 1, numHashes), bands, rows))
           .as(Seq("band", "band_key")))
-    val cand = candidatesFromKeyed(keyed, Seq("band", "band_key"), maxBucketSize,
+    candidatesFromKeyed(keyed, Seq("band", "band_key"), maxBucketSize,
       metricTag, subKeyCol = Some("sub_key"))
-    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    cand
-      .join(texts.withColumnsRenamed(Map("id" -> "id_a", "text" -> "text_a")), "id_a")
-      .join(texts.withColumnsRenamed(Map("id" -> "id_b", "text" -> "text_b")), "id_b")
-      .withColumn("jaccard", ngram_jaccard(col("text_a"), col("text_b"), lit(shingleW)))
+  }
+
+  /**
+   * LSH TUNING EVAL: grades a MinHash banding configuration against the
+   * EXACT set-similarity ground truth of [[ngramJaccardPairs]] on the same
+   * corpus, same shingles, same threshold. One output row:
+   *
+   *   - `n_candidates`  distinct pairs the banding generated (the cost:
+   *                     each costs one exact-Jaccard verification)
+   *   - `n_verified`    candidates that passed `J >= tau` (the yield)
+   *   - `n_true_pairs`  ALL pairs with `J >= tau` (prefix-filter join —
+   *                     provable 100% recall, the denominator MinHash
+   *                     pipelines usually cannot measure)
+   *   - `n_caught`      verified ∩ truth (= n_verified up to each path's
+   *                     own hot-bucket cap; kept separate so cap-induced
+   *                     asymmetries are visible, not silently conflated)
+   *   - `verify_precision` = n_verified / n_candidates — the fraction of
+   *                     verification work that produced a pair; low means
+   *                     bands are too coarse (b too high / r too low)
+   *   - `recall`        = n_caught / n_true_pairs — what the banding missed;
+   *                     low means r too high for the corpus' similarity mass
+   *
+   * Both ratios divide exact BIGINT counts, so the doubles are bit-identical
+   * across engines (NULL when the denominator is 0, never Inf/NaN).
+   *
+   * Documents with an empty shingle set are excluded from BOTH sides up
+   * front: the exact path structurally never pairs them (no prefix) while
+   * banded empty signatures would collide with each other, and a
+   * ground-truth comparison must grade both paths on the same universe.
+   *
+   * Scale shape: the candidate side is the [[minhashLsh]] banding (narrow
+   * keyed rows, one exchange, capped buckets); the truth side is the
+   * [[ngramJaccardPairs]] prefix join; counts are map-side-combined single
+   * aggregates crossed into one row — nothing data-sized reaches the
+   * driver. This is a TUNING harness: at 100 TB run it on a stratified
+   * sample (e.g. [[graft.operators.TextAnalysis.stratifiedSample]]) —
+   * recall/precision of a banding scheme are properties of the similarity
+   * distribution, which a sample estimates; the full-corpus exact join is
+   * exactly the cost LSH exists to avoid.
+   */
+  def lshEval(df: DataFrame, textCol: String, idCol: String,
+              shingleW: Int = 3, numHashes: Int = 32, bands: Int = 8,
+              jaccardThreshold: Double = 0.5,
+              maxBucketSize: Int = 10000,
+              metricTag: String = "lsh_eval"): DataFrame = {
+    val nonEmpty = df.filter(size(shingle_set(col(textCol), lit(shingleW))) > 0)
+    val cand = minhashCandidates(nonEmpty, textCol, idCol, shingleW, numHashes,
+      bands, maxBucketSize, metricTag)
+    // verify on precomputed sorted shingle sets (the ngramJaccardPairs
+    // trick): array_intersect per candidate beats re-tokenizing both texts
+    val sets = nonEmpty.select(col(idCol).as("id"),
+      shingle_set(col(textCol), lit(shingleW)).as("ss"))
+    val verified = cand
+      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "ss" -> "ss_a")), "id_a")
+      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "ss" -> "ss_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ss_a"), col("ss_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ss_a")) + size(col("ss_b")) - col("inter")))
       .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select("id_a", "id_b")
+    val truth = ngramJaccardPairs(nonEmpty, textCol, idCol, shingleW,
+      jaccardThreshold, maxBucketSize, metricTag + "_truth")
+      .select("id_a", "id_b")
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nVer = verified.agg(count(lit(1)).as("n_verified"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val nCaught = verified.join(truth, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_caught"))
+    nCand.crossJoin(nVer).crossJoin(nTrue).crossJoin(nCaught)
+      .withColumn("verify_precision",
+        when(col("n_candidates") === 0, lit(null).cast("double"))
+          .otherwise(col("n_verified").cast("double") / col("n_candidates")))
+      .withColumn("recall",
+        when(col("n_true_pairs") === 0, lit(null).cast("double"))
+          .otherwise(col("n_caught").cast("double") / col("n_true_pairs")))
   }
 
   /**

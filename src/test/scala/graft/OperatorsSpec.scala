@@ -136,6 +136,29 @@ class OperatorsSpec extends AnyFunSuite {
       (8L, 4L, 4L, 1L, 1.0)))
   }
 
+  test("lsh eval: identical pair caught, empty docs excluded from both sides") {
+    val df = Seq(
+      // identical pair: J = 1 -> in truth; identical minhash sigs -> the
+      // banding MUST catch it (collides in every band)
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      // disjoint shingles vs everything: in no truth pair; a band collision
+      // would need 4 consecutive equal minhashes of disjoint sets
+      (3L, "completely different words in this other document entirely now"),
+      // empty/whitespace docs: excluded up front — without the shared
+      // universe filter their identical empty signatures would band-collide
+      // and verify at the J(empty,empty)=1 convention, poisoning precision
+      (4L, ""), (5L, "   ")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.lshEval(df, "text", "doc_id").collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((1L, 1L, 1L, 1L)))
+    assert(row.getDouble(4) === 1.0) // verify_precision
+    assert(row.getDouble(5) === 1.0) // recall
+  }
+
   test("robust outliers: exact odd/even medians, MAD flag, per-group isolation") {
     val df = Seq(
       // group A, odd count: lengths 1,2,3,4,100 -> med 3, dev {2,1,0,1,97},
