@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Batch event-analytics operators over the `events` table — the funnel /
+ * cohort-retention / time-series-gap-fill trio every product-analytics
+ * engine ships and the reference's eager single-table model cannot express
+ * (SURVEY.md §7.5 scale surface; the reference has no event analytics —
+ * these extend the §2.9 extension surface the same way EventPipelines does
+ * for streaming).
+ *
+ * Scale shapes (the reason these are operators and not example SQL):
+ *
+ *  - [[funnel]]: the per-user step chain is computed with STACKED
+ *    unordered window aggregates over one `PARTITION BY user` — every
+ *    stage reuses the single user-hash exchange (no self-joins, which is
+ *    how funnel queries die at scale: a k-step funnel as a k-way join
+ *    shuffles the event table k times). The final summary is k rows.
+ *  - [[retention]]: one user-hash exchange (first-seen via window), one
+ *    (cohort, offset) count-distinct aggregate, and a broadcast of the
+ *    per-cohort sizes (rows = number of cohorts, bounded by calendar
+ *    weeks, never by users).
+ *  - [[gapFill]]: the day spine is generated per user with `sequence()`
+ *    (rows bounded by each user's own active-day span — never a global
+ *    calendar cross join) and the forward fill is one ordered window per
+ *    user. Shuffles carry (user, day, double) triples only.
+ */
+object EventAnalytics {
+
+  /**
+   * Ordered-step funnel with a conversion deadline anchored at step 1.
+   *
+   * A user "reaches" step 1 at their earliest `steps(0)` event; step i>1
+   * at their earliest `steps(i-1)` event at-or-after the step-(i-1) reach
+   * time and within `windowHours` of the step-1 reach time. Because each
+   * step's qualifying window references the previous step's reach time,
+   * the chain is monotone: a user counted at step i is counted at every
+   * step before it (the funnel property; re-orderings like click-then-view
+   * do NOT count).
+   *
+   * Returns one row per step: (step 1-based BIGINT, step_name,
+   * n_users BIGINT = users reaching at-or-past the step). Exact counts —
+   * no sampling, no sketching — and deterministic for any event order.
+   */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type",
+             windowHours: Int = 24): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps (got ${steps.size})")
+    require(steps.distinct.size == steps.size, s"duplicate step types in $steps")
+    val w = Window.partitionBy(userCol)
+    // s1..sk as stacked unordered window mins; each select layer may
+    // reference the previous layer's column, all sharing one exchange
+    val s1 = events.withColumn("__s1",
+      min(when(col(typeCol) === steps.head, col(tsCol))).over(w))
+      .withColumn("__deadline",
+        col("__s1") + expr(s"INTERVAL $windowHours HOURS"))
+    val chained = steps.zipWithIndex.tail.foldLeft(s1) { case (df, (st, i)) =>
+      df.withColumn(s"__s${i + 1}",
+        min(when(col(typeCol) === st &&
+          col(tsCol) >= col(s"__s$i") && col(tsCol) <= col("__deadline"),
+          col(tsCol))).over(w))
+    }
+    // per-user reach = number of non-null step times (monotone chain),
+    // then one tiny k-row summary
+    val stepCols: Seq[Column] = steps.indices.map(i => col(s"__s${i + 1}"))
+    val perUser = chained.groupBy(col(userCol))
+      .agg(max(stepCols.map(c => c.isNotNull.cast("int"))
+        .reduce(_ + _)).as("__reach"))
+    val stepSums = steps.indices.map(i =>
+      sum(when(col("__reach") >= i + 1, 1L).otherwise(0L)).as(s"__n${i + 1}"))
+    val counts = perUser.agg(stepSums.head, stepSums.tail: _*)
+    val stackArgs = steps.zipWithIndex.map { case (st, i) =>
+      s"CAST(${i + 1} AS BIGINT), '${st}', __n${i + 1}"
+    }.mkString(", ")
+    counts.selectExpr(
+      s"stack(${steps.size}, $stackArgs) AS (step, step_name, n_users)")
+  }
+
+  /**
+   * Weekly cohort retention, anniversary-based: a user's cohort is the
+   * 7-day bucket of their first-ever event (`cohort_week` = epoch-day of
+   * first event `div` 7), and an event at day d lands in
+   * `week_offset = (d - first_day) div 7` — offset 0 is the signup week
+   * itself, so `n_active` at offset 0 equals the cohort size.
+   *
+   * Output: (cohort_week BIGINT, week_offset BIGINT, n_active BIGINT,
+   * cohort_size BIGINT, retained_frac DOUBLE = n_active / cohort_size).
+   * Day arithmetic is integer throughout (epoch days, floor division on
+   * non-negative values), so every engine computes identical buckets.
+   */
+  def retention(events: DataFrame,
+                userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(userCol)
+    val ed = events.select(col(userCol).as("user_id"),
+      datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("__ed"))
+      .withColumn("__first_ed", min(col("__ed")).over(w))
+    val perCell = ed
+      .select(col("user_id"),
+        expr("__first_ed div 7").as("cohort_week"),
+        expr("(__ed - __first_ed) div 7").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count_distinct(col("user_id")).as("n_active"))
+    // cohort size = the offset-0 cell (every user's first event is offset
+    // 0); rows = number of cohorts — always broadcastable
+    val sizes = broadcast(perCell.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size")))
+    perCell.join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size"))
+          .as("retained_frac"))
+  }
+
+  /**
+   * Daily gap-fill with forward fill (the time-series resample primitive):
+   * per-user daily `sum(value)` of `eventType` events, re-gridded onto a
+   * complete day spine spanning each user's own [first, last] active day,
+   * gaps carrying the last observed value forward.
+   *
+   * Output: (user_id, day 'yyyy-MM-dd' STRING, day_value DOUBLE — NULL on
+   * gap days, filled_value DOUBLE, is_gap BOOLEAN). The daily sum
+   * aggregates in DECIMAL(18,2) then casts to DOUBLE (the engine-wide
+   * exact-sum convention), and the fill MOVES that value without
+   * arithmetic, so results hash-reproduce across engines. Users with no
+   * qualifying events produce no rows.
+   */
+  def gapFill(events: DataFrame, eventType: String = "purchase",
+              userCol: String = "user_id", tsCol: String = "ts",
+              typeCol: String = "event_type",
+              valueCol: String = "value"): DataFrame = {
+    val daily = events.filter(col(typeCol) === eventType)
+      .groupBy(col(userCol).as("user_id"),
+        col(tsCol).cast("date").as("__d"))
+      .agg(expr(s"CAST(SUM(CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE)")
+        .as("day_value"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("__d")).as("__d0"), max(col("__d")).as("__d1"))
+      .select(col("user_id"),
+        explode(sequence(col("__d0"), col("__d1"))).as("__d"))
+    val wFill = Window.partitionBy("user_id").orderBy("__d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "__d"), "left")
+      .select(col("user_id"),
+        date_format(col("__d"), "yyyy-MM-dd").as("day"),
+        col("day_value"),
+        last(col("day_value"), ignoreNulls = true).over(wFill)
+          .as("filled_value"),
+        col("day_value").isNull.as("is_gap"))
+  }
+}

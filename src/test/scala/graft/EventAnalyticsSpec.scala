@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.EventAnalytics
+
+/** Funnel / cohort-retention / gap-fill semantics on hand-computed
+  * micro-corpora (the ev_funnel / ev_retention / ev_gapfill queries'
+  * operator layer). */
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel: monotone chain, deadline anchored at step 1, order enforced") {
+    val events = Seq(
+      // u1 completes all three inside the 24h window
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 01:00:00"), "click"),
+      (1L, ts("2024-01-01 02:00:00"), "purchase"),
+      // u2's only click PRECEDES its first view: click must not count
+      (2L, ts("2024-01-01 00:00:00"), "click"),
+      (2L, ts("2024-01-01 01:00:00"), "view"),
+      // u3 purchases at +30h: past the step-1-anchored 24h deadline
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-01 01:00:00"), "click"),
+      (3L, ts("2024-01-02 06:00:00"), "purchase"),
+      // u4 never views: reaches nothing
+      (4L, ts("2024-01-01 00:00:00"), "click"),
+      // u5: click at the SAME instant as view (ts >= s1 counts) and
+      // purchase exactly AT the deadline (<= counts)
+      (5L, ts("2024-01-01 00:00:00"), "view"),
+      (5L, ts("2024-01-01 00:00:00"), "click"),
+      (5L, ts("2024-01-02 00:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics
+      .funnel(events, Seq("view", "click", "purchase"), windowHours = 24)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, "view", 4L),      // u1 u2 u3 u5
+      (2L, "click", 3L),     // u1 u3 u5
+      (3L, "purchase", 2L))) // u1 u5
+  }
+
+  test("retention: anniversary offsets, cohort isolation, offset-0 size") {
+    val events = Seq(
+      // uA: first 2024-01-01 (epoch day 19723, cohort week 2817),
+      // returns at +8d (offset 1) and +15d (offset 2)
+      (10L, ts("2024-01-01 12:00:00")),
+      (10L, ts("2024-01-09 12:00:00")),
+      (10L, ts("2024-01-16 12:00:00")),
+      // uB: same cohort, only the signup week
+      (11L, ts("2024-01-01 08:00:00")),
+      (11L, ts("2024-01-03 08:00:00")),
+      // uC: first 2024-01-10 (epoch day 19732, cohort week 2818),
+      // returns at +15d (offset 2)
+      (12L, ts("2024-01-10 00:00:00")),
+      (12L, ts("2024-01-25 00:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.retention(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got === Set(
+      (2817L, 0L, 2L, 2L, 1.0),
+      (2817L, 1L, 1L, 2L, 0.5),
+      (2817L, 2L, 1L, 2L, 0.5),
+      (2818L, 0L, 1L, 1L, 1.0),
+      (2818L, 2L, 1L, 1L, 1.0)))
+  }
+
+  test("gap-fill: exact daily sums, forward fill across gaps, span per user") {
+    val events = Seq(
+      // uA: two purchases on day 1 (sum 12.75), one on day 4; days 2-3 gap
+      (20L, ts("2024-01-01 09:00:00"), "purchase", 10.5),
+      (20L, ts("2024-01-01 15:00:00"), "purchase", 2.25),
+      (20L, ts("2024-01-04 11:00:00"), "purchase", 5.0),
+      // uB: single purchase day — one row, no gaps
+      (21L, ts("2024-01-02 10:00:00"), "purchase", 1.0),
+      // uC: no purchases at all — excluded from the output
+      (22L, ts("2024-01-01 10:00:00"), "view", 99.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.gapFill(events, "purchase").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    assert(got === Set(
+      (20L, "2024-01-01", Some(12.75), 12.75, false),
+      (20L, "2024-01-02", None, 12.75, true),
+      (20L, "2024-01-03", None, 12.75, true),
+      (20L, "2024-01-04", Some(5.0), 5.0, false),
+      (21L, "2024-01-02", Some(1.0), 1.0, false)))
+  }
+}

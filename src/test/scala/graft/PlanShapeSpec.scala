@@ -339,4 +339,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"candidate joins must stay broadcast/hash, never sort-merge:\n$p")
   }
+
+  test("funnel: step chain is joinless — stacked windows on one user exchange") {
+    val p = plan(SparkEntry.queries("ev_funnel")(spark, sf))
+    // the k-step chain must NOT plan as a k-way self-join (the shape that
+    // shuffles the event table k times); one user-hash exchange feeds the
+    // stacked window mins, one single-partition exchange feeds the k-row
+    // summary
+    assert(!p.contains("Join"), s"funnel must be joinless:\n$p")
+    assert(p.split("FileScan").length - 1 === 1, s"expected exactly 1 scan:\n$p")
+    assert(p.split("Exchange").length - 1 === 2,
+      s"expected user-hash + summary exchanges only:\n$p")
+    // ts reads as timestamp or timestamp_ntz depending on the generator's
+    // parquet encoding (see sources.Tables) — pin the column SET either way
+    assert(p.contains("ReadSchema: struct<ts:timestamp") &&
+      p.contains("user_id:bigint,event_type:string>"), p)
+  }
+
+  test("retention: cohort sizes broadcast, no sort-merge, pruned scan") {
+    val p = plan(SparkEntry.queries("ev_retention")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"cohort-size join must broadcast (rows = cohorts, never users):\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ReadSchema: struct<ts:timestamp") &&
+      p.contains("user_id:bigint>"), p)
+  }
+
+  test("gap-fill: type filter pushed to the scan, spine explode, no cartesian") {
+    val p = plan(SparkEntry.queries("ev_gapfill")(spark, sf))
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(event_type,purchase)"),
+      s"event-type filter must reach the parquet scan:\n$p")
+    assert(p.contains("Generate explode"),
+      s"day spine must be per-user sequence() explode:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ReadSchema: struct<ts:timestamp") &&
+      p.contains("user_id:bigint,event_type:string,value:double>"), p)
+  }
 }
