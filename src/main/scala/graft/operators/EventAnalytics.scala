@@ -117,6 +117,69 @@ object EventAnalytics {
   }
 
   /**
+   * A/B experiment readout: deterministic variant assignment, funnel-style
+   * conversion, and a pooled two-proportion z-score — the experiment
+   * analysis every product-analytics engine ships next to funnels.
+   *
+   * Variant = `user_id pmod 2` (0 → A, 1 → B): deterministic, mirrorable
+   * in any engine, and independent of event order. A user is EXPOSED at
+   * their first `exposeType` event and CONVERTED at the first
+   * `convertType` event at-or-after exposure within `windowHours` (the
+   * two-step funnel chain, stacked on one user-hash exchange).
+   *
+   * Determinism contract: conversion counts are exact longs; the derived
+   * rates and the z-score use only IEEE-754 correctly-rounded operations
+   * (+ - * / sqrt) in a FIXED association mirrored by the SQL oracle, so
+   * the doubles are bit-identical across engines. `z_score` is NULL when
+   * either arm has no exposures (NULLIF guard, no division by zero).
+   *
+   * Output (one row): n_a, conv_a, p_a, n_b, conv_b, p_b, z_score,
+   * significant (|z| > 1.96). Scale shape: stacked per-user windows
+   * (one exchange), a per-user aggregate reusing that partitioning, and
+   * one single-row conditional aggregate — no joins at all.
+   */
+  def abTest(events: DataFrame, exposeType: String = "view",
+             convertType: String = "purchase",
+             userCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type",
+             windowHours: Int = 24): DataFrame = {
+    val w = Window.partitionBy(userCol)
+    val chained = events
+      .withColumn("__ev", min(when(col(typeCol) === exposeType, col(tsCol))).over(w))
+      .withColumn("__cv", min(when(col(typeCol) === convertType &&
+        col(tsCol) >= col("__ev") &&
+        col(tsCol) <= col("__ev") + expr(s"INTERVAL $windowHours HOURS"),
+        col(tsCol))).over(w))
+    val perUser = chained.groupBy(col(userCol))
+      .agg(max(col("__ev")).as("__ev"), max(col("__cv")).as("__cv"))
+      .filter(col("__ev").isNotNull)
+      .select(pmod(col(userCol), lit(2)).as("__variant"),
+        col("__cv").isNotNull.cast("long").as("__conv"))
+    perUser.agg(
+        sum(when(col("__variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__variant") === 0, col("__conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("__variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__variant") === 1, col("__conv")).otherwise(0L)).as("conv_b"))
+      .select(col("n_a"), col("conv_a"),
+        (col("conv_a").cast("double") / nullif(col("n_a"), lit(0L))).as("p_a"),
+        col("n_b"), col("conv_b"),
+        (col("conv_b").cast("double") / nullif(col("n_b"), lit(0L))).as("p_b"))
+      .select(col("n_a"), col("conv_a"), col("p_a"),
+        col("n_b"), col("conv_b"), col("p_b"),
+        // pooled two-proportion z; every op correctly rounded, FIXED
+        // association (the SQL oracle replays this exact expression tree)
+        ((col("p_a") - col("p_b")) /
+          sqrt((((col("conv_a") + col("conv_b")).cast("double") /
+                 (col("n_a") + col("n_b"))) *
+                (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") /
+                 (col("n_a") + col("n_b")))) *
+               (lit(1.0) / nullif(col("n_a"), lit(0L)) +
+                lit(1.0) / nullif(col("n_b"), lit(0L)))))
+          .as("z_score"))
+      .withColumn("significant", abs(col("z_score")) > lit(1.96))
+  }
+
+  /**
    * Daily gap-fill with forward fill (the time-series resample primitive):
    * per-user daily `sum(value)` of `eventType` events, re-gridded onto a
    * complete day spine spanning each user's own [first, last] active day,

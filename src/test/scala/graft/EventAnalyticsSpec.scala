@@ -70,6 +70,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (2818L, 2L, 1L, 1L, 1.0)))
   }
 
+  test("abtest: parity variants, exposure gate, exact pooled z-score") {
+    val events = Seq(
+      // variant A (even ids): u2 converts, u4 doesn't, u6 never exposed
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-01 05:00:00"), "purchase"),
+      (4L, ts("2024-01-01 00:00:00"), "view"),
+      (6L, ts("2024-01-01 00:00:00"), "purchase"),
+      // variant B (odd ids): u3 converts, u1 converts LATE (+30h), u5 doesn't
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-02 06:00:00"), "purchase"),
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-01 01:00:00"), "purchase"),
+      (5L, ts("2024-01-01 00:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val r = EventAnalytics.abTest(events).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)) ===
+      ((2L, 1L, 3L, 1L))) // n_a, conv_a, n_b, conv_b
+    val pA = 1.0 / 2L; val pB = 1.0 / 3L
+    assert(r.getDouble(2) === pA && r.getDouble(5) === pB)
+    // replicate the EXACT association — same IEEE ops, same order
+    val pbar = (1L + 1L).toDouble / (2L + 3L)
+    val z = (pA - pB) / math.sqrt((pbar * (1.0 - pbar)) * (1.0 / 2L + 1.0 / 3L))
+    assert(r.getDouble(6) === z)
+    assert(r.getBoolean(7) === (math.abs(z) > 1.96))
+  }
+
   test("gap-fill: exact daily sums, forward fill across gaps, span per user") {
     val events = Seq(
       // uA: two purchases on day 1 (sum 12.75), one on day 4; days 2-3 gap

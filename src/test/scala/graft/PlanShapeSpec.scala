@@ -356,6 +356,14 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("user_id:bigint,event_type:string>"), p)
   }
 
+  test("abtest: joinless two-step chain, one user exchange, pruned scan") {
+    val p = plan(SparkEntry.queries("ev_abtest")(spark, sf))
+    assert(!p.contains("Join"), s"abtest must be joinless:\n$p")
+    assert(p.split("FileScan").length - 1 === 1, s"expected exactly 1 scan:\n$p")
+    assert(p.split("Exchange").length - 1 === 2,
+      s"expected user-hash + summary exchanges only:\n$p")
+  }
+
   test("retention: cohort sizes broadcast, no sort-merge, pruned scan") {
     val p = plan(SparkEntry.queries("ev_retention")(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
