@@ -70,6 +70,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (2818L, 2L, 1L, 1L, 1.0)))
   }
 
+  test("funnel: 4-step chain re-anchors each step on the previous reach") {
+    val events = Seq(
+      // u1 walks all four steps inside the window
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-01 01:00:00"), "view"),
+      (1L, ts("2024-01-01 02:00:00"), "click"),
+      (1L, ts("2024-01-01 03:00:00"), "purchase"),
+      // u2 clicks BEFORE its first view: the click cannot serve step 3,
+      // and no later click exists -> stuck at step 2
+      (2L, ts("2024-01-01 00:00:00"), "signup"),
+      (2L, ts("2024-01-01 00:30:00"), "click"),
+      (2L, ts("2024-01-01 01:00:00"), "view"),
+      (2L, ts("2024-01-01 02:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics
+      .funnel(events, Seq("signup", "view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("abtest: parity variants, exposure gate, exact pooled z-score") {
     val events = Seq(
       // variant A (even ids): u2 converts, u4 doesn't, u6 never exposed

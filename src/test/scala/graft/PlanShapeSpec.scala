@@ -356,6 +356,20 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("user_id:bigint,event_type:string>"), p)
   }
 
+  test("funnel: exchange count is O(1) in the number of steps") {
+    import org.apache.spark.sql.functions.col
+    // the k-way self-join shape pays k shuffles of the event table; the
+    // stacked-window shape must stay at 2 exchanges for ANY k
+    val events = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val k5 = graft.operators.EventAnalytics.funnel(events,
+      Seq("signup", "view", "click", "purchase", "error"))
+    val p = plan(k5)
+    assert(!p.contains("Join"), s"5-step funnel must stay joinless:\n$p")
+    assert(p.split("Exchange").length - 1 === 2,
+      s"5-step funnel grew exchanges beyond the k=3 shape:\n$p")
+  }
+
   test("abtest: joinless two-step chain, one user exchange, pruned scan") {
     val p = plan(SparkEntry.queries("ev_abtest")(spark, sf))
     assert(!p.contains("Join"), s"abtest must be joinless:\n$p")
