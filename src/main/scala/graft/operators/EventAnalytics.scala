@@ -106,10 +106,14 @@ object EventAnalytics {
       .groupBy("cohort_week", "week_offset")
       .agg(count_distinct(col("user_id")).as("n_active"))
     // cohort size = the offset-0 cell (every user's first event is offset
-    // 0); rows = number of cohorts — always broadcastable
-    val sizes = broadcast(perCell.filter(col("week_offset") === 0)
-      .select(col("cohort_week"), col("n_active").as("cohort_size")))
-    perCell.join(sizes, Seq("cohort_week"))
+    // 0), read with a window over the CELL frame — rows = cohorts ×
+    // offsets, so the extra exchange is tiny, and the event table is
+    // scanned exactly once (a self-join here re-scans the fact table:
+    // Spark does not reuse the subtree across join inputs)
+    val wc = Window.partitionBy("cohort_week")
+    perCell
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(wc))
       .select(col("cohort_week"), col("week_offset"), col("n_active"),
         col("cohort_size"),
         (col("n_active").cast("double") / col("cohort_size"))
@@ -201,18 +205,23 @@ object EventAnalytics {
         col(tsCol).cast("date").as("__d"))
       .agg(expr(s"CAST(SUM(CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE)")
         .as("day_value"))
-    val spine = daily.groupBy("user_id")
-      .agg(min(col("__d")).as("__d0"), max(col("__d")).as("__d1"))
-      .select(col("user_id"),
-        explode(sequence(col("__d0"), col("__d1"))).as("__d"))
-    val wFill = Window.partitionBy("user_id").orderBy("__d")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(daily, Seq("user_id", "__d"), "left")
+    // JOINLESS spine: each observed day OWNS the gap run up to (not
+    // including) the user's next observed day — explode that run and the
+    // forward fill falls out for free (the filled value only changes at
+    // observed days). One scan, one (user, day) agg, one user window;
+    // a spine-vs-daily join here would recompute `daily` (and re-scan
+    // the event table) for its second consumer.
+    val wd = Window.partitionBy("user_id").orderBy("__d")
+    daily
+      .withColumn("__next_d", lead(col("__d"), 1).over(wd))
+      .select(col("user_id"), col("day_value").as("__obs"),
+        col("__d").as("__anchor"),
+        explode(sequence(col("__d"),
+          coalesce(date_sub(col("__next_d"), 1), col("__d")))).as("__d"))
       .select(col("user_id"),
         date_format(col("__d"), "yyyy-MM-dd").as("day"),
-        col("day_value"),
-        last(col("day_value"), ignoreNulls = true).over(wFill)
-          .as("filled_value"),
-        col("day_value").isNull.as("is_gap"))
+        when(col("__d") === col("__anchor"), col("__obs")).as("day_value"),
+        col("__obs").as("filled_value"),
+        (col("__d") =!= col("__anchor")).as("is_gap"))
   }
 }

@@ -378,24 +378,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected user-hash + summary exchanges only:\n$p")
   }
 
-  test("retention: cohort sizes broadcast, no sort-merge, pruned scan") {
+  test("retention: joinless, ONE event scan, cohort sizes via cell window") {
     val p = plan(SparkEntry.queries("ev_retention")(spark, sf))
-    assert(p.contains("BroadcastHashJoin"),
-      s"cohort-size join must broadcast (rows = cohorts, never users):\n$p")
-    assert(!p.contains("SortMergeJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    // a cohort-size self-join would RE-SCAN the event table for its second
+    // consumer (Spark does not reuse the subtree across join inputs); the
+    // window over the tiny cell frame keeps the fact table at one scan
+    assert(!p.contains("Join"), s"retention must be joinless:\n$p")
+    assert(p.split("FileScan").length - 1 === 1, s"expected exactly 1 scan:\n$p")
     assert(p.contains("ReadSchema: struct<ts:timestamp") &&
       p.contains("user_id:bigint>"), p)
   }
 
-  test("gap-fill: type filter pushed to the scan, spine explode, no cartesian") {
+  test("gap-fill: joinless, ONE pushed-filter scan, gap runs via lead explode") {
     val p = plan(SparkEntry.queries("ev_gapfill")(spark, sf))
     assert(p.contains("PushedFilters") &&
       p.contains("EqualTo(event_type,purchase)"),
       s"event-type filter must reach the parquet scan:\n$p")
     assert(p.contains("Generate explode"),
-      s"day spine must be per-user sequence() explode:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
+      s"gap runs must be per-row sequence() explode:\n$p")
+    // the spine-vs-daily join shape re-scans the event table; the lead()
+    // run-explode keeps one scan and gives forward fill for free
+    assert(!p.contains("Join"), s"gap-fill must be joinless:\n$p")
+    assert(p.split("FileScan").length - 1 === 1, s"expected exactly 1 scan:\n$p")
     assert(p.contains("ReadSchema: struct<ts:timestamp") &&
       p.contains("user_id:bigint,event_type:string,value:double>"), p)
   }
