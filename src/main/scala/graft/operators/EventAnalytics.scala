@@ -73,11 +73,20 @@ object EventAnalytics {
     val stepSums = steps.indices.map(i =>
       sum(when(col("__reach") >= i + 1, 1L).otherwise(0L)).as(s"__n${i + 1}"))
     val counts = perUser.agg(stepSums.head, stepSums.tail: _*)
-    val stackArgs = steps.zipWithIndex.map { case (st, i) =>
-      s"CAST(${i + 1} AS BIGINT), '${st}', __n${i + 1}"
-    }.mkString(", ")
-    counts.selectExpr(
-      s"stack(${steps.size}, $stackArgs) AS (step, step_name, n_users)")
+    // typed array+explode (NOT a string-built stack(...): step names are
+    // user data and must never be spliced into generated SQL), then drop
+    // the all-NULL summary row an empty input produces — a global agg with
+    // no groups emits one row of NULL sums, while zero steps were reached,
+    // so the contract (and the oracle's CROSS JOIN against an empty
+    // per-user frame) is zero output rows
+    val entries = steps.zipWithIndex.map { case (st, i) =>
+      struct(lit((i + 1).toLong).as("step"), lit(st).as("step_name"),
+        col(s"__n${i + 1}").as("n_users"))
+    }
+    counts.select(explode(array(entries: _*)).as("__e"))
+      .select(col("__e.step").as("step"), col("__e.step_name").as("step_name"),
+        col("__e.n_users").as("n_users"))
+      .where(col("n_users").isNotNull)
   }
 
   /**
@@ -125,8 +134,9 @@ object EventAnalytics {
    * conversion, and a pooled two-proportion z-score — the experiment
    * analysis every product-analytics engine ships next to funnels.
    *
-   * Variant = `user_id pmod 2` (0 → A, 1 → B): deterministic, mirrorable
-   * in any engine, and independent of event order. A user is EXPOSED at
+   * Variant = `user_id % 2` (truncated modulo: 0 → A, 1 → B; a negative
+   * id's -1 lands in neither arm, matching SQL `%` in every engine):
+   * deterministic, mirrorable, and independent of event order. A user is EXPOSED at
    * their first `exposeType` event and CONVERTED at the first
    * `convertType` event at-or-after exposure within `windowHours` (the
    * two-step funnel chain, stacked on one user-hash exchange).
@@ -157,7 +167,7 @@ object EventAnalytics {
     val perUser = chained.groupBy(col(userCol))
       .agg(max(col("__ev")).as("__ev"), max(col("__cv")).as("__cv"))
       .filter(col("__ev").isNotNull)
-      .select(pmod(col(userCol), lit(2)).as("__variant"),
+      .select((col(userCol) % lit(2)).as("__variant"),
         col("__cv").isNotNull.cast("long").as("__conv"))
     perUser.agg(
         sum(when(col("__variant") === 0, 1L).otherwise(0L)).as("n_a"),
@@ -212,16 +222,22 @@ object EventAnalytics {
     // a spine-vs-daily join here would recompute `daily` (and re-scan
     // the event table) for its second consumer.
     val wd = Window.partitionBy("user_id").orderBy("__d")
+    // An observed day whose SUM(value) is NULL (all-NULL inputs) is itself
+    // a gap: the fill carries the last NON-NULL daily sum forward (ordered
+    // window, default frame = unbounded preceding..current row — the same
+    // `last_value IGNORE NULLS` the oracle uses), and is_gap mirrors
+    // `day_value IS NULL`, not merely "day not observed".
     daily
       .withColumn("__next_d", lead(col("__d"), 1).over(wd))
-      .select(col("user_id"), col("day_value").as("__obs"),
+      .withColumn("__ff", last(col("day_value"), ignoreNulls = true).over(wd))
+      .select(col("user_id"), col("day_value").as("__obs"), col("__ff"),
         col("__d").as("__anchor"),
         explode(sequence(col("__d"),
           coalesce(date_sub(col("__next_d"), 1), col("__d")))).as("__d"))
       .select(col("user_id"),
         date_format(col("__d"), "yyyy-MM-dd").as("day"),
         when(col("__d") === col("__anchor"), col("__obs")).as("day_value"),
-        col("__obs").as("filled_value"),
-        (col("__d") =!= col("__anchor")).as("is_gap"))
+        col("__ff").as("filled_value"),
+        (col("__d") =!= col("__anchor") || col("__obs").isNull).as("is_gap"))
   }
 }

@@ -116,6 +116,58 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getBoolean(7) === (math.abs(z) > 1.96))
   }
 
+  test("funnel: quoted step names are data, not SQL; empty input -> 0 rows") {
+    // a step type containing a single quote must survive verbatim (the
+    // summary is built from typed Columns, never interpolated SQL)
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "it's-a-view"),
+      (1L, ts("2024-01-01 01:00:00"), "add'to'cart")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics
+      .funnel(events, Seq("it's-a-view", "add'to'cart"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("it's-a-view", 1L), ("add'to'cart", 1L)))
+    // empty input: zero rows (not k rows of NULL from the groupless agg)
+    val empty = Seq.empty[(Long, Timestamp, String)]
+      .toDF("user_id", "ts", "event_type")
+    assert(EventAnalytics.funnel(empty, Seq("view", "click")).count() === 0L)
+  }
+
+  test("abtest: truncated modulo — negative ids land in neither arm") {
+    val events = Seq(
+      (-7L, ts("2024-01-01 00:00:00"), "view"), // -7 % 2 = -1: no arm
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-01 01:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val r = EventAnalytics.abTest(events).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)) ===
+      ((1L, 0L, 1L, 1L))) // n_a, conv_a, n_b, conv_b — u-7 counted nowhere
+  }
+
+  test("gap-fill: NULL daily sum is a gap; fill carries last non-NULL") {
+    val events = Seq(
+      // day 1 sums to 4.0; day 2 observed but all values NULL (sum NULL:
+      // a gap per the contract); day 3 back to a real sum
+      (30L, ts("2024-01-01 09:00:00"), "purchase", Some(4.0)),
+      (30L, ts("2024-01-02 09:00:00"), "purchase", None),
+      (30L, ts("2024-01-03 09:00:00"), "purchase", Some(2.0)),
+      // a user whose FIRST day is all-NULL: filled_value stays NULL there
+      (31L, ts("2024-01-01 09:00:00"), "purchase", None),
+      (31L, ts("2024-01-02 09:00:00"), "purchase", Some(7.0))
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.gapFill(events, "purchase").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))).toSet
+    assert(got === Set(
+      (30L, "2024-01-01", Some(4.0), Some(4.0), false),
+      (30L, "2024-01-02", None, Some(4.0), true),
+      (30L, "2024-01-03", Some(2.0), Some(2.0), false),
+      (31L, "2024-01-01", None, None, true),
+      (31L, "2024-01-02", Some(7.0), Some(7.0), false)))
+  }
+
   test("gap-fill: exact daily sums, forward fill across gaps, span per user") {
     val events = Seq(
       // uA: two purchases on day 1 (sum 12.75), one on day 4; days 2-3 gap
