@@ -36,12 +36,39 @@ object BenchOne {
     (1 to warmupReps).foreach { _ =>
       fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
     }
+    // SPARK_GRAFT_STAGES=1: per-stage skew report for the LAST rep — wall
+    // (submit->complete), summed task run time, task count, and the max
+    // single-task time. A stage whose max-task ~= wall while sum >> max is
+    // the serialized tail the effective-core ratio is hiding.
+    val stageLog =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Int, Long, Long, Long)]()
+    if (sys.env.get("SPARK_GRAFT_STAGES").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val taskMax = scala.collection.concurrent.TrieMap.empty[Int, Long]
+        private val taskSum = scala.collection.concurrent.TrieMap.empty[Int, Long]
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val d = te.taskInfo.duration
+          taskMax.updateWith(te.stageId) { p => Some(math.max(p.getOrElse(0L), d)) }
+          taskSum.updateWith(te.stageId) { p => Some(p.getOrElse(0L) + d) }
+        }
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(0L)
+          val where = si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("BenchOne"))
+            .getOrElse(si.name.takeWhile(_ != '\n')).trim.take(80)
+          stageLog.add((si.stageId, where, si.numTasks,
+            wall, taskSum.getOrElse(si.stageId, 0L), taskMax.getOrElse(si.stageId, 0L)))
+        }
+      })
+    }
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     // protocol parity with Bench.measure: collect the warmup's garbage
     // OUTSIDE the timed reps, or its GC worker CPU is attributed to rep 1+
     System.gc()
     val runs = (1 to reps).map { i =>
+      stageLog.clear()
       val c0 = os.getProcessCpuTime; val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -50,6 +77,14 @@ object BenchOne {
       (wall, cpu)
     }
     println(f"[$name] min_wall=${runs.map(_._1).min}%.3f min_cpu=${runs.map(_._2).min}%.3f")
+    if (!stageLog.isEmpty) {
+      println("[stages: id tasks wallMs taskSumMs taskMaxMs name] (last rep, wall desc)")
+      import scala.jdk.CollectionConverters._
+      stageLog.asScala.toSeq.sortBy(-_._4).take(20).foreach {
+        case (id, nm, n, wall, sum, mx) =>
+          println(f"[stage $id%4d] tasks=$n%4d wall=$wall%6d sum=$sum%7d max=$mx%6d  $nm")
+      }
+    }
     spark.stop()
   }
 }

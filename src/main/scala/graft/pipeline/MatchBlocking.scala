@@ -146,6 +146,15 @@ object MatchBlocking {
           concat(col("e_first"), substring(col("e_last"), 1, 1))))))
           .as("block_key"))
       .filter(length(col("block_key")) > 0)
+      // spread BEFORE checkpointing: the roster scan is one input split at
+      // bench scale, so an unpartitioned checkpoint pins every downstream
+      // roster-side map (hot-key census, cold anti join, and — the
+      // expensive one — the hot sub-key explode) onto ONE task (measured
+      // 2.1 s of the sf0.1 wall). Partitioning by block_key also lets the
+      // census groupBy and the cold/hot key joins reuse the layout instead
+      // of re-exchanging, and an explicit numPartitions is AQE-proof.
+      .repartition(employees.sparkSession.sparkContext.defaultParallelism,
+        col("block_key"))
       .localCheckpoint()
     // FREQUENCY CAP with HOT-KEY SALVAGE (dedup's over-cap-bucket sub-split,
     // mirrored — Dedup.candidatesFromKeyed): a blocking key shared by more
@@ -208,7 +217,16 @@ object MatchBlocking {
       .filter(!col("block_key").endsWith(sep))
       .distinct()
     val bySubKey = Window.partitionBy(col("block_key")).orderBy(col("emp_id").asc)
-    val eHotCapped = eHot
+    // explicit-numPartitions repartition ahead of the cap window: the
+    // checkpointed eKeys collapses to few partitions and the window's
+    // sub-key exchange is byte-small, so AQE coalesces it to ONE task —
+    // serializing the sub-key explode + row_number over the (hot) majority
+    // of the roster key table (measured 2.3 s of a 5.5 s wall at sf0.1).
+    // A REPARTITION_BY_NUM exchange is never AQE-coalesced, the window
+    // reuses its partitioning (same key), and the roster side is small by
+    // contract, so the extra narrow shuffle is noise at any scale.
+    val par = usernames.sparkSession.sparkContext.defaultParallelism
+    val eHotCapped = eHot.repartition(par, col("block_key"))
       .withColumn("__rk", row_number().over(bySubKey))
       .filter(col("__rk") <= maxEmployeesPerKey)
       .observe(s"${metricTag}_capped_subkeys",
@@ -263,9 +281,21 @@ object MatchBlocking {
     // trade for the scale path this operator exists for.
     val cand = candidatePairs(users, employees, maxEmployeesPerKey = maxEmployeesPerKey)
       .localCheckpoint()
+    // SIZE-AWARE spread of the scoring stage (the MatchPipeline.scoredPairs
+    // pattern): the checkpointed candidates are a few narrow MB even when
+    // the kernel work they fan into is seconds of CPU, so AQE coalesces the
+    // scoring join down to one task (measured: the post-checkpoint score +
+    // rank stages ran 1-task at sf0.1). An explicit numPartitions
+    // repartition by username is never AQE-coalesced, satisfies the join
+    // AND the rank window partitioning (no further exchange), and is
+    // skipped when the candidates already arrive spread (the 100 TB case).
+    val par = users.sparkSession.sparkContext.defaultParallelism
+    val candSpread =
+      if (cand.queryExecution.sparkPlan.outputPartitioning.numPartitions >= 2 * par) cand
+      else cand.repartition(4 * par, col("username"))
     val u = MatchPipeline.prepareUsernames(users)
     val e = MatchPipeline.prepareEmployees(employees)
-    val scored = cand
+    val scored = candSpread
       .join(u, "username")
       .join(broadcast(e), "emp_id")
       .withColumn("score",
