@@ -53,15 +53,70 @@ object MatchModel {
   /** Train + evaluate with the reference's 70/30 split (seed 32). Returns
     * (model, accuracy). */
   def trainAndEvaluate(labeledPairs: DataFrame): (PipelineModel, Double) = {
-    val feats = buildFeatures(labeledPairs).withColumn("label", col("label").cast("double"))
-    val Array(train, test) = feats.randomSplit(Array(0.7, 0.3), seed = 32L)
-    val model = pipeline().fit(train)
-    val predictions = model.transform(test)
+    val (model, predictions) = trainAndPredict(labeledPairs)
     val acc = new MulticlassClassificationEvaluator()
       .setLabelCol("label").setPredictionCol("prediction").setMetricName("accuracy")
       .evaluate(predictions)
     (model, acc)
   }
+
+  /** Same protocol as [[trainAndEvaluate]] but returns the held-out test
+    * predictions for metric surfaces beyond accuracy. */
+  def trainAndPredict(labeledPairs: DataFrame): (PipelineModel, DataFrame) = {
+    val feats = buildFeatures(labeledPairs).withColumn("label", col("label").cast("double"))
+    val Array(train, test) = feats.randomSplit(Array(0.7, 0.3), seed = 32L)
+    val model = pipeline().fit(train)
+    (model, model.transform(test))
+  }
+
+  /** sklearn `classification_report` surface (train_model.py:46): one row
+    * per class label with precision / recall / f1 / support, plus the
+    * `accuracy`, `macro avg`, and `weighted avg` summary rows. The heavy
+    * pass is ONE narrow (label, prediction) count aggregate — the confusion
+    * matrix — whose row count is numClasses squared; deriving the report
+    * from those few rows on the driver is dimension-table work, the same
+    * documented trade as the IVF centroid collect. Zero-denominator cells
+    * (a class never predicted) report 0.0, matching sklearn's
+    * zero_division=0 default. */
+  def classificationReport(predictions: DataFrame,
+                           labelCol: String = "label",
+                           predictionCol: String = "prediction"): DataFrame = {
+    val spark = predictions.sparkSession
+    val cm = predictions
+      .groupBy(col(labelCol).cast("double").as("label"),
+        col(predictionCol).cast("double").as("prediction"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getDouble(0), r.getDouble(1)), r.getLong(2))).toMap
+    val classes = cm.keysIterator.flatMap { case (l, p) => Iterator(l, p) }.toSeq.distinct.sorted
+    val total = cm.valuesIterator.sum
+    def safeDiv(a: Long, b: Long): Double = if (b == 0L) 0.0 else a.toDouble / b
+    val perClass = classes.map { c =>
+      val tp = cm.getOrElse((c, c), 0L)
+      val predicted = cm.collect { case ((_, p), n) if p == c => n }.sum
+      val actual = cm.collect { case ((l, _), n) if l == c => n }.sum
+      val precision = safeDiv(tp, predicted)
+      val recall = safeDiv(tp, actual)
+      val f1 = if (precision + recall == 0.0) 0.0
+               else 2.0 * precision * recall / (precision + recall)
+      (formatLabel(c), precision, recall, f1, actual)
+    }
+    val accuracy = safeDiv(classes.map(c => cm.getOrElse((c, c), 0L)).sum, total)
+    val macroAvg = (
+      perClass.map(_._2).sum / perClass.size, perClass.map(_._3).sum / perClass.size,
+      perClass.map(_._4).sum / perClass.size)
+    val weighted = (
+      perClass.map(r => r._2 * r._5).sum / total, perClass.map(r => r._3 * r._5).sum / total,
+      perClass.map(r => r._4 * r._5).sum / total)
+    import spark.implicits._
+    (perClass ++ Seq(
+      ("accuracy", accuracy, accuracy, accuracy, total),
+      ("macro avg", macroAvg._1, macroAvg._2, macroAvg._3, total),
+      ("weighted avg", weighted._1, weighted._2, weighted._3, total)))
+      .toDF("label", "precision", "recall", "f1", "support")
+  }
+
+  private def formatLabel(c: Double): String =
+    if (c == c.toLong.toDouble) c.toLong.toString else c.toString
 
   def save(model: PipelineModel, path: String): Unit =
     model.write.overwrite().save(path)

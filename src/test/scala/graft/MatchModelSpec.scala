@@ -46,6 +46,35 @@ class MatchModelSpec extends AnyFunSuite {
       f"accuracy $acc%.4f outside the published ~0.90 band [0.85, 0.95]")
   }
 
+  test("classification report on the 4k test split (M4): per-class floors + agreement") {
+    // the reference prints sklearn's classification_report on the 4k held-out
+    // split (train_model.py:46) and publishes only the headline ~0.90; the
+    // engine reproduces the full report surface and pins per-class floors —
+    // prediction agreement with the recorded labels (= accuracy, the
+    // row-level agreement floor) plus precision/recall/F1 per class.
+    val pairs = spark.read.option("header", "true")
+      .csv(referenceCsv("/root/reference/TRAINING_DATA/training_data_(4k).csv"))
+      .select(col("username"), col("employee_name"), col("label").cast("int").as("label"))
+    val (_, predictions) = MatchModel.trainAndPredict(pairs)
+    val report = MatchModel.classificationReport(predictions).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    info(report.toSeq.sortBy(_._1).map { case (k, (p, r, f, s)) =>
+      f"$k: p=$p%.4f r=$r%.4f f1=$f%.4f n=$s" }.mkString("; "))
+    assert(report.keySet === Set("0", "1", "accuracy", "macro avg", "weighted avg"))
+    val (p0, r0, f0, s0) = report("0"); val (p1, r1, f1c, s1) = report("1")
+    // support: the 30% split of 4 050 rows (seed 32) — both classes present
+    assert(s0 + s1 === report("accuracy")._4 && s0 > 300 && s1 > 600)
+    // agreement floor vs the recorded labels + per-class floors: measured
+    // r10 values are acc 0.983, per-class p/r/f1 0.972-0.990 (above the
+    // reference's ~0.90 headline); floors at 0.93/0.95 leave RNG-stream
+    // margin while still catching any real feature/forest regression
+    assert(report("accuracy")._3 >= 0.95)
+    Seq(p0, r0, f0, p1, r1, f1c).foreach(m => assert(m >= 0.93, s"per-class metric $m < 0.93"))
+    // weighted-avg f1 must sit in the same band as the headline accuracy
+    assert(math.abs(report("weighted avg")._3 - report("accuracy")._3) < 0.05)
+  }
+
   test("model persistence roundtrip (M5)") {
     import spark.implicits._
     val pairs = Seq(
