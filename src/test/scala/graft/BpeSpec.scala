@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+
+/** BPE training semantics on hand-computed corpora (the tx_bpe_* queries'
+  * operator layer): greedy most-frequent-pair merges, total-order
+  * tie-break, left-to-right non-overlapping merge application. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("greedy merges on the classic corpus, deterministic tie order") {
+    // word counts: low*5, lower*2, newest*6, widest*3 (the Sennrich demo
+    // corpus shape). Pair (e,s) appears in newest(6) + widest(3) = 9 —
+    // the unique max. After (e,s)->es, (es,t) appears 9 times, again max.
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")
+    ).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, numMerges = 2)
+    assert(merges === Seq((1, "e", "s"), (2, "es", "t")))
+  }
+
+  test("tie-break is (count DESC, left ASC, right ASC)") {
+    // "ab" and "cd" both appear twice; (a,b) < (c,d) lexicographically
+    val docs = Seq((1L, "ab cd"), (2L, "ab cd")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, numMerges = 2)
+    assert(merges === Seq((1, "a", "b"), (2, "c", "d")))
+  }
+
+  test("overlapping pair merges left-to-right non-overlapping") {
+    // "aaa": pair (a,a) counts once per adjacent position but merges only
+    // the leftmost disjoint occurrences -> ["aa", "a"]; next round the
+    // winning pair is (aa, a)
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, numMerges = 2)
+    assert(merges === Seq((1, "a", "a"), (2, "aa", "a")))
+  }
+
+  test("early stop when no pair remains; single-char words train nothing") {
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    assert(Bpe.trainMerges(docs, numMerges = 4) === Seq.empty)
+  }
+
+  test("apply: token counts shrink by one per merge occurrence, words never fuse") {
+    val docs = Seq((1L, "low lower"), (2L, "west")).toDF("doc_id", "text")
+    // no merges: one token per character
+    val none = Bpe.applyTokenCount(docs, Seq.empty).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(none === Map(1L -> 8L, 2L -> 4L))
+    // merge (l,o) then (lo,w): "low"->1 token, "lower"->3 (low,e,r);
+    // crucially (w,e) inside "west" must not fuse across the "low|er"
+    // word boundary in doc 1
+    val merged = Bpe.applyTokenCount(docs,
+        Seq((1, "l", "o"), (2, "lo", "w"), (3, "w", "e"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc1: low=1, lower=low+e+r=3 (the (w,e) merge cannot reach across
+    // the word separator); doc2: west -> we,s,t = 3
+    assert(merged === Map(1L -> 4L, 2L -> 3L))
+  }
+
+  test("train frame carries rank order and merged spellings") {
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val frame = Bpe.train(docs, numMerges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(frame.length === 2)
+    assert(frame.map(_._1).toSeq === Seq(1L, 2L))
+    assert(frame.forall { case (_, l, r, m) => m === l + r })
+  }
+}
