@@ -92,9 +92,13 @@ object Dedup {
    * PlanShapeSpec via dd_minhash_lsh).
    *
    * CAVEAT (verified on Spark 4.1.2): AQE drops observed metrics attached
-   * below an exchange — listeners receive an empty map; run the audit query
-   * with spark.sql.adaptive.enabled=false when the counts matter
-   * (OperatorsSpec pins both behaviors' reality). The metric name is
+   * below an exchange — listeners receive an empty map. When the counts
+   * matter in a production (AQE) plan, run [[candidateMetricsFromKeyed]]
+   * (surfaced as [[minhashLshAudit]] / the `dd_cand_audit` query) — the
+   * same counts as a regular one-row aggregate AQE cannot drop; the
+   * observe path still works under spark.sql.adaptive.enabled=false
+   * (OperatorsSpec pins both behaviors' reality and audit == observe
+   * parity). The metric name is
    * DETERMINISTIC per composition site (the caller-supplied `metricTag`),
    * so listeners can subscribe to a stable name across plan rebuilds. Spark
    * rejects a query containing two `observe` nodes with the same name
@@ -171,7 +175,18 @@ object Dedup {
     * verification the banding wastes). */
   private def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                                 shingleW: Int, numHashes: Int, bands: Int,
-                                maxBucketSize: Int, metricTag: String): DataFrame = {
+                                maxBucketSize: Int, metricTag: String): DataFrame =
+    candidatesFromKeyed(
+      minhashKeyed(df, textCol, idCol, shingleW, numHashes, bands),
+      Seq("band", "band_key"), maxBucketSize, metricTag,
+      subKeyCol = Some("sub_key"))
+
+  /** The narrow (id, sub_key, band, band_key) frame the LSH band join runs
+    * on — one signature pass, exploded to `bands` rows per doc. Shared by
+    * [[minhashCandidates]] (pair generation) and [[minhashLshAudit]] (the
+    * AQE-proof cap audit over the same buckets). */
+  private def minhashKeyed(df: DataFrame, textCol: String, idCol: String,
+                           shingleW: Int, numHashes: Int, bands: Int): DataFrame = {
     // the band fold derives its band count as numHashes/rowsPerBand, so a
     // non-dividing `bands` would silently change the b/r collision tuning
     // (and bands > numHashes would divide by zero) — fail fast instead
@@ -183,16 +198,68 @@ object Dedup {
     // an independent seeded hash), and the EXTRA one is the hot-bucket
     // salvage sub-key: a different-seed minhash two near-dups collide on
     // with probability = their Jaccard, uncorrelated with any band
-    val keyed = df.select(
+    df.select(
         col(idCol).as("id"),
         minhash_sig(col(textCol), lit(shingleW), lit(numHashes + 1)).as("sigx"))
       .select(col("id"),
         element_at(col("sigx"), numHashes + 1).as("sub_key"),
         posexplode(bandKeys(slice(col("sigx"), 1, numHashes), bands, rows))
           .as(Seq("band", "band_key")))
-    candidatesFromKeyed(keyed, Seq("band", "band_key"), maxBucketSize,
-      metricTag, subKeyCol = Some("sub_key"))
   }
+
+  /** AQE-PROOF cap audit: the drop/salvage counts [[candidatesFromKeyed]]
+    * attaches as observed metrics, recomputed as a REGULAR one-row
+    * aggregation — observed metrics attached below an exchange vanish
+    * under adaptive execution (the caveat on [[candidatesFromKeyed]]), so
+    * a production plan that needs the counts (an admission gate deciding
+    * whether a banding config drops too much before committing the
+    * full-corpus pass) runs this query alongside the dedup itself.
+    *
+    * Semantics are IDENTICAL to the observe: a pair group is the whole
+    * bucket when the bucket fits `maxBucketSize`, the (bucket, sub-key)
+    * sub-split when the bucket is hot; `dropped_hot_buckets` counts
+    * residually-hot groups, `dropped_hot_bucket_rows` their member rows,
+    * `salvaged_hot_bucket_rows` hot-bucket rows that survived into capped
+    * sub-groups (OperatorsSpec pins audit == observe on the same frame).
+    *
+    * Scale shape: rows collapse to (bucket, sub) group COUNTS first — one
+    * map-side-combined aggregation over the narrow keyed frame — bucket
+    * sizes come from a window over the already-aggregated group frame
+    * (an exchange over distinct groups, not rows), and the final global
+    * aggregate is a single row. Nothing data-sized reaches the driver.
+    */
+  private[graft] def candidateMetricsFromKeyed(keyed: DataFrame, keyCols: Seq[String],
+                                               maxBucketSize: Int,
+                                               subKeyCol: Option[String] = None): DataFrame = {
+    val keyExprs = keyCols.map(col)
+    val subC = subKeyCol.map(col).getOrElse(lit(null).cast("long"))
+    val groups = keyed
+      .groupBy((keyExprs :+ subC.as("__sub")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__bsz", sum(col("__n")).over(Window.partitionBy(keyExprs: _*)))
+    // cold buckets (__bsz <= cap) contribute nothing — their raw-sub split
+    // here is coarser-grained in candidatesFromKeyed (one NULL-sub group),
+    // but no cold group is counted by any branch, so the counts agree
+    val hot = col("__bsz") > maxBucketSize
+    groups.agg(
+      coalesce(sum(when(hot && col("__n") > maxBucketSize, 1L).otherwise(0L)), lit(0L))
+        .as("dropped_hot_buckets"),
+      coalesce(sum(when(hot && col("__n") > maxBucketSize, col("__n")).otherwise(0L)), lit(0L))
+        .as("dropped_hot_bucket_rows"),
+      coalesce(sum(when(hot && col("__n") <= maxBucketSize, col("__n")).otherwise(0L)), lit(0L))
+        .as("salvaged_hot_bucket_rows"))
+  }
+
+  /** [[candidateMetricsFromKeyed]] over [[minhashLsh]]'s band buckets: one
+    * row of drop/salvage counts for the banding config, visible under AQE.
+    * Run it next to the dedup pass itself (same signature kernel, but only
+    * the narrow keyed rows flow — the audit never touches payloads). */
+  def minhashLshAudit(df: DataFrame, textCol: String, idCol: String,
+                      shingleW: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      maxBucketSize: Int = 10000): DataFrame =
+    candidateMetricsFromKeyed(
+      minhashKeyed(df, textCol, idCol, shingleW, numHashes, bands),
+      Seq("band", "band_key"), maxBucketSize, subKeyCol = Some("sub_key"))
 
   /**
    * LSH TUNING EVAL: grades a MinHash banding configuration against the

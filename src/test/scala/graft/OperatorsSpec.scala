@@ -1007,6 +1007,78 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE-proof cap audit: exact drop/salvage counts with adaptive execution ON") {
+    // the observe-metric counts vanish under AQE (previous test pins that
+    // reality); candidateMetricsFromKeyed is the production-plan answer —
+    // a plain aggregate AQE cannot drop. Hand-built buckets, cap 3:
+    //   A: 6 rows, subs x=4 (dropped: 1 group / 4 rows), y=2 (salvaged: 2)
+    //   B: 3 rows — cold; its sub-splits must count NOTHING
+    //   C: 5 rows, one sub z=5 — residually hot (dropped: 1 group / 5 rows)
+    val keyed = Seq(
+      ("A", "x", 1L), ("A", "x", 2L), ("A", "x", 3L), ("A", "x", 4L),
+      ("A", "y", 5L), ("A", "y", 6L),
+      ("B", "p", 7L), ("B", "q", 8L), ("B", "r", 9L),
+      ("C", "z", 10L), ("C", "z", 11L), ("C", "z", 12L), ("C", "z", 13L), ("C", "z", 14L))
+      .toDF("bucket", "sub", "id")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val row = Dedup.candidateMetricsFromKeyed(keyed, Seq("bucket"), 3, Some("sub"))
+        .collect().head
+      assert(row.getAs[Long]("dropped_hot_buckets") === 2L, row.toString)
+      assert(row.getAs[Long]("dropped_hot_bucket_rows") === 9L, row.toString)
+      assert(row.getAs[Long]("salvaged_hot_bucket_rows") === 2L, row.toString)
+      // no sub key -> the pre-salvage semantics: whole hot buckets drop
+      val whole = Dedup.candidateMetricsFromKeyed(keyed, Seq("bucket"), 3, None)
+        .collect().head
+      assert(whole.getAs[Long]("dropped_hot_buckets") === 2L, whole.toString)
+      assert(whole.getAs[Long]("dropped_hot_bucket_rows") === 11L, whole.toString)
+      assert(whole.getAs[Long]("salvaged_hot_bucket_rows") === 0L, whole.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  test("minhashLshAudit (AQE on) reproduces the observe metrics (AQE off) exactly") {
+    import java.util.concurrent.ConcurrentHashMap
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta"), (4L, "totally different words here"))
+      .toDF("doc_id", "text")
+    // observe side: AQE off (the only mode where the metrics are delivered)
+    val seen = new ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) => seen.put(name, row) }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Dedup.minhashLsh(docs, "text", "doc_id", maxBucketSize = 2,
+        metricTag = "audit_parity").count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!seen.containsKey("dedup_candidates_audit_parity") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val observed = seen.get("dedup_candidates_audit_parity")
+      assert(observed != null, s"metric not delivered; saw: ${seen.keySet()}")
+      // audit side: AQE ON — the regular aggregate must agree field-for-field
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val audit = Dedup.minhashLshAudit(docs, "text", "doc_id", maxBucketSize = 2)
+        .collect().head
+      for (f <- Seq("dropped_hot_buckets", "dropped_hot_bucket_rows",
+                    "salvaged_hot_bucket_rows"))
+        assert(audit.getAs[Long](f) === observed.getAs[Long](f),
+          s"$f: audit=${audit.getAs[Long](f)} observe=${observed.getAs[Long](f)}")
+      assert(audit.getAs[Long]("dropped_hot_bucket_rows") >= 3L, audit.toString)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("content-hash split: version-stable, disjoint, fraction-correct") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet(s"${SparkTestBase.Sf001}/documents.parquet")
