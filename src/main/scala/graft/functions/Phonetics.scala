@@ -129,7 +129,11 @@ object Phonetics {
             } else if (next == 'i' || next == 'e' || next == 'y') out.append('J')
             else out.append('K')
           case 'h' =>
-            if (isVowel(prev) && !isVowel(next) && next != 0) ()
+            // jellyfish: silent after a vowel with no vowel following —
+            // INCLUDING at end-of-string (its sentinel "*****" next char is
+            // a non-vowel, so terminal "ah"/"oh" drop the H; r10 fix, the
+            // `next != 0` guard here diverged on names like "hotmoh")
+            if (isVowel(prev) && !isVowel(next)) ()
             else if (prev == 'c' || prev == 's' || prev == 'p' || prev == 't' || prev == 'g') ()
             else out.append('H')
           case 'k' =>

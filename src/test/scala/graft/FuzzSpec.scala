@@ -103,6 +103,17 @@ class FuzzSpec extends AnyFunSuite {
     assert(Phonetics.metaphone("rajesh123") === Phonetics.metaphone("rajesh"))
   }
 
+  test("metaphone: terminal h after a vowel is silent (jellyfish sentinel semantics)") {
+    // jellyfish probes past the end with a "*****" sentinel, so end-of-string
+    // counts as "no vowel follows" — terminal "ah"/"oh" drop the H (r10 fix;
+    // surfaced by the wide synthetic roster's suffixed names)
+    assert(Phonetics.metaphone("hannah") === "HN")
+    assert(Phonetics.metaphone("hotmoh") === "HTM")
+    assert(Phonetics.metaphone("oh") === "O")
+    // ...but after a consonant the H is voiced, end-of-string or not
+    assert(Phonetics.metaphone("oxh") === "OKSH")
+  }
+
   test("simhash/minhash/jaccard sanity") {
     val a = "the quick brown fox jumps over the lazy dog"
     val b = "the quick brown fox jumps over the lazy cat"
