@@ -92,6 +92,37 @@ class MatchBlockingSpec extends AnyFunSuite {
       s"top-4 not the name-asc smallest: $kept")
   }
 
+  test("wide high-cardinality roster (sf0.01): candidates collapse, top-1 agrees") {
+    // The WIDE synthetic workload (VERDICT r9 #7) is the regime blocking
+    // exists for: ~|part| distinct names, so name-derived keys are
+    // discriminative and the candidate set is a small fraction of |U|*|E|
+    // (the 64-name roster above is the adversarial pile-up case). Pins the
+    // collapse ratio AND that the blocked path still lands the exact
+    // path's best match.
+    val u = SparkEntry.usernamesWide(spark, SparkTestBase.Sf001)
+    val e = SparkEntry.rosterWide(spark, SparkTestBase.Sf001)
+    val cand = MatchBlocking.candidatePairs(u, e, metricTag = "wide_spec").count()
+    val cross = u.count() * e.count()
+    info(f"wide candidates: $cand of $cross (${cand.toDouble / cross * 100}%.1f%%)")
+    assert(cand.toDouble / cross < 0.2, s"wide roster did not collapse: $cand/$cross")
+
+    def top1(df: org.apache.spark.sql.DataFrame): Map[String, String] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("username"))
+        .orderBy(regexp_replace(col("confidence_score"), "%", "")
+          .cast("double").desc, col("emp_id").asc, col("emp_name").asc)
+      df.filter(col("match_type") =!= "USER NOT FOUND")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("username", "emp_id").as[(String, String)].collect().toMap
+    }
+    val exact = top1(SparkEntry.queries("nm_match_topk_wide")(spark, SparkTestBase.Sf001))
+    val blocked = top1(SparkEntry.queries("nm_match_topk_blocked_wide")(spark, SparkTestBase.Sf001))
+    val agree = exact.count { case (un, id) => blocked.get(un).contains(id) }
+    info(s"wide top-1 agreement: $agree/${exact.size}")
+    assert(exact.nonEmpty && agree.toDouble / exact.size >= 0.80,
+      s"wide top-1 agreement $agree/${exact.size} below floor")
+  }
+
   test("candidate volume is a small fraction of the cross product") {
     val candidates = MatchBlocking.candidatePairs(usernames, employees).count()
     val crossProduct = usernames.count() * employees.count()

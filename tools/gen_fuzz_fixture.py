@@ -348,6 +348,47 @@ def synth_workload(sf_dir: str):
     return sorted(usernames), roster
 
 
+def alpha3(n: int) -> str:
+    """3-letter base-26 rendering of n in [0, 17576): 'aaa'..'zzz' —
+    mirrors SparkEntry.alpha3 (chr(97 + digit) per base-26 digit)."""
+    return chr(97 + n // 676) + chr(97 + (n // 26) % 26) + chr(97 + n % 26)
+
+
+def synth_workload_wide(sf_dir: str):
+    """SparkEntry's HIGH-CARDINALITY wide workload (VERDICT r9 #7): name
+    tokens + deterministic partkey-derived 3-letter suffixes (~|part|
+    distinct first names instead of 64), probes = the sparser 1-in-499
+    sample with the same mod-3 shapes + the two fixed no-match probes."""
+    import duckdb
+    rows = duckdb.connect().execute(
+        f"SELECT p_partkey, p_name FROM read_parquet('{sf_dir}/part.parquet') "
+        "ORDER BY p_partkey").fetchall()
+
+    def wide(pk, name):
+        toks = name.strip(" ").lower().split(" ")
+        f = toks[0] + alpha3(pk % 17576)
+        l = (toks[1] if len(toks) > 1 else "") + alpha3((pk * 31 + 7) % 17576)
+        return f, l
+
+    roster = []
+    for pk, name in rows:
+        f, l = wide(pk, name)
+        roster.append((str(pk), f, l, (f + " " + l).strip(" ")))
+    usernames = set()
+    for pk, name in rows:
+        if pk % 499 != 0:
+            continue
+        f, l = wide(pk, name)
+        if pk % 3 == 0:
+            usernames.add(f + "." + l)
+        elif pk % 3 == 1:
+            usernames.add(l + "_" + f)
+        else:
+            usernames.add(f + str(pk % 1000))
+    usernames |= {"testme", "xq.zvw"}
+    return sorted(usernames), roster
+
+
 MAX_EMPLOYEES_PER_KEY = 200
 
 
@@ -424,7 +465,7 @@ def candidate_pairs(usernames, roster) -> set:
     return pairs
 
 
-def gen_match_synth(sf_dirs, out_csv: str) -> None:
+def gen_match_synth(sf_dirs, out_csv: str, workload=synth_workload) -> None:
     """fixtures/match_synth.csv: the composite score for EVERY (username,
     employee) pair of the synthetic sf workload — same bit-exact technique
     as match_golden.csv — plus `is_cand`, whether MatchBlocking admits the
@@ -444,7 +485,7 @@ def gen_match_synth(sf_dirs, out_csv: str) -> None:
         w.writerow(["username", "emp_id", "employee_name", "score",
                     "score_fmt", "is_cand", "n_part"])
         for sf_dir in sf_dirs:
-            usernames, roster = synth_workload(sf_dir)
+            usernames, roster = workload(sf_dir)
             cand = candidate_pairs(usernames, roster)
             for u in usernames:
                 ul = u.lower().strip(" ")
@@ -481,7 +522,7 @@ def _score_user(args):
     return out
 
 
-def gen_match_synth_gz(sf_dir, out_gz: str) -> None:
+def gen_match_synth_gz(sf_dir, out_gz: str, workload=synth_workload) -> None:
     """The sf0.1 match_synth slice as its own gzipped CSV: identical columns
     and semantics to gen_match_synth, parallelized over usernames (pure-
     python scoring of 152 x 20000 pairs is ~20 min serial) and written in
@@ -489,7 +530,7 @@ def gen_match_synth_gz(sf_dir, out_gz: str) -> None:
     import gzip
     import io
     import multiprocessing as mp
-    usernames, roster = synth_workload(sf_dir)
+    usernames, roster = workload(sf_dir)
     cand = candidate_pairs(usernames, roster)
     cand_by_user = {}
     for u, emp_id in cand:
@@ -572,6 +613,18 @@ def main() -> None:
     # oracle SQL reads the [csv, csv.gz] pair and n_part-selects as before
     gen_match_synth_gz("/root/testdata/sf0.1",
                        "fixtures/match_synth_sf01.csv.gz")
+    gen_wide()
+
+
+def gen_wide() -> None:
+    """The high-cardinality wide-roster fixture pair (VERDICT r9 #7):
+    same columns/semantics as match_synth*, over synth_workload_wide."""
+    gen_match_synth(["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+                    "fixtures/match_synth_wide.csv",
+                    workload=synth_workload_wide)
+    gen_match_synth_gz("/root/testdata/sf0.1",
+                       "fixtures/match_synth_wide_sf01.csv.gz",
+                       workload=synth_workload_wide)
 
 
 if __name__ == "__main__":
@@ -580,5 +633,7 @@ if __name__ == "__main__":
         # regenerate just the bench-scale gzipped slice (the expensive one)
         gen_match_synth_gz("/root/testdata/sf0.1",
                            "fixtures/match_synth_sf01.csv.gz")
+    elif "--wide-only" in sys.argv:
+        gen_wide()
     else:
         main()
