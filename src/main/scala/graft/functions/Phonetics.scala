@@ -104,15 +104,20 @@ object Phonetics {
           case 'b' =>
             if (!(i == n - 1 && prev == 'm')) out.append('B')
           case 'c' =>
-            if (next == 'i' && nextnext == 'a') out.append('X')
-            else if (next == 'h') {
-              if (prev == 's') out.append('K') else out.append('X')
-              i += 1
-            } else if (next == 'i' || next == 'e' || next == 'y') out.append('S')
+            // jellyfish consumes the digraph partner: "cia"/"ch" -> X and
+            // "c{iey}" -> S all advance past the next char (so "cyu" is
+            // S-u, never S-Y-u), and there is NO sch->K special (r10 fix:
+            // both diverged on the wide roster's suffixed names; the 17k
+            // reference vectors never exercise c+y+vowel or "sch")
+            if (next == 'i' && nextnext == 'a') { out.append('X'); i += 1 }
+            else if (next == 'h') { out.append('X'); i += 1 }
+            else if (next == 'i' || next == 'e' || next == 'y') { out.append('S'); i += 1 }
             else out.append('K')
           case 'd' =>
             if (next == 'g' && (nextnext == 'i' || nextnext == 'e' || nextnext == 'y')) {
-              out.append('J'); i += 1
+              // "dg{iey}" consumes BOTH following chars (jellyfish i += 2):
+              // "rodgyu" is R-J-u, never R-J-Y-u (r10 fix, same class)
+              out.append('J'); i += 2
             } else out.append('T')
           case 'g' =>
             if (next == 'h') {

@@ -114,6 +114,17 @@ class FuzzSpec extends AnyFunSuite {
     assert(Phonetics.metaphone("oxh") === "OKSH")
   }
 
+  test("metaphone: digraph partners are consumed (c{iey}, cia, ch, dg{iey})") {
+    // jellyfish advances past the digraph's second char, so the consumed
+    // vowel/y never re-emits: "cyu" is S-u not S-Y-u, "rodgyu" R-T... -> RJ
+    // not RJY, and there is no sch->K special (r10 fixes; the classes are
+    // absent from the 17k reference vectors, live in the wide roster)
+    assert(Phonetics.metaphone("largecyu") === "LRJS")
+    assert(Phonetics.metaphone("rodgyu") === "RJ")
+    assert(Phonetics.metaphone("school") === "SXL")
+    assert(Phonetics.metaphone("garcia") === "KRX")
+  }
+
   test("simhash/minhash/jaccard sanity") {
     val a = "the quick brown fox jumps over the lazy dog"
     val b = "the quick brown fox jumps over the lazy cat"
