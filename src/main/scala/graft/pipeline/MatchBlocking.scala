@@ -199,10 +199,6 @@ object MatchBlocking {
     val sep = "\u0001"
     val eCold = eKeys.join(hotKeys, Seq("block_key"), "left_anti")
       .select("emp_id", "block_key")
-    // distinct BEFORE the cap window: a roster that reuses emp_ids (the
-    // reference does) must not let one id consume two cap slots — and it
-    // keeps the Scala cap aligned with the fixture mirror's
-    // per-distinct-id sets (tools/gen_fuzz_fixture.py)
     val eHot = eKeys.join(hotKeys, Seq("block_key"), "left_semi")
       .select(col("emp_id"), explode(array_distinct(array(
           concat(col("block_key"), lit(sep), substring(col("e_first"), 1, gram)),
@@ -215,20 +211,28 @@ object MatchBlocking {
       // empty-sig sub-keys (missing name token) are join noise — the probe
       // side filters them too, keeping the fixture mirror aligned
       .filter(!col("block_key").endsWith(sep))
-      .distinct()
     val bySubKey = Window.partitionBy(col("block_key")).orderBy(col("emp_id").asc)
     // explicit-numPartitions repartition ahead of the cap window: the
     // checkpointed eKeys collapses to few partitions and the window's
     // sub-key exchange is byte-small, so AQE coalesces it to ONE task —
-    // serializing the sub-key explode + row_number over the (hot) majority
-    // of the roster key table (measured 2.3 s of a 5.5 s wall at sf0.1).
+    // serializing the sub-key explode + rank over the (hot) majority of
+    // the roster key table (measured 2.3 s of a 5.5 s wall at sf0.1).
     // A REPARTITION_BY_NUM exchange is never AQE-coalesced, the window
     // reuses its partitioning (same key), and the roster side is small by
     // contract, so the extra narrow shuffle is noise at any scale.
+    // DENSE_RANK, not distinct + row_number (r10): a roster that reuses
+    // emp_ids (the reference does) must not let one id consume two cap
+    // slots — dense_rank over emp_id asc gives duplicate ids the same
+    // slot, admitting exactly the cap-smallest DISTINCT ids (the fixture
+    // mirror's sorted-set-prefix semantics) WITHOUT a second full
+    // exchange of the sub-key table to pre-dedup; duplicate admitted rows
+    // are cleaned by the final candidate distinct like everywhere else.
     val par = usernames.sparkSession.sparkContext.defaultParallelism
     val eHotCapped = eHot.repartition(par, col("block_key"))
-      .withColumn("__rk", row_number().over(bySubKey))
+      .withColumn("__rk", dense_rank().over(bySubKey))
       .filter(col("__rk") <= maxEmployeesPerKey)
+      // rows whose rank hit the cap: >= the number of capped sub-buckets
+      // (equal when ids are unique); a census of where salvage saturates
       .observe(s"${metricTag}_capped_subkeys",
         sum(when(col("__rk") === maxEmployeesPerKey, 1L).otherwise(0L))
           .as("n_capped_subkeys"))
@@ -289,10 +293,26 @@ object MatchBlocking {
     // repartition by username is never AQE-coalesced, satisfies the join
     // AND the rank window partitioning (no further exchange), and is
     // skipped when the candidates already arrive spread (the 100 TB case).
+    // The partition count scales with the CANDIDATE VOLUME (~10k pairs
+    // per task — a pair costs ~20µs of kernel, so that is ~200ms of real
+    // work per task against the ~100ms fixed per-task setup cost of this
+    // deep plan; capped at 4*par): the degenerate 64-name regime's
+    // hundreds of thousands of pairs still fan out wide, while the
+    // high-cardinality regime's few-k candidates stop paying 3+ stages of
+    // near-empty tasks (measured r10 at sf0.1: 128-partition stages
+    // scoring 28.6k pairs put ~10 CPU-s of task overhead on a 1 CPU-s
+    // scoring job). The count job is a narrow scan of the checkpointed
+    // blocks — milliseconds, and candidatePairs is already eager. A
+    // genuinely large candidate set never reaches this branch small: it
+    // either arrives spread (the passthrough above) or counts its way
+    // back to 4*par.
     val par = users.sparkSession.sparkContext.defaultParallelism
     val candSpread =
       if (cand.queryExecution.sparkPlan.outputPartitioning.numPartitions >= 2 * par) cand
-      else cand.repartition(4 * par, col("username"))
+      else {
+        val parts = math.max(4L, math.min(4L * par, cand.count() / 10000L + 1)).toInt
+        cand.repartition(parts, col("username"))
+      }
     val u = MatchPipeline.prepareUsernames(users)
     val e = MatchPipeline.prepareEmployees(employees)
     val scored = candSpread

@@ -357,8 +357,8 @@ def alpha3(n: int) -> str:
 def synth_workload_wide(sf_dir: str):
     """SparkEntry's HIGH-CARDINALITY wide workload (VERDICT r9 #7): name
     tokens + deterministic partkey-derived 3-letter suffixes (~|part|
-    distinct first names instead of 64), probes = the sparser 1-in-499
-    sample with the same mod-3 shapes + the two fixed no-match probes."""
+    distinct first names instead of 64), probes = the 1-in-163 sample
+    with the same mod-3 shapes + the two fixed no-match probes."""
     import duckdb
     rows = duckdb.connect().execute(
         f"SELECT p_partkey, p_name FROM read_parquet('{sf_dir}/part.parquet') "
@@ -376,7 +376,7 @@ def synth_workload_wide(sf_dir: str):
         roster.append((str(pk), f, l, (f + " " + l).strip(" ")))
     usernames = set()
     for pk, name in rows:
-        if pk % 499 != 0:
+        if pk % 163 != 0:
             continue
         f, l = wide(pk, name)
         if pk % 3 == 0:
