@@ -240,4 +240,60 @@ object EventAnalytics {
         col("__ff").as("filled_value"),
         (col("__d") =!= col("__anchor") || col("__obs").isNull).as("is_gap"))
   }
+
+  /**
+   * Rolling z-score anomaly detection over a per-user event stream — the
+   * metric-spike detector every telemetry pipeline runs before alerting.
+   * An event is anomalous when its value deviates from the mean of the
+   * user's previous `lookback` events of the same type by more than
+   * `z` standard deviations (population variance of the trailing window).
+   *
+   * EXACT INTEGER FORM (the reason this hash-reproduces across engines):
+   * floats never enter the test. With cents `x`, trailing count `n`,
+   * trailing sum `S`, trailing sum-of-squares `Q`:
+   *
+   *   |x - S/n| > z * sqrt((nQ - S^2)/n^2)  <=>  (nx - S)^2 > z^2 (nQ - S^2)
+   *
+   * so the whole predicate is BIGINT arithmetic (bounds: cents <= ~6e6
+   * at the data's value range, so every product stays far below 2^63).
+   * A zero-variance window flags ANY deviation — the strictest consistent
+   * reading, and deterministic.
+   *
+   * Scale shape: one user-hash exchange, one ordered window (ROWS frame —
+   * bounded state per user regardless of history length), then a filter.
+   * No joins, no driver state; identical shape at 100 TB.
+   *
+   * Output (anomalies only): user_id, event_id, cents, n_prev,
+   * dev_sq = (nx-S)^2, var_scaled = z^2(nQ-S^2) — the two exact sides of
+   * the comparison, auditable downstream.
+   */
+  def rollingAnomaly(events: DataFrame, eventType: String = "purchase",
+                     lookback: Int = 10, minPrev: Int = 5,
+                     zSquared: Int = 4,
+                     userCol: String = "user_id", tsCol: String = "ts",
+                     typeCol: String = "event_type",
+                     valueCol: String = "value",
+                     idCol: String = "event_id"): DataFrame = {
+    // ts ties broken by the unique event id — the window is deterministic
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__ts"), col("event_id"))
+      .rowsBetween(-lookback, -1)
+    events.filter(col(typeCol) === eventType)
+      .select(col(userCol).as("user_id"), col(idCol).as("event_id"),
+        col(tsCol).as("__ts"),
+        // engine-wide exact-money convention: DECIMAL(18,2) then integer cents
+        expr(s"CAST(CAST($valueCol AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("s_prev", sum(col("cents")).over(w))
+      .withColumn("q_prev", sum(col("cents") * col("cents")).over(w))
+      .filter(col("n_prev") >= minPrev)
+      .withColumn("__dev", col("n_prev") * col("cents") - col("s_prev"))
+      .select(col("user_id"), col("event_id"), col("cents"), col("n_prev"),
+        (col("__dev") * col("__dev")).as("dev_sq"),
+        (lit(zSquared.toLong) *
+          (col("n_prev") * col("q_prev") - col("s_prev") * col("s_prev")))
+          .as("var_scaled"))
+      .filter(col("dev_sq") > col("var_scaled"))
+  }
 }

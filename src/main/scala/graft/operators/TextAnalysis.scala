@@ -547,4 +547,55 @@ object TextAnalysis {
       tokenCount(col(textCol)).as("n_tokens"),
       simhash64(col(textCol)).as("simhash"),
       rolling_fingerprint(col(textCol), lit(16)).as("fingerprint"))
+
+  /**
+   * PMI-ranked bigram collocations — the corpus-level "statistically
+   * glued" phrase detector (stopword-pair suppression, tokenizer-merge
+   * candidates, domain-vocabulary mining). Ranks adjacent word pairs by
+   * pointwise mutual information's monotone lift form:
+   *
+   *   lift(w1,w2) = P(w1,w2) / (P(w1)·P(w2))
+   *               = (pair_n/T_p) · (T_u/c1) · (T_u/c2)
+   *
+   * computed as that exact FIXED-ASSOCIATION double expression — three
+   * correctly-rounded divisions and two multiplications in a pinned order
+   * — so the value (and therefore the top-k cut) is bit-identical across
+   * engines; `log` (not correctly rounded, engine-divergent) never enters.
+   * Counts are corpus occurrence counts; `minPairCount` suppresses the
+   * noise tail (a 1-occurrence pair of two hapaxes has maximal lift).
+   *
+   * Scale shape: one token explode into two aggregates (pair counts, word
+   * counts); pair->word joins are vocabulary-keyed equi-joins (vocab is
+   * Zipf-bounded, shrunk further by `minPairCount` on the probe side);
+   * totals ride a broadcast 1-row frame; the final top-k is a
+   * TakeOrdered(k), never a full sort. Document payloads leave the plan at
+   * the explode.
+   */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minPairCount: Long = 5L, topK: Int = 50): DataFrame = {
+    val toks = df.select(
+      filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+    val pairs = toks.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(slice(ts, 1, size(ts) - 1), (w, i) -> struct(w AS w1, ts[i + 1] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minPairCount)
+    val totals = uni.agg(count(lit(1)).as("tu"))
+      .crossJoin(pairs.agg(count(lit(1)).as("tp")))
+    pc
+      .join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("pair_n"), col("c1"), col("c2"),
+        // fixed association replayed verbatim by the SQL oracle
+        (((col("pair_n").cast("double") / col("tp")) *
+          (col("tu").cast("double") / col("c1"))) *
+          (col("tu").cast("double") / col("c2"))).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

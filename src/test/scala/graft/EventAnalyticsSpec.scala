@@ -190,4 +190,37 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (20L, "2024-01-04", Some(5.0), 5.0, false),
       (21L, "2024-01-02", Some(1.0), 1.0, false)))
   }
+
+  test("rolling anomaly: exact integer z-test, min-window gate, zero-variance strictness") {
+    def row(u: Long, minute: Int, v: Double, id: Long) =
+      (u, ts(f"2024-01-01 00:$minute%02d:00"), "purchase", v, id)
+    val events = (
+      // u1: five flat 10.00 readings, then a 20.00 spike. Trailing window
+      // at the spike: n=5, S=5000, Q=5e6 (zero variance) -> dev_sq
+      // (5*2000-5000)^2 = 25e6 > 0 flags. The follow-up 10.00 reading sees
+      // the spike inside its window (n=6, S=7000, Q=9e6): dev_sq 1e6 vs
+      // var_scaled 4*(6*9e6-49e6)=2e7 -> quiet.
+      (1 to 5).map(i => row(1L, i, 10.00, 100L + i)) ++ Seq(
+        row(1L, 6, 20.00, 106L),
+        row(1L, 7, 10.00, 107L)) ++
+      // u2: alternating 10/12 (real variance), then 16.00: prev cents
+      // [1000,1200,1000,1200,1000] -> S=5400, Q=5.88e6; dev_sq
+      // (5*1600-5400)^2=6.76e6 > 4*(5*5.88e6-5400^2)=9.6e5 flags; the
+      // 11.00 after it (n=6, S=7000, Q=8.44e6) is quiet: 1.6e5 < 6.56e6.
+      Seq(10.00, 12.00, 10.00, 12.00, 10.00).zipWithIndex.map {
+        case (v, i) => row(2L, i + 1, v, 200L + i) } ++ Seq(
+        row(2L, 6, 16.00, 206L),
+        row(2L, 7, 11.00, 207L)) ++
+      // u3: below the min-window gate entirely
+      (1 to 3).map(i => row(3L, i, 50.00, 300L + i)) ++
+      // non-qualifying event type never enters any window
+      Seq((1L, ts("2024-01-01 00:03:30"), "view", 999.0, 400L))
+    ).toDF("user_id", "ts", "event_type", "value", "event_id")
+    val got = EventAnalytics.rollingAnomaly(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got === Set(
+      (1L, 106L, 2000L, 5L, 25000000L, 0L),
+      (2L, 206L, 1600L, 5L, 6760000L, 960000L)))
+  }
 }

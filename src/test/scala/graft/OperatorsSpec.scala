@@ -1347,4 +1347,63 @@ class OperatorsSpec extends AnyFunSuite {
     // keepFrac = 1.0 keeps everything
     assert(TextAnalysis.qualityQuantileFilter(d, "score", "id", col("grp"), 1.0).count() === 12L)
   }
+
+  test("snapshot diff classifies added/removed/changed/unchanged by content hash") {
+    val oldSnap = Seq(
+      (1L, "stable doc"),
+      (2L, "will change"),
+      (3L, "will be removed"),
+      (5L, "")                       // empty text on one side only
+    ).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "stable doc"),
+      (2L, "has changed"),
+      (4L, "newly crawled"),
+      (5L, "")                       // empty == empty -> unchanged
+    ).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    assert(got === Set(
+      (1L, "unchanged", Some(10L), Some(10L)),
+      (2L, "changed", Some(11L), Some(11L)),
+      (3L, "removed", Some(15L), None),
+      (4L, "added", None, Some(13L)),
+      (5L, "unchanged", Some(0L), Some(0L))))
+  }
+
+  test("PMI collocations: exact counts, monotone-lift ranking, min-pair gate") {
+    import graft.operators.TextAnalysis
+    // "new york" appears 5x (the glued pair); "the cat"/"the dog" spread
+    // "the" over two partners; "rare pair" appears once (gated out at 5)
+    val docs = (
+      Seq.fill(5)("new york") ++
+      Seq.fill(5)("the cat sat") ++
+      Seq.fill(5)("the dog ran") ++
+      Seq("rare pair")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "text", minPairCount = 5L, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // corpus: T_u = 10 + 15 + 15 + 2 = 42 tokens,
+    //         T_p = 5 + 10 + 10 + 1 = 26 adjacent pairs
+    // new york: pair 5, c(new)=5, c(york)=5 -> (5/26)*(42/5)*(42/5)
+    val liftNewYork = ((5.0 / 26) * (42.0 / 5)) * (42.0 / 5)
+    // the cat: pair 5, c(the)=10, c(cat)=5 -> half new york's lift
+    val liftTheCat = ((5.0 / 26) * (42.0 / 10)) * (42.0 / 5)
+    // new/york, cat/sat, dog/ran all tie at the max lift (pair 5, both
+    // unigrams 5): the deterministic (lift DESC, w1, w2) cut orders them
+    // lexically, then the two "the" pairs at half that lift
+    assert(got.map(g => (g._1, g._2)).toSeq === Seq(
+      ("cat", "sat"), ("dog", "ran"), ("new", "york"),
+      ("the", "cat"), ("the", "dog")))
+    val ny = got.find(g => g._1 == "new").get
+    assert((ny._3, ny._4, ny._5) === (5L, 5L, 5L))
+    assert(ny._6 === liftNewYork)
+    assert(got.find(g => g._2 == "cat").filter(_._1 == "the").forall(_._6 === liftTheCat))
+    // "rare pair" (count 1) never surfaces
+    assert(!got.exists(g => g._1 == "rare"))
+  }
 }

@@ -403,4 +403,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<ts:timestamp") &&
       p.contains("user_id:bigint,event_type:string,value:double>"), p)
   }
+
+  test("rolling anomaly: joinless, ONE pushed-filter scan, ONE user exchange") {
+    val p = plan(SparkEntry.queries("ev_anomaly")(spark, sf))
+    assert(!p.contains("Join"), s"anomaly must be joinless:\n$p")
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      s"event-type filter must reach the parquet scan:\n$p")
+    assert(p.split("FileScan").length - 1 === 1, s"expected exactly 1 scan:\n$p")
+    // all three trailing stats share the single user-hash exchange + sort
+    assert(p.split("Exchange").length - 1 === 1,
+      s"expected ONE user-hash exchange:\n$p")
+    assert(p.split("\\bSort\\b").length - 1 === 1,
+      s"the three window stats must share one sort:\n$p")
+  }
+
+  test("snapshot diff: hash/len projected BELOW the join — payloads never shuffle") {
+    val p = plan(SparkEntry.queries("dd_snapshot_diff")(spark, sf))
+    // the md5 projection must run on the scan side of each exchange; if
+    // `text` appears in any Exchange input schema the fat payload is being
+    // shuffled and the operator is wrong at 100 TB
+    val exchangeInputs = SparkEntry.queries("dd_snapshot_diff")(spark, sf)
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.child.output.map(_.name)
+      }
+    exchangeInputs.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"document text crosses an exchange: $cols\n$p")
+    }
+    assert(p.contains("FullOuter"), s"must be a full-outer id join:\n$p")
+  }
+
+  test("pmi collocations: totals broadcast, vocab equi-joins, TakeOrdered top-k") {
+    val p = plan(SparkEntry.queries("tx_pmi_collocations")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be TakeOrdered, not a full sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row totals frame must broadcast:\n$p")
+    // pair->unigram joins are key equi-joins (hash or sort-merge), and the
+    // only nested-loop join permitted is the broadcast 1-row totals frame
+    val nlCount = p.split("BroadcastNestedLoopJoin").length - 1
+    assert(nlCount <= 2, s"unexpected nested-loop joins:\n$p")
+    assert(p.contains("partial_count"),
+      s"token census must combine map-side:\n$p")
+  }
 }
