@@ -97,4 +97,57 @@ class StreamingCohortsSpec extends AnyFunSuite {
     assert(missing.subsetOf(lastAnchors),
       s"missing non-tail rows: ${(missing -- lastAnchors).take(3)}")
   }
+
+  test("anomaly: ring fold equals the window-form operator row-for-row") {
+    import graft.streaming.StreamingAnomaly
+    val events = Tables.events(spark, SparkTestBase.Sf0001)
+    val fold = StreamingAnomaly.rowsBatch(events).collect()
+      .map(r => (r.user_id, r.event_id, r.cents, r.n_prev, r.dev_sq, r.var_scaled)).toSet
+    val batch = EventAnalytics.rollingAnomaly(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(batch.nonEmpty)
+    assert(fold === batch,
+      s"fold-only: ${(fold -- batch).take(3)}; batch-only: ${(batch -- fold).take(3)}")
+  }
+
+  test("anomaly: ring fold mirrors the batch NULL-window semantics") {
+    import graft.streaming.StreamingAnomaly
+    // u40: five NULL values then a spike — the batch window sum is NULL
+    // (count 5 but nothing summable), so nothing may emit; the following
+    // reading has a 1-value window and a huge deviation, still quiet
+    // because n counts the nulls (dev uses n=6) but minPrev is satisfied
+    val events = (
+      (1 to 5).map(i => (i.toLong, 40L, ts(f"2024-01-01 00:0$i:00"), "purchase",
+        None: Option[Double])) ++ Seq(
+        (6L, 40L, ts("2024-01-01 00:06:00"), "purchase", Some(99.0)),
+        (7L, 40L, ts("2024-01-01 00:07:00"), "purchase", Some(1.0)))
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val fold = StreamingAnomaly.rowsBatch(events).collect()
+      .map(r => (r.user_id, r.event_id, r.cents, r.n_prev, r.dev_sq, r.var_scaled)).toSet
+    val batch = EventAnalytics.rollingAnomaly(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(fold === batch,
+      s"fold-only: ${(fold -- batch).take(3)}; batch-only: ${(batch -- fold).take(3)}")
+  }
+
+  test("anomaly: stream equals batch exactly (immediate emission, no tail)") {
+    import graft.streaming.StreamingAnomaly
+    import graft.streaming.StreamingAnomaly.AnomalyRow
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom_stream").toString
+    Tables.events(spark, SparkTestBase.Sf0001).write.mode("overwrite").parquet(dir)
+    val batch = StreamingAnomaly
+      .rowsBatch(Tables.events(spark, SparkTestBase.Sf0001)).collect()
+      .map(r => (r.user_id, r.event_id, r.cents, r.n_prev, r.dev_sq, r.var_scaled)).toSet
+    val stream = StreamingAnomaly
+      .rowsStreaming(spark, dir, queryName = s"anom_${System.nanoTime()}")
+      .as[AnomalyRow].collect()
+      .map(r => (r.user_id, r.event_id, r.cents, r.n_prev, r.dev_sq, r.var_scaled)).toSet
+    assert(batch.nonEmpty)
+    // unlike gap-fill there is NO open-run tail: anomalies emit with their
+    // event, so stream and batch must match exactly
+    assert(stream === batch,
+      s"batch-only: ${(batch -- stream).take(3)}; stream-only: ${(stream -- batch).take(3)}")
+  }
 }
