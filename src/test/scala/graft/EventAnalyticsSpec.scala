@@ -223,4 +223,40 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (1L, 106L, 2000L, 5L, 25000000L, 0L),
       (2L, 206L, 1600L, 5L, 6760000L, 960000L)))
   }
+
+  test("rolling anomaly matches a plain-Scala window reference on randomized events") {
+    val rng = new scala.util.Random(20260814L)
+    val events = (1L to 600L).map { id =>
+      val u = rng.nextInt(8).toLong
+      val t = ts(f"2024-01-01 ${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:${rng.nextInt(60)}%02d")
+      val v = math.round(rng.nextDouble() * 5000) / 100.0 // exact 2-decimal doubles
+      (u, t, "purchase", v, id)
+    }
+    val df = events.toDF("user_id", "ts", "event_type", "value", "event_id")
+    val got = EventAnalytics.rollingAnomaly(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // brute trailing-window reference: same (ts, event_id) order, same
+    // integer predicate — duplicate-second timestamps exercise the tiebreak
+    val want = events.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2.getTime, e._5))
+      val cents = sorted.map(e => math.round(e._4 * 100))
+      cents.indices.flatMap { i =>
+        val w = cents.slice(math.max(0, i - 10), i)
+        val n = w.size.toLong
+        if (n < 5) None
+        else {
+          val s = w.sum
+          val q = w.map(c => c * c).sum
+          val dev = n * cents(i) - s
+          val devSq = dev * dev
+          val varScaled = 4L * (n * q - s * s)
+          if (devSq > varScaled)
+            Some((u, sorted(i)._5, cents(i), n, devSq, varScaled))
+          else None
+        }
+      }
+    }.toSet
+    assert(want.nonEmpty && got === want)
+  }
 }

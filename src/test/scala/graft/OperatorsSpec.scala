@@ -1406,4 +1406,62 @@ class OperatorsSpec extends AnyFunSuite {
     // "rare pair" (count 1) never surfaces
     assert(!got.exists(g => g._1 == "rare"))
   }
+
+  test("snapshot diff matches a brute classification on randomized frames") {
+    val rng = new scala.util.Random(20260814L)
+    val ids = 1L to 200L
+    // ~half the ids on each side, ~half of the survivors text-bumped —
+    // all four classes appear with high probability at n=200
+    val oldM = ids.filter(_ => rng.nextBoolean())
+      .map(i => i -> s"doc$i v${rng.nextInt(2)}").toMap
+    val newM = ids.filter(_ => rng.nextBoolean())
+      .map(i => i -> s"doc$i v${rng.nextInt(2)}").toMap
+    val got = Dedup.snapshotDiff(
+        oldM.toSeq.toDF("doc_id", "text"), newM.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    val want = (oldM.keySet ++ newM.keySet).map { id =>
+      (oldM.get(id), newM.get(id)) match {
+        case (None, Some(b))           => (id, "added", None, Some(b.length.toLong))
+        case (Some(a), None)           => (id, "removed", Some(a.length.toLong), None)
+        case (Some(a), Some(b)) =>
+          (id, if (a == b) "unchanged" else "changed",
+            Some(a.length.toLong), Some(b.length.toLong))
+        case (None, None)              => sys.error("unreachable")
+      }
+    }
+    assert(got === want)
+    assert(Set("added", "removed", "changed", "unchanged")
+      .subsetOf(got.map(_._2)), "fixture must exercise all four classes")
+  }
+
+  test("PMI collocations match a brute reference on a randomized corpus") {
+    import graft.operators.TextAnalysis
+    val rng = new scala.util.Random(20260814L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docs = (1L to 120L).map { i =>
+      val n = rng.nextInt(8) // 0..7 tokens; empties exercise the guard
+      (i, (1 to n).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val toks = docs.map(_._2.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val uni = toks.flatten
+    val tu = uni.size.toLong
+    val uc = uni.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairsAll = toks.filter(_.size >= 2).flatMap(ts => ts.zip(ts.tail))
+    val tp = pairsAll.size.toLong
+    val want = pairsAll.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2L).toSeq
+      .map { case ((w1, w2), pn) =>
+        // the operator's exact fixed-association double tree
+        val lift = ((pn.toDouble / tp) * (tu.toDouble / uc(w1))) * (tu.toDouble / uc(w2))
+        (w1, w2, pn, uc(w1), uc(w2), lift)
+      }
+      .sortBy(t => (-t._6, t._1, t._2)).take(10)
+    val got = TextAnalysis.pmiCollocations(
+        docs.toDF("doc_id", "text"), "text", minPairCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(want.nonEmpty && got === want)
+  }
 }
