@@ -242,6 +242,163 @@ object EventAnalytics {
   }
 
   /**
+   * Last-touch marketing attribution: every conversion is credited to the
+   * user's most recent touch event strictly before it (ties broken by the
+   * unique event id), provided the touch happened within `windowHours` of
+   * the conversion; conversions with no qualifying touch are credited to
+   * the `(direct)` channel. The standard attribution readout next to
+   * funnels and A/B tests.
+   *
+   * Joinless by construction: one user-hash exchange carries BOTH the
+   * "which touch came last" question (an ordered window with
+   * `last(..., ignoreNulls)` over ROWS UNBOUNDED PRECEDING..1 PRECEDING —
+   * the carried state is one (type, ts) pair regardless of history
+   * length) and the conversion filter; the channel aggregate is bounded
+   * by the number of touch types, never by events. The deadline test is
+   * exact integer microseconds (`unix_micros`), and the attributed value
+   * follows the engine-wide exact-money convention (DECIMAL(18,2) sum
+   * cast to DOUBLE), so results hash-reproduce across engines.
+   *
+   * Output: (channel STRING, conversions BIGINT, users BIGINT,
+   * attributed_value DOUBLE), one row per credited channel.
+   */
+  def attribution(events: DataFrame,
+                  touchTypes: Seq[String] = Seq("view", "click"),
+                  convertType: String = "purchase",
+                  windowHours: Int = 72,
+                  userCol: String = "user_id", tsCol: String = "ts",
+                  typeCol: String = "event_type",
+                  valueCol: String = "value",
+                  idCol: String = "event_id"): DataFrame = {
+    require(!touchTypes.contains(convertType),
+      s"convert type $convertType cannot also be a touch type")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol).isin(touchTypes.map(x => x: Any): _*)
+    val winMicros = windowHours.toLong * 3600L * 1000000L
+    events
+      .withColumn("__tt", last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+      .withColumn("__tts", last(when(isTouch, col(tsCol)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convertType)
+      .select(
+        when(col("__tts").isNotNull &&
+          unix_micros(col(tsCol)) - unix_micros(col("__tts")) <= winMicros,
+          col("__tt")).otherwise("(direct)").as("channel"),
+        col(userCol).as("__u"), col(valueCol).as("__v"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("conversions"),
+        count_distinct(col("__u")).as("users"),
+        expr("CAST(SUM(CAST(__v AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("attributed_value"))
+  }
+
+  /**
+   * User-journey transition matrix: adjacent event-type bigrams per user
+   * in (ts, event_id) order, counted across users — the Markov-chain /
+   * Sankey view of product navigation. A transition only counts when the
+   * next event follows within `maxGapHours` (exact integer-microsecond
+   * test), so overnight returns don't read as in-session navigation.
+   *
+   * One user-hash exchange (the ordered `lead` window), then an aggregate
+   * whose cardinality is bounded by |event types|² — never by events.
+   * Output: (src_type, dst_type, n_transitions BIGINT, n_users BIGINT).
+   */
+  def transitions(events: DataFrame, maxGapHours: Int = 24,
+                  userCol: String = "user_id", tsCol: String = "ts",
+                  typeCol: String = "event_type",
+                  idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val gapMicros = maxGapHours.toLong * 3600L * 1000000L
+    events
+      .withColumn("__nt", lead(col(typeCol), 1).over(w))
+      .withColumn("__nts", lead(col(tsCol), 1).over(w))
+      .filter(col("__nt").isNotNull &&
+        unix_micros(col("__nts")) - unix_micros(col(tsCol)) <= gapMicros)
+      .groupBy(col(typeCol).as("src_type"), col("__nt").as("dst_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        count_distinct(col(userCol)).as("n_users"))
+  }
+
+  /**
+   * Weekly growth accounting (the new / retained / resurrected / churned
+   * decomposition of an active-user curve). Weeks are epoch-day `div` 7 —
+   * the same integer-bucket convention as [[retention]]. Per user per
+   * active week:
+   *
+   *  - NEW          first-ever active week,
+   *  - RETAINED     active the immediately preceding week too,
+   *  - RESURRECTED  active before, but not the preceding week;
+   *
+   * and a user active in week w but not w+1 CHURNS in week w+1 (emitted
+   * only while w+1 is inside the observed calendar — the data ending is
+   * not churn). The accounting identity `active(w) = new + retained +
+   * resurrected` holds by construction and is spec-pinned.
+   *
+   * Scale shape: one (user, week) aggregate, one user-ordered window over
+   * the per-user WEEK rows (bounded by active weeks, not events), and a
+   * final k-row aggregate. The calendar clip needs the global max active
+   * week — computed with a global window over the ALREADY-AGGREGATED
+   * k-row frame (rows = weeks, bounded by calendar), never via a second
+   * scan of the event table or a broadcast join. One scan, zero joins.
+   * All arithmetic is integer; counts are exact longs.
+   *
+   * Output: (week BIGINT, n_new, n_retained, n_resurrected, n_churned —
+   * all BIGINT), one row per week with any activity or churn.
+   */
+  def growthAccounting(events: DataFrame,
+                       userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val userWeeks = events
+      .select(col(userCol).as("user_id"),
+        expr(s"CAST(datediff(CAST($tsCol AS DATE), DATE '1970-01-01') AS BIGINT) div 7")
+          .as("week"))
+      .groupBy("user_id", "week").agg(count(lit(1)).as("__n")).drop("__n")
+    val wAll = Window.partitionBy("user_id")
+    val wOrd = Window.partitionBy("user_id").orderBy("week")
+    val flagged = userWeeks
+      .withColumn("__first", min(col("week")).over(wAll))
+      .withColumn("__prev", lag(col("week"), 1).over(wOrd))
+      .withColumn("__next", lead(col("week"), 1).over(wOrd))
+    // one explode, not a union of two selects — Spark does not share a
+    // subtree across union inputs, so the union form would run the whole
+    // (user, week) pipeline twice. Churn is emitted UNCONDITIONALLY at
+    // week+1 here and clipped after the aggregate (below), so no global
+    // max-week value is needed at per-user granularity.
+    val agged = flagged
+      .select(explode(array(
+        struct(col("week"),
+          when(col("week") === col("__first"), lit("new"))
+            .when(col("__prev") === col("week") - 1, lit("retained"))
+            .otherwise(lit("resurrected")).as("__status")),
+        struct(
+          when(col("__next").isNull || col("__next") > col("week") + 1,
+            col("week") + 1).as("week"),
+          lit("churned").as("__status")))).as("__e"))
+      .select(col("__e.week").as("week"), col("__e.__status").as("__status"))
+      .filter(col("week").isNotNull)
+      .groupBy("week")
+      .agg(
+        sum(when(col("__status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("__status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("__status") === "churned", 1L).otherwise(0L)).as("n_churned"))
+    // clip at the observed calendar: the only churn row past the last
+    // ACTIVE week is the spurious one at max+1 (the data ending is not
+    // churn). The global window runs over the k-row weekly aggregate —
+    // single-partition of |weeks| rows, bounded by calendar, safe at any
+    // data scale.
+    val wGlobal = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    agged
+      .withColumn("__max_active",
+        max(when(col("n_new") + col("n_retained") + col("n_resurrected") > 0,
+          col("week"))).over(wGlobal))
+      .filter(col("week") <= col("__max_active"))
+      .drop("__max_active")
+  }
+
+  /**
    * Rolling z-score anomaly detection over a per-user event stream — the
    * metric-spike detector every telemetry pipeline runs before alerting.
    * An event is anomalous when its value deviates from the mean of the

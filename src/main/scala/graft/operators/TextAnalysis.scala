@@ -78,6 +78,64 @@ object TextAnalysis {
         ratio(n - size(array_distinct(lines))))
   }
 
+  /**
+   * Character-diversity quality metrics — the repetitiveness signal
+   * corpus-curation pipelines use to drop keyboard-mash / padded / binary-
+   * leak documents whose token-level stats can still look plausible.
+   *
+   * Diversity is the Simpson index `1 - Σ cᵢ² / n²` over the per-document
+   * character histogram (0 = one repeated char, →1 = uniform spread),
+   * chosen over Shannon entropy DELIBERATELY: it is a RATIONAL function
+   * of exact integer counts — one correctly-rounded divide and one
+   * subtract — so every engine computes the identical double, where
+   * entropy's `log` is not correctly rounded and hash-parity would be
+   * platform luck. Also emits the top-character share `max cᵢ / n` (the
+   * dominant-symbol screen) and the distinct-char count.
+   *
+   * The histogram is built WITHOUT exploding characters into the engine:
+   * `array_sort` the char array, then one `aggregate` fold over the
+   * sorted runs — O(len·log len) per row, shuffle-free, bounded state
+   * (a 4-field struct), versus the explode form whose shuffle carries
+   * one row PER CHARACTER (at 100 TB of text that is the whole corpus
+   * re-keyed by (doc, char) — the difference between a projection and a
+   * second copy of the data in flight).
+   *
+   * Empty/NULL texts are dropped (no chars → no histogram).
+   * Output: (idCol, n_chars BIGINT, distinct_chars BIGINT,
+   * simpson_index DOUBLE, top_char_ratio DOUBLE).
+   */
+  def charDiversity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val chars = split(col(textCol), "")
+    val sorted = array_sort(chars)
+    // fold over sorted runs: (prev char, current run, Σ run², max run).
+    // The "" sentinel never collides with a real element (split-on-empty
+    // yields single chars only), so the first char always opens a run.
+    val z = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("sq"), lit(0L).as("mx"))
+    val folded = aggregate(sorted, z,
+      (acc, c) => {
+        val prev = acc.getField("prev"); val run = acc.getField("run")
+        val sq = acc.getField("sq"); val mx = acc.getField("mx")
+        when(c === prev,
+          struct(prev.as("prev"), (run + 1L).as("run"), sq.as("sq"), mx.as("mx")))
+          .otherwise(struct(c.as("prev"), lit(1L).as("run"),
+            (sq + run * run).as("sq"), greatest(mx, run).as("mx")))
+      },
+      acc => struct(
+        (acc.getField("sq") + acc.getField("run") * acc.getField("run")).as("sq"),
+        greatest(acc.getField("mx"), acc.getField("run")).as("mx")))
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .withColumn("__f", folded)
+      .withColumn("__n", size(chars).cast("long"))
+      .select(col(idCol),
+        col("__n").as("n_chars"),
+        size(array_distinct(chars)).cast("long").as("distinct_chars"),
+        (lit(1.0) - col("__f.sq").cast("double") /
+          (col("__n") * col("__n")).cast("double")).as("simpson_index"),
+        (col("__f.mx").cast("double") / col("__n").cast("double"))
+          .as("top_char_ratio"))
+  }
+
   /** Quality features: length, token stats, punctuation + stopword ratios.
     * Returns df with appended columns. */
   def withQualityFeatures(df: DataFrame, textCol: String): DataFrame = {

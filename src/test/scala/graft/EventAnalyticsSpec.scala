@@ -259,4 +259,87 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }.toSet
     assert(want.nonEmpty && got === want)
   }
+
+  test("attribution: last qualifying touch wins; deadline and ties exact") {
+    val events = Seq(
+      // u1: view then click, two purchases — BOTH credit the latest touch
+      // (the click), including the second purchase with no touch between
+      (1L, 1L, ts("2024-01-01 00:00:00"), "view", 0.0),
+      (1L, 2L, ts("2024-01-01 01:00:00"), "click", 0.0),
+      (1L, 3L, ts("2024-01-01 02:00:00"), "purchase", 10.0),
+      (1L, 4L, ts("2024-01-01 05:00:00"), "purchase", 5.5),
+      // u2: no touch at all -> (direct)
+      (2L, 5L, ts("2024-01-01 00:00:00"), "purchase", 3.0),
+      // u3: view 84h before the purchase — past the 72h window -> (direct)
+      (3L, 6L, ts("2024-01-01 00:00:00"), "view", 0.0),
+      (3L, 7L, ts("2024-01-04 12:00:00"), "purchase", 2.0),
+      // u4: view and click at the SAME ts — event_id orders them, click
+      // (higher id) is the last touch
+      (4L, 8L, ts("2024-01-01 00:00:00"), "view", 0.0),
+      (4L, 9L, ts("2024-01-01 00:00:00"), "click", 0.0),
+      (4L, 10L, ts("2024-01-01 00:30:00"), "purchase", 1.0),
+      // u5: touch at the same ts as the purchase but a SMALLER id — it is
+      // a strictly-preceding row and counts (gap 0 <= window)
+      (5L, 11L, ts("2024-01-01 00:00:00"), "view", 0.0),
+      (5L, 12L, ts("2024-01-01 00:00:00"), "purchase", 4.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventAnalytics.attribution(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === Set(
+      ("click", 3L, 2L, 16.5),
+      ("view", 1L, 1L, 4.0),
+      ("(direct)", 2L, 2L, 5.0)))
+  }
+
+  test("transitions: adjacent bigrams, session gap gate, same-ts id order") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, 2L, ts("2024-01-01 01:00:00"), "click"),
+      (1L, 3L, ts("2024-01-01 01:30:00"), "purchase"),
+      // +25h after the purchase: past the 24h gap, transition dropped
+      (1L, 4L, ts("2024-01-02 02:30:00"), "error"),
+      (2L, 5L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, 6L, ts("2024-01-01 00:10:00"), "view"),
+      (2L, 7L, ts("2024-01-01 00:20:00"), "click"),
+      // u3: same-ts pair ordered by event_id -> click precedes view
+      (3L, 8L, ts("2024-01-01 00:00:00"), "click"),
+      (3L, 9L, ts("2024-01-01 00:00:00"), "view")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventAnalytics.transitions(events).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      ("view", "click") -> ((2L, 2L)),
+      ("click", "purchase") -> ((1L, 1L)),
+      ("view", "view") -> ((1L, 1L)),
+      ("click", "view") -> ((1L, 1L))))
+  }
+
+  test("growth accounting: new/retained/resurrected/churned; identity holds") {
+    val events = Seq(
+      // uA: weeks 2817, 2818, then a gap, then 2820 — new, retained,
+      // churned@2819, resurrected@2820
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-02 10:00:00")), // same week — must not double-count
+      (1L, ts("2024-01-08 10:00:00")),
+      (1L, ts("2024-01-22 10:00:00")),
+      // uB: week 2818 only — new there, churned@2819
+      (2L, ts("2024-01-08 09:00:00")),
+      // uC: week 2820 only — new; NO churn row (data ends at max week)
+      (3L, ts("2024-01-22 09:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.growthAccounting(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got === Map(
+      2817L -> ((1L, 0L, 0L, 0L)),
+      2818L -> ((1L, 1L, 0L, 0L)),
+      2819L -> ((0L, 0L, 0L, 2L)),
+      2820L -> ((1L, 0L, 1L, 0L))))
+    // accounting identity: active(w) = new + retained + resurrected
+    assert(got(2817L)._1 + got(2817L)._2 + got(2817L)._3 === 1L)
+    assert(got(2818L)._1 + got(2818L)._2 + got(2818L)._3 === 2L)
+    assert(got(2820L)._1 + got(2820L)._2 + got(2820L)._3 === 2L)
+  }
 }

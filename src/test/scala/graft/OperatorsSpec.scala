@@ -731,6 +731,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(5L).isNullAt(got(5L).fieldIndex("term_punct_line_ratio")))
   }
 
+  test("char diversity: exact Simpson index / top-char share from sorted-run fold") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "aaaa"), // one char: simpson 0, top 1
+      (2L, "abab"), // 2+2: 1 - 8/16 = 0.5, top 0.5
+      (3L, "abcd"), // uniform: 1 - 4/16 = 0.75, top 0.25
+      (4L, "aab"),  // 2+1: 1 - 5/9, top 2/3
+      (5L, ""),     // empty -> dropped
+      (6L, null.asInstanceOf[String]) // NULL -> dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charDiversity(docs, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got(1L).getAs[Long]("n_chars") === 4L)
+    assert(got(1L).getAs[Long]("distinct_chars") === 1L)
+    assert(got(1L).getAs[Double]("simpson_index") === 0.0)
+    assert(got(1L).getAs[Double]("top_char_ratio") === 1.0)
+    assert(got(2L).getAs[Double]("simpson_index") === 0.5)
+    assert(got(2L).getAs[Double]("top_char_ratio") === 0.5)
+    assert(got(3L).getAs[Double]("simpson_index") === 0.75)
+    assert(got(3L).getAs[Long]("distinct_chars") === 4L)
+    assert(got(4L).getAs[Double]("simpson_index") === 1.0 - 5.0 / 9.0)
+    assert(got(4L).getAs[Double]("top_char_ratio") === 2.0 / 3.0)
+  }
+
   test("unicode normalization: NFC/NFKC vectors, case, whitespace, null safety") {
     import graft.operators.TextAnalysis
     val docs = Seq(

@@ -434,6 +434,63 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), s"must be a full-outer id join:\n$p")
   }
 
+  test("attribution: joinless, ONE scan, windows share one user exchange") {
+    val p = plan(SparkEntry.queries("ev_attribution")(spark, sf))
+    assert(!p.contains("Join"), s"attribution must be joinless:\n$p")
+    assert(p.split("FileScan").length - 1 === 1, s"expected exactly 1 scan:\n$p")
+    // both last-touch windows (type + ts) share one user-hash exchange and
+    // one sort; the channel aggregate adds the only other exchange, and the
+    // count-distinct rewrite keeps its (channel, user) phase map-side
+    assert(p.split("Exchange").length - 1 === 2,
+      s"expected user-hash + channel exchanges only:\n$p")
+    assert(p.split("\\bSort\\b").length - 1 === 1,
+      s"the two last-touch windows must share one sort:\n$p")
+    assert(p.contains("partial_count(distinct"),
+      s"distinct-user count must combine map-side:\n$p")
+  }
+
+  test("user paths: joinless, ONE scan, lead windows on one user exchange") {
+    val p = plan(SparkEntry.queries("ev_user_paths")(spark, sf))
+    assert(!p.contains("Join"), s"transitions must be joinless:\n$p")
+    assert(p.split("FileScan").length - 1 === 1, s"expected exactly 1 scan:\n$p")
+    assert(p.split("Exchange").length - 1 === 2,
+      s"expected user-hash + pair-key exchanges only:\n$p")
+    assert(p.contains("partial_count(distinct"),
+      s"distinct-user count must combine map-side:\n$p")
+  }
+
+  test("growth accounting: joinless, ONE event scan, calendar clip post-aggregate") {
+    val p = plan(SparkEntry.queries("ev_growth")(spark, sf))
+    // the max-active-week clip must NOT come from a second event scan or a
+    // broadcast join — it is a global window over the k-row weekly frame
+    assert(!p.contains("Join"), s"growth accounting must be joinless:\n$p")
+    assert(p.split("FileScan").length - 1 === 1,
+      s"expected exactly ONE event scan (no max-week re-scan):\n$p")
+    assert(p.contains("partial_sum"),
+      s"weekly counts must combine map-side:\n$p")
+  }
+
+  test("char diversity: shuffle-free single-stage projection, pruned scan") {
+    val p = plan(SparkEntry.queries("tx_char_diversity")(spark, sf))
+    assert(!p.contains("Exchange"), s"char diversity must not shuffle:\n$p")
+    assert(!p.contains("Generate"),
+      s"the histogram must fold in-row, never explode per character:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to (doc_id, text):\n$p")
+  }
+
+  test("q21 exists-chain: ONE lineitem scan computes both quantified flags") {
+    val p = plan(SparkEntry.queries("q21_exists_chain")(spark, sf))
+    // the semi+anti composition must fuse into one per-order flags
+    // aggregate — the literal EXISTS/NOT-EXISTS plan scans lineitem twice
+    assert("FileScan parquet \\[l_".r.findAllIn(p).size === 1,
+      s"lineitem must be scanned exactly once:\n$p")
+    assert(p.contains("partial_max(CASE WHEN"),
+      s"the flags aggregate must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"only equi-joins allowed:\n$p")
+  }
+
   test("pmi collocations: totals broadcast, vocab equi-joins, TakeOrdered top-k") {
     val p = plan(SparkEntry.queries("tx_pmi_collocations")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
