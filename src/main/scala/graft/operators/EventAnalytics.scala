@@ -242,6 +242,62 @@ object EventAnalytics {
   }
 
   /**
+   * Cohort lifetime-value (LTV) curves — the revenue companion of
+   * [[retention]]: for each weekly cohort and week offset, the cumulative
+   * per-user revenue to date. Cohorts and offsets use the identical
+   * integer epoch-week convention as [[retention]] (first-ever event pins
+   * the cohort; offset 0 is the signup week, so `cohort_size` is the
+   * offset-0 active count).
+   *
+   * Exactness: weekly revenue accumulates in DECIMAL(18,2) per cell, the
+   * running total is a DECIMAL window sum over the CELL frame (exact at
+   * any magnitude), and only the final per-user division happens in
+   * doubles — one correctly-rounded divide mirrored by the oracle, so
+   * results hash-reproduce across engines. Cells with active users but
+   * no purchases contribute an exact 0.
+   *
+   * Scale shape: one user-hash exchange (the first-event window), one
+   * (cohort, offset) aggregate with map-side partials, then windows over
+   * the CELL frame only — rows = cohorts × offsets, bounded by calendar,
+   * never by users or events. One event scan, zero joins.
+   *
+   * Output: (cohort_week BIGINT, week_offset BIGINT, n_active BIGINT,
+   * cohort_size BIGINT, week_revenue DOUBLE, ltv_per_user DOUBLE).
+   */
+  def cohortLtv(events: DataFrame, revenueType: String = "purchase",
+                userCol: String = "user_id", tsCol: String = "ts",
+                typeCol: String = "event_type",
+                valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(userCol)
+    val ed = events.select(col(userCol).as("user_id"), col(typeCol).as("__t"),
+        col(valueCol).as("__v"),
+        datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("__ed"))
+      .withColumn("__first_ed", min(col("__ed")).over(w))
+    val cells = ed
+      .select(col("user_id"),
+        expr("__first_ed div 7").as("cohort_week"),
+        expr("(__ed - __first_ed) div 7").as("week_offset"),
+        when(col("__t") === revenueType,
+          expr("CAST(__v AS DECIMAL(18,2))")).as("__rev"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count_distinct(col("user_id")).as("n_active"),
+        coalesce(sum(col("__rev")), expr("CAST(0 AS DECIMAL(18,2))"))
+          .as("__rev_dec"))
+    val wc = Window.partitionBy("cohort_week")
+    val wcum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(wc))
+      .withColumn("__cum", sum(col("__rev_dec")).over(wcum))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        col("__rev_dec").cast("double").as("week_revenue"),
+        (col("__cum").cast("double") / col("cohort_size")).as("ltv_per_user"))
+  }
+
+  /**
    * Last-touch marketing attribution: every conversion is credited to the
    * user's most recent touch event strictly before it (ties broken by the
    * unique event id), provided the touch happened within `windowHours` of

@@ -316,6 +316,31 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("click", "view") -> ((1L, 1L))))
   }
 
+  test("cohort LTV: exact decimal cells, running per-user curve, cohort isolation") {
+    val events = Seq(
+      // uA: cohort 2817; purchases at offsets 0 and 1, a view at offset 3
+      (1L, ts("2024-01-01 10:00:00"), "purchase", Some(10.0)),
+      (1L, ts("2024-01-09 10:00:00"), "purchase", Some(5.5)),
+      (1L, ts("2024-01-22 10:00:00"), "view", Some(0.0)),
+      // uB: same cohort; purchase at offset 0 only
+      (2L, ts("2024-01-01 09:00:00"), "view", Some(0.0)),
+      (2L, ts("2024-01-02 09:00:00"), "purchase", Some(2.25)),
+      // uC: cohort 2818, isolated
+      (3L, ts("2024-01-10 09:00:00"), "purchase", Some(1.0))
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = EventAnalytics.cohortLtv(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got === Map(
+      (2817L, 0L) -> ((2L, 2L, 12.25, 6.125)),
+      (2817L, 1L) -> ((1L, 2L, 5.5, 8.875)),
+      (2817L, 3L) -> ((1L, 2L, 0.0, 8.875)), // active, no revenue: exact 0
+      (2818L, 0L) -> ((1L, 1L, 1.0, 1.0))))
+    // the curve is monotone non-decreasing within each cohort
+    val curve2817 = got.collect { case ((2817L, o), v) => (o, v._4) }.toSeq.sortBy(_._1)
+    assert(curve2817.map(_._2) === curve2817.map(_._2).sorted)
+  }
+
   test("growth accounting: new/retained/resurrected/churned; identity holds") {
     val events = Seq(
       // uA: weeks 2817, 2818, then a gap, then 2820 — new, retained,

@@ -491,6 +491,42 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only equi-joins allowed:\n$p")
   }
 
+  test("cohort LTV: joinless, ONE event scan, cell windows share the cohort exchange") {
+    val p = plan(SparkEntry.queries("ev_ltv")(spark, sf))
+    assert(!p.contains("Join"), s"LTV must be joinless:\n$p")
+    assert(p.split("FileScan").length - 1 === 1, s"expected exactly 1 scan:\n$p")
+    // user window + cell aggregate + ONE cohort exchange shared by the
+    // size and cumulative windows
+    assert(p.split("Exchange").length - 1 === 3,
+      s"expected user, cell-agg and cohort exchanges only:\n$p")
+  }
+
+  test("q22 scalar-subquery: 1-row avg broadcasts, anti-join filter pushed, pruned scans") {
+    val p = plan(SparkEntry.queries("q22_dormant_custs")(spark, sf))
+    // the global average reaches the probe side as a 1-row broadcast
+    // plane constant, never a shuffled join
+    assert(p.contains("IdentityBroadcastMode"),
+      s"avg must broadcast as a 1-row frame:\n$p")
+    assert(p.contains("LeftAnti"), s"urgent-order exclusion must be anti:\n$p")
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"priority filter must reach the orders scan:\n$p")
+    // the avg subtree prunes to the single column it needs
+    assert(p.contains("ReadSchema: struct<c_acctbal:double>"),
+      s"avg-side customer scan must read only c_acctbal:\n$p")
+  }
+
+  test("q23 cube: one scan, Expand feeds map-side partial aggregation") {
+    val p = plan(SparkEntry.queries("q23_cube")(spark, sf))
+    assert(p.split("FileScan").length - 1 === 1, s"expected exactly 1 scan:\n$p")
+    // all four grouping sets come from one Expand whose output is combined
+    // map-side before the only exchange
+    assert(p.contains("Expand"), s"cube must plan via Expand:\n$p")
+    assert(p.contains("partial_count"),
+      s"grouping sets must combine map-side:\n$p")
+    assert(p.split("Exchange").length - 1 === 1,
+      s"expected ONE exchange after the partial aggregate:\n$p")
+  }
+
   test("pmi collocations: totals broadcast, vocab equi-joins, TakeOrdered top-k") {
     val p = plan(SparkEntry.queries("tx_pmi_collocations")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
