@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
  * (one explode + one map-side-combined aggregate). The merge loop then
  * runs on the aggregated dictionary — capped at `topWords` rows by
  * (count DESC, word ASC), the standard trainer move that bounds iteration
- * cost independently of corpus size — with each iteration one distributed
- * pair-count aggregate (argmax collects ONE row) and one narrow rewrite,
- * localCheckpointed so the per-iteration DAG stays flat (the
- * connected-components pattern, Dedup.clusters).
+ * cost independently of corpus size. Because the capped dictionary is
+ * DRIVER-SIZED BY CONSTRUCTION (<= topWords rows of whitespace-free
+ * words), it is collected ONCE and the merge loop folds locally: a
+ * production 32k-merge vocabulary is 32k in-memory argmax passes over
+ * <= topWords short strings, not 32k Spark jobs (the round-10 shape ran
+ * one distributed pair-count aggregate per merge — fine at 8 merges,
+ * pathological at 32k). Same documented collect trade as the IVF
+ * centroid table; merge-list equality with a from-scratch in-test BPE
+ * trainer is pinned by BpeSpec.
  *
  * DETERMINISM (what lets a SQL oracle replay training bit-for-bit):
  *  - pre-tokenization is the repo-wide convention — whitespace split of
@@ -46,15 +51,6 @@ object Bpe {
   private def wrap(word: Column): Column =
     regexp_replace(word, "(.)", s"$S$$1$E")
 
-  /** Adjacent symbol pairs of a wrapped word, as (l, r) structs. */
-  private def pairsOf(wrapped: Column): Column = {
-    val syms = split(wrapped.substr(lit(2), length(wrapped) - 2), s"$E$S")
-    when(size(syms) >= 2,
-      transform(sequence(lit(1), size(syms) - 1),
-        i => struct(element_at(syms, i).as("l"), element_at(syms, i + 1).as("r"))))
-      .otherwise(array().cast("array<struct<l:string,r:string>>"))
-  }
-
   /** The corpus-scale pass: (wrapped word, count) dictionary, capped at
     * `topWords` by (count DESC, word ASC). */
   def wordCounts(docs: DataFrame, textCol: String = "text",
@@ -66,28 +62,43 @@ object Bpe {
       .select(wrap(col("word")).as("w"), col("cnt"))
 
   /** Learn `numMerges` merges. Returns the driver-side merge list in rank
-    * order — dictionary-sized by construction (<= numMerges rows; the same
-    * documented trade as the IVF centroid collect). Stops early when no
-    * pair remains. */
+    * order. ONE Spark job: the capped dictionary (<= topWords rows) is
+    * collected and the merge loop folds locally over marker-wrapped
+    * strings, bit-identical to the round-10 distributed loop —
+    *  - pair counts sum each ADJACENT OCCURRENCE (pair (a,a) on "aaa"
+    *    counts twice, exactly what explode(pairsOf) counted);
+    *  - argmax order is (count DESC, left ASC, right ASC), a total order;
+    *  - the rewrite is java.lang.String.replace — left-to-right
+    *    non-overlapping, the same semantics as the SQL `replace` the
+    *    distributed loop used (and the oracle SQL still replays).
+    * Stops early when no pair remains. */
   def trainMerges(docs: DataFrame, textCol: String = "text",
                   numMerges: Int = 8, topWords: Int = 1000): Seq[(Int, String, String)] = {
-    var wc = wordCounts(docs, textCol, topWords).localCheckpoint()
+    var dict: Array[(String, Long)] =
+      wordCounts(docs, textCol, topWords).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
     val merges = Seq.newBuilder[(Int, String, String)]
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
-      val best = wc.select(explode(pairsOf(col("w"))).as("p"), col("cnt"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("cnt").as("c"))
-        .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      dict.foreach { case (w, cnt) =>
+        // symbols of <S>a<E><S>b<E>... : strip the outer markers, split on E+S
+        val syms = w.substring(1, w.length - 1).split(s"$E$S", -1)
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + cnt
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
       else {
-        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        val ((l, r), _) = counts.minBy { case ((l, r), c) => (-c, l, r) }
         merges += ((rank, l, r))
-        wc = wc.select(
-          replace(col("w"), lit(s"$S$l$E$S$r$E"), lit(s"$S$l$r$E")).as("w"),
-          col("cnt")).localCheckpoint()
+        dict = dict.map { case (w, cnt) =>
+          (w.replace(s"$S$l$E$S$r$E", s"$S$l$r$E"), cnt)
+        }
         rank += 1
       }
     }

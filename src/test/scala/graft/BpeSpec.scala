@@ -62,6 +62,50 @@ class BpeSpec extends AnyFunSuite {
     assert(merged === Map(1L -> 4L, 2L -> 3L))
   }
 
+  test("merge list matches a from-scratch symbol-list trainer (driver-fold pin)") {
+    // Independent oracle: textbook BPE over SYMBOL LISTS (no marker-string
+    // encoding shared with the implementation under test) — greedy
+    // most-frequent adjacent pair, (count DESC, l ASC, r ASC) tie order,
+    // left-to-right non-overlapping rewrite. Pins the r11 driver-side fold
+    // against the algorithm, not against its own representation.
+    def naive(words: Seq[(String, Long)], numMerges: Int): Seq[(Int, String, String)] = {
+      var dict = words.map { case (w, c) => (w.map(_.toString).toList, c) }
+      val out = Seq.newBuilder[(Int, String, String)]
+      var rank = 1
+      var done = false
+      while (rank <= numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        dict.foreach { case (syms, c) =>
+          syms.zip(syms.drop(1)).foreach { p => counts(p) = counts.getOrElse(p, 0L) + c }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), _) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((rank, l, r))
+          def rewrite(syms: List[String]): List[String] = syms match {
+            case a :: b :: rest if a == l && b == r => (l + r) :: rewrite(rest)
+            case a :: rest => a :: rewrite(rest)
+            case Nil => Nil
+          }
+          dict = dict.map { case (syms, c) => (rewrite(syms), c) }
+          rank += 1
+        }
+      }
+      out.result()
+    }
+    // deterministic pseudo-corpus with repeated stems, shared suffixes,
+    // single-char words and an overlap-prone run
+    val vocab = Seq("lowest", "lower", "low", "newest", "newer", "wide",
+      "widest", "a", "aaaa", "abab", "banana", "bandana", "stream", "steam")
+    val words = (0 until 400).map(i => vocab(i * 7 % vocab.size))
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val expect = naive(
+      words.groupBy(identity).toSeq.map { case (w, g) => (w, g.size.toLong) },
+      numMerges = 12)
+    assert(Bpe.trainMerges(docs, numMerges = 12) === expect)
+  }
+
   test("train frame carries rank order and merged spellings") {
     val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
     val frame = Bpe.train(docs, numMerges = 2).collect()
