@@ -548,6 +548,17 @@ class OperatorsSpec extends AnyFunSuite {
     info(f"IVF recall@5 trained k-means vs prefix: $recallTrained%.3f vs $recall%.3f")
     assert(recallTrained >= recall,
       f"trained quantizer ($recallTrained%.3f) must not lose recall vs prefix ($recall%.3f)")
+    // the production quantizer's own executable contract (r10 VERDICT #8):
+    // the absolute floor the prefix quantizer is graded on, not just the
+    // relative bound above
+    assert(recallTrained >= 0.30, f"trained IVF recall@5 $recallTrained%.3f below floor")
+    // seed pin: the index build is reproducible — same seed, same centroids
+    // bit-for-bit (this is what makes the k-means path operationally safe
+    // to rebuild: a re-run cannot silently reshuffle cells)
+    val trained2 = SimilaritySearch.kmeansCentroids(corpus, 16)
+    assert(trained.map(_._1).toSeq === trained2.map(_._1).toSeq)
+    assert(trained.map(_._2.toSeq).toSeq === trained2.map(_._2.toSeq).toSeq,
+      "seed-pinned k-means must reproduce identical centroids run-to-run")
   }
 
   test("kNN label propagation: unanimous neighborhood wins; vote ties break to smallest label") {
