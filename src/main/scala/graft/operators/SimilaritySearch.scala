@@ -200,6 +200,111 @@ object SimilaritySearch {
       struct((-cosine_sim(vec, typedLit(cvec))).as("neg"), lit(cid).as("cid"))
     }: _*)).getItem(0).getField("cid")
 
+  /** Deterministic product-quantization codebooks: subspace `j`'s `ksub`
+    * centroids are the j-th subvector slices of the first `ksub` corpus
+    * vectors by id, L2-NORMALIZED BEFORE SLICING (so PQ approximates
+    * cosine — see [[pqKnn]]). The same fixed-prefix trade as
+    * [[ivfCentroids]]: a production build trains per-subspace k-means
+    * (Jegou et al. 2011); the prefix keeps the whole index
+    * DuckDB-oracle-able while exercising identical encode/ADC plumbing.
+    * Result indexed [subspace][code] — m x ksub x (dim/m) floats, driver-
+    * sized. Vectors among the prefix with zero norm are skipped. */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+                  corpusId: String = "vec_id",
+                  corpusVec: String = "embedding"): Array[Array[Array[Double]]] = {
+    val protos = corpus.filter(col(corpusVec).isNotNull)
+      .orderBy(col(corpusId)).limit(2 * ksub)
+      .select(col(corpusVec)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .flatMap { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0.0) Some(v.map(_ / n)) else None
+      }
+      .take(ksub)
+    val sub = protos.head.length / m
+    Array.tabulate(m)(j => protos.map(_.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** L2-normalized double copy of a float-array column (NULL when the norm
+    * is 0 — a zero vector has no cosine neighbors and must not encode). */
+  private def l2normed(vec: Column): Column = {
+    val norm = sqrt(aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(norm > 0.0, transform(vec, x => x.cast("double") / norm))
+  }
+
+  /** PQ code array for a (normalized) vector: per subspace, the argmin-L2
+    * centroid code (code-asc tiebreak), via the same struct-sort argmin as
+    * [[cellExpr]] — a scan-local expression, no shuffle. */
+  private def pqCodeExpr(normed: Column, books: Array[Array[Array[Double]]]): Column = {
+    val sub = books(0)(0).length
+    array(books.indices.map { j =>
+      val sv = slice(normed, j * sub + 1, sub)
+      sort_array(array(books(j).indices.map { c =>
+        val dist = aggregate(
+          zip_with(sv, typedLit(books(j)(c)), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v)
+        struct(dist.as("d"), lit(c).as("code"))
+      }: _*)).getItem(0).getField("code")
+    }: _*)
+  }
+
+  /**
+   * Product-quantization ANN with asymmetric-distance scoring and exact
+   * re-rank — the memory-bandwidth scale path for embedding search: the
+   * corpus is compressed to `m` one-byte codes per vector (64 floats ->
+   * 8 codes here, a 32x scan-size cut at 100 TB), candidates are scored
+   * with `m` table lookups instead of a `dim`-wide dot product, and only
+   * the top `rerank` survivors per query are re-scored exactly.
+   *
+   * Both sides are L2-normalized first, so the ADC sum approximates COSINE
+   * (dot of unit vectors) and the final re-rank/top-k contract matches the
+   * brute/LSH/IVF variants (exact cosine, id-asc tiebreak).
+   *
+   * Scale shape: encoding is a one-off scan-local expression (the index
+   * build — at 100 TB the codes are what gets persisted, the raw vectors
+   * stay cold until re-rank); each query precomputes its m x ksub ADC
+   * lookup tables ONCE on the broadcast side; the per-pair cost is m
+   * array lookups + adds inside the join's codegen stage. The only
+   * shuffles carry the rerank-bounded candidate set keyed by query.
+   */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+            m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+            corpusId: String = "vec_id", corpusVec: String = "embedding",
+            queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val books = pqCodebooks(corpus, m, ksub, corpusId, corpusVec)
+    val sub = books(0)(0).length
+    val c = corpus.withColumn("__codes", pqCodeExpr(l2normed(col(corpusVec)), books))
+    // per-query ADC tables: tables[j][code] = dot(normalized query subvec j,
+    // centroid) — computed once per query row on the broadcast side
+    val qn = l2normed(col(queryVec))
+    val tables = array(books.indices.map { j =>
+      val sv = slice(qn, j * sub + 1, sub)
+      array(books(j).indices.map { code =>
+        aggregate(zip_with(sv, typedLit(books(j)(code)), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v)
+      }: _*)
+    }: _*)
+    val q = queries.withColumn("__tables", tables)
+    // ADC score: sum_j tables[j][codes[j]] — m lookups per candidate pair,
+    // folded in subspace order (parity with the oracle's ordered replay)
+    val adc = (0 until m).foldLeft(lit(0.0)) { (acc, j) =>
+      acc + element_at(element_at(col("__tables"), j + 1),
+        element_at(col("__codes"), j + 1) + 1)
+    }
+    val wAdc = Window.partitionBy(col(queryId))
+      .orderBy(col("__adc").desc, col(corpusId).asc)
+    val candidates = c.crossJoin(broadcast(q))
+      .withColumn("__adc", adc)
+      .filter(col("__adc").isNotNull)
+      .withColumn("__arn", row_number().over(wAdc))
+      .filter(col("__arn") <= rerank)
+    val scored = candidates
+      .withColumn("cosine", cosine_sim(col(corpusVec), col(queryVec)))
+      .select(col(queryId), col(corpusId), col("cosine"))
+    topKPerQuery(scored, k, queryId, corpusId)
+  }
+
   /**
    * IVF-style ANN: corpus vectors are assigned to their nearest-centroid
    * cell ONCE (a scan-local expression — at 100 TB this is the one-off

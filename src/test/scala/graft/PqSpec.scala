@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.SimilaritySearch
+
+/** Product-quantization ANN (ADC + exact re-rank): recall pins vs brute
+  * force on the driver's random-vector embeddings fixture — the adversarial
+  * case for any quantizer (true neighbors at cosine ~0.3-0.44). The whole
+  * index is deterministic (prefix codebooks, argmin encode, ordered ADC
+  * fold), so the measured recalls are stable and pinned close. */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+
+  test("PQ kNN: recall floors vs brute force; deeper re-rank is monotone") {
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
+    val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = pairs(SimilaritySearch.bruteForceKnn(corpus, queries, 5))
+    val pq = SimilaritySearch.pqKnn(corpus, queries, 5)
+    val pqPairs = pairs(pq)
+    val recall = (exact & pqPairs).size.toDouble / exact.size
+    // a query that IS a corpus vector reconstructs onto its own codeword:
+    // its ADC sits at the top of the candidate list, survives the rerank
+    // cut, and exact cosine 1.0 then ranks it #1
+    val self = pq.filter(col("query_id") === col("vec_id")).count()
+    assert(self === queries.count(), "PQ lost a self-match through the re-rank cut")
+    info(f"PQ recall@5 (m=8 ksub=16 rerank=32, random-vector fixture): $recall%.3f")
+    assert(recall >= 0.70, f"PQ recall@5 $recall%.3f below floor")
+    // widening the exact re-rank budget must not lose candidates, and at
+    // 10% of the corpus it recovers near-exact results (measured 0.96)
+    val wide = pairs(SimilaritySearch.pqKnn(corpus, queries, 5, rerank = 200))
+    val recallWide = (exact & wide).size.toDouble / exact.size
+    info(f"PQ recall@5 rerank=200: $recallWide%.3f")
+    assert(recallWide >= recall)
+    assert(recallWide >= 0.95, f"deep-rerank recall $recallWide%.3f below floor")
+  }
+
+  test("PQ encode: null and zero-norm vectors produce no candidates") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (3L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)), // zero norm: no cosine
+      (4L, null.asInstanceOf[Array[Float]]),
+      (5L, Array(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("query_id", "query_vec")
+    val out = SimilaritySearch.pqKnn(corpus, queries, 3, m = 2, ksub = 2, rerank = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq.sortBy(_._2)
+    // ids 3 (zero) and 4 (null) must be absent; the rest rank by exact cosine
+    assert(out.map(_._1) === Seq(1L, 5L, 2L))
+  }
+}
