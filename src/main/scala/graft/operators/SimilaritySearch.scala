@@ -268,34 +268,40 @@ object SimilaritySearch {
    * array lookups + adds inside the join's codegen stage. The only
    * shuffles carry the rerank-bounded candidate set keyed by query.
    */
-  def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-            m: Int = 8, ksub: Int = 16, rerank: Int = 32,
-            corpusId: String = "vec_id", corpusVec: String = "embedding",
-            queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
-    val books = pqCodebooks(corpus, m, ksub, corpusId, corpusVec)
+  /** Per-query ADC lookup tables: tables[j][code] = dot(normalized query
+    * subvec j, centroid) — computed once per query row on the broadcast
+    * side. */
+  private def adcTables(queryVec: Column, books: Array[Array[Array[Double]]]): Column = {
     val sub = books(0)(0).length
-    val c = corpus.withColumn("__codes", pqCodeExpr(l2normed(col(corpusVec)), books))
-    // per-query ADC tables: tables[j][code] = dot(normalized query subvec j,
-    // centroid) — computed once per query row on the broadcast side
-    val qn = l2normed(col(queryVec))
-    val tables = array(books.indices.map { j =>
+    val qn = l2normed(queryVec)
+    array(books.indices.map { j =>
       val sv = slice(qn, j * sub + 1, sub)
       array(books(j).indices.map { code =>
         aggregate(zip_with(sv, typedLit(books(j)(code)), (a, b) => a * b),
           lit(0.0), (acc, v) => acc + v)
       }: _*)
     }: _*)
-    val q = queries.withColumn("__tables", tables)
-    // ADC score: sum_j tables[j][codes[j]] — m lookups per candidate pair,
-    // folded in subspace order (parity with the oracle's ordered replay)
-    val adc = (0 until m).foldLeft(lit(0.0)) { (acc, j) =>
+  }
+
+  /** ADC score: sum_j __tables[j][__codes[j]] — m lookups per candidate
+    * pair, folded in subspace order (parity with the oracle's ordered
+    * replay). */
+  private def adcScore(m: Int): Column =
+    (0 until m).foldLeft(lit(0.0)) { (acc, j) =>
       acc + element_at(element_at(col("__tables"), j + 1),
         element_at(col("__codes"), j + 1) + 1)
     }
+
+  /** ADC-prune (top `rerank` per query) + exact-cosine re-rank + top-k —
+    * the tail shared by [[pqKnn]] and [[ivfPqKnn]]. Input: candidate rows
+    * carrying __codes and __tables. */
+  private def adcRerank(candidates0: DataFrame, m: Int, rerank: Int, k: Int,
+                        queryId: String, corpusId: String,
+                        corpusVec: String, queryVec: String): DataFrame = {
     val wAdc = Window.partitionBy(col(queryId))
       .orderBy(col("__adc").desc, col(corpusId).asc)
-    val candidates = c.crossJoin(broadcast(q))
-      .withColumn("__adc", adc)
+    val candidates = candidates0
+      .withColumn("__adc", adcScore(m))
       .filter(col("__adc").isNotNull)
       .withColumn("__arn", row_number().over(wAdc))
       .filter(col("__arn") <= rerank)
@@ -303,6 +309,52 @@ object SimilaritySearch {
       .withColumn("cosine", cosine_sim(col(corpusVec), col(queryVec)))
       .select(col(queryId), col(corpusId), col("cosine"))
     topKPerQuery(scored, k, queryId, corpusId)
+  }
+
+  def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+            m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+            corpusId: String = "vec_id", corpusVec: String = "embedding",
+            queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val books = pqCodebooks(corpus, m, ksub, corpusId, corpusVec)
+    val c = corpus.withColumn("__codes", pqCodeExpr(l2normed(col(corpusVec)), books))
+    val q = queries.withColumn("__tables", adcTables(col(queryVec), books))
+    adcRerank(c.crossJoin(broadcast(q)), m, rerank, k,
+      queryId, corpusId, corpusVec, queryVec)
+  }
+
+  /**
+   * IVF-PQ: the production composition (the FAISS `IVFPQ` index family) —
+   * the coarse quantizer prunes the corpus to `nprobe` of `nCentroids`
+   * cells per query and PQ's ADC tables score only the surviving cells'
+   * code rows, so a query touches ~(nprobe/nCentroids) of the corpus AND
+   * reads only m bytes per touched vector. Encoding is by raw vector, not
+   * residual (FAISS's `by_residual=false` variant): residual encoding
+   * would break the normalize-then-slice trick that makes ADC approximate
+   * cosine, and — with codebooks shared across cells — the raw-vector
+   * variant keeps the whole index one deterministic expression per side.
+   * Exact re-rank of the top `rerank` ADC survivors, as [[pqKnn]].
+   */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+               nCentroids: Int = 16, nprobe: Int = 4,
+               m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+               corpusId: String = "vec_id", corpusVec: String = "embedding",
+               queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val cents = ivfCentroids(corpus, nCentroids, corpusId, corpusVec)
+    val books = pqCodebooks(corpus, m, ksub, corpusId, corpusVec)
+    val c = corpus
+      .withColumn("cell", cellExpr(col(corpusVec), cents))
+      .withColumn("__codes", pqCodeExpr(l2normed(col(corpusVec)), books))
+    val probes = sort_array(array(cents.toIndexedSeq.map { case (cid, cvec) =>
+      struct((-cosine_sim(col(queryVec), typedLit(cvec))).as("neg"), lit(cid).as("cid"))
+    }: _*))
+    val q = queries
+      .withColumn("cell", explode(slice(probes, 1, nprobe).getField("cid")))
+      .withColumn("__tables", adcTables(col(queryVec), books))
+    // a corpus row lives in ONE cell and a query probes DISTINCT cells, so
+    // the equi-join yields each (query, corpus) pair at most once — no
+    // dedup needed before the ADC window
+    adcRerank(c.join(broadcast(q), Seq("cell")), m, rerank, k,
+      queryId, corpusId, corpusVec, queryVec)
   }
 
   /**

@@ -40,6 +40,23 @@ class PqSpec extends AnyFunSuite {
     assert(recallWide >= 0.95, f"deep-rerank recall $recallWide%.3f below floor")
   }
 
+  test("IVF-PQ: recall floor vs brute force; probing every cell recovers plain PQ") {
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
+    val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = pairs(SimilaritySearch.bruteForceKnn(corpus, queries, 5))
+    val ivfpq = pairs(SimilaritySearch.ivfPqKnn(corpus, queries, 5))
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    info(f"IVF-PQ recall@5 (nprobe 4/16, m=8 ksub=16 rerank=32): $recall%.3f")
+    // cell pruning compounds with ADC error on the adversarial random
+    // fixture; the floor documents the measured composition
+    assert(recall >= 0.30, f"IVF-PQ recall@5 $recall%.3f below floor")
+    // nprobe = nCentroids disables the coarse prune: identical to plain PQ
+    val allCells = pairs(SimilaritySearch.ivfPqKnn(corpus, queries, 5, nprobe = 16))
+    val plain = pairs(SimilaritySearch.pqKnn(corpus, queries, 5))
+    assert(allCells === plain, "probing every cell must reduce IVF-PQ to plain PQ")
+  }
+
   test("PQ encode: null and zero-norm vectors produce no candidates") {
     val corpus = Seq(
       (1L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
