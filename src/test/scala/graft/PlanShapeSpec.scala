@@ -132,6 +132,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus shuffled before the cell join:\n$corpusSide")
   }
 
+  test("PQ kNN: partial WindowGroupLimit bounds the ADC shuffle; encode is scan-local") {
+    val df = SparkEntry.queries("ss_knn_pq")(spark, sf)
+    val p = plan(df)
+    // the ADC prune must push its rank limit BELOW the exchange: each map
+    // task emits at most `rerank` rows per query, so the shuffle carries
+    // O(queries x rerank) rows — never the full |corpus| x |queries| score
+    // matrix. "Partial" is the pre-shuffle instance.
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    // the cross join is queries-broadcast (corpus never shuffled to score)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // code assignment is an expression in the corpus scan stage: no
+    // exchange below the join on the corpus side
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(joins.nonEmpty, p)
+    val exchangesBelow = joins.head.left.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchangesBelow.isEmpty, s"corpus shuffled before the ADC join:\n${joins.head.left}")
+  }
+
   test("boilerplate n-grams: distinct-count aggregates partially before the exchange") {
     val df = SparkEntry.queries("tx_boilerplate_ngrams")(spark, sf)
     val p = plan(df)
