@@ -48,6 +48,11 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
   def hyperplane_bucket(v: Column, planes: Column, seed: Column): Column =
     c(HyperplaneBucket(e(v), e(planes), e(seed)))
+  def pq_encode(v: Column, books: Array[Array[Array[Double]]]): Column =
+    c(PqEncode(e(v), books))
+  def pq_adc_tables(v: Column, books: Array[Array[Array[Double]]]): Column =
+    c(PqAdcTables(e(v), books))
+  def pq_adc(tables: Column, codes: Column): Column = c(PqAdc(e(tables), e(codes)))
 
   // ---- aggregates ----
   /** Bounded-heap top-k aggregate: k best (ord, id) pairs per group,

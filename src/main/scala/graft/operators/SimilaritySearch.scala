@@ -225,29 +225,13 @@ object SimilaritySearch {
     Array.tabulate(m)(j => protos.map(_.slice(j * sub, (j + 1) * sub)))
   }
 
-  /** L2-normalized double copy of a float-array column (NULL when the norm
-    * is 0 — a zero vector has no cosine neighbors and must not encode). */
-  private def l2normed(vec: Column): Column = {
-    val norm = sqrt(aggregate(vec, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    when(norm > 0.0, transform(vec, x => x.cast("double") / norm))
-  }
-
-  /** PQ code array for a (normalized) vector: per subspace, the argmin-L2
-    * centroid code (code-asc tiebreak), via the same struct-sort argmin as
-    * [[cellExpr]] — a scan-local expression, no shuffle. */
-  private def pqCodeExpr(normed: Column, books: Array[Array[Array[Double]]]): Column = {
-    val sub = books(0)(0).length
-    array(books.indices.map { j =>
-      val sv = slice(normed, j * sub + 1, sub)
-      sort_array(array(books(j).indices.map { c =>
-        val dist = aggregate(
-          zip_with(sv, typedLit(books(j)(c)), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, v) => acc + v)
-        struct(dist.as("d"), lit(c).as("code"))
-      }: _*)).getItem(0).getField("code")
-    }: _*)
-  }
+  // PQ encode / ADC-table / ADC-sum kernels live in
+  // graft.functions.{PqEncode, PqAdcTables, PqAdc}: the equivalent
+  // Column-tree forms (m x ksub aggregate/zip_with terms, each duplicating
+  // the normalization subtree — lambda HOFs are excluded from
+  // subexpression elimination) measured ~36 ms PER ROW; the fused kernels
+  // are O(dim x ksub) with two allocations (same pathology and fix as
+  // HyperplaneBucket).
 
   /**
    * Product-quantization ANN with asymmetric-distance scoring and exact
@@ -268,40 +252,16 @@ object SimilaritySearch {
    * array lookups + adds inside the join's codegen stage. The only
    * shuffles carry the rerank-bounded candidate set keyed by query.
    */
-  /** Per-query ADC lookup tables: tables[j][code] = dot(normalized query
-    * subvec j, centroid) — computed once per query row on the broadcast
-    * side. */
-  private def adcTables(queryVec: Column, books: Array[Array[Array[Double]]]): Column = {
-    val sub = books(0)(0).length
-    val qn = l2normed(queryVec)
-    array(books.indices.map { j =>
-      val sv = slice(qn, j * sub + 1, sub)
-      array(books(j).indices.map { code =>
-        aggregate(zip_with(sv, typedLit(books(j)(code)), (a, b) => a * b),
-          lit(0.0), (acc, v) => acc + v)
-      }: _*)
-    }: _*)
-  }
-
-  /** ADC score: sum_j __tables[j][__codes[j]] — m lookups per candidate
-    * pair, folded in subspace order (parity with the oracle's ordered
-    * replay). */
-  private def adcScore(m: Int): Column =
-    (0 until m).foldLeft(lit(0.0)) { (acc, j) =>
-      acc + element_at(element_at(col("__tables"), j + 1),
-        element_at(col("__codes"), j + 1) + 1)
-    }
-
   /** ADC-prune (top `rerank` per query) + exact-cosine re-rank + top-k —
     * the tail shared by [[pqKnn]] and [[ivfPqKnn]]. Input: candidate rows
     * carrying __codes and __tables. */
-  private def adcRerank(candidates0: DataFrame, m: Int, rerank: Int, k: Int,
+  private def adcRerank(candidates0: DataFrame, rerank: Int, k: Int,
                         queryId: String, corpusId: String,
                         corpusVec: String, queryVec: String): DataFrame = {
     val wAdc = Window.partitionBy(col(queryId))
       .orderBy(col("__adc").desc, col(corpusId).asc)
     val candidates = candidates0
-      .withColumn("__adc", adcScore(m))
+      .withColumn("__adc", pq_adc(col("__tables"), col("__codes")))
       .filter(col("__adc").isNotNull)
       .withColumn("__arn", row_number().over(wAdc))
       .filter(col("__arn") <= rerank)
@@ -316,9 +276,9 @@ object SimilaritySearch {
             corpusId: String = "vec_id", corpusVec: String = "embedding",
             queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     val books = pqCodebooks(corpus, m, ksub, corpusId, corpusVec)
-    val c = corpus.withColumn("__codes", pqCodeExpr(l2normed(col(corpusVec)), books))
-    val q = queries.withColumn("__tables", adcTables(col(queryVec), books))
-    adcRerank(c.crossJoin(broadcast(q)), m, rerank, k,
+    val c = corpus.withColumn("__codes", pq_encode(col(corpusVec), books))
+    val q = queries.withColumn("__tables", pq_adc_tables(col(queryVec), books))
+    adcRerank(c.crossJoin(broadcast(q)), rerank, k,
       queryId, corpusId, corpusVec, queryVec)
   }
 
@@ -343,17 +303,17 @@ object SimilaritySearch {
     val books = pqCodebooks(corpus, m, ksub, corpusId, corpusVec)
     val c = corpus
       .withColumn("cell", cellExpr(col(corpusVec), cents))
-      .withColumn("__codes", pqCodeExpr(l2normed(col(corpusVec)), books))
+      .withColumn("__codes", pq_encode(col(corpusVec), books))
     val probes = sort_array(array(cents.toIndexedSeq.map { case (cid, cvec) =>
       struct((-cosine_sim(col(queryVec), typedLit(cvec))).as("neg"), lit(cid).as("cid"))
     }: _*))
     val q = queries
       .withColumn("cell", explode(slice(probes, 1, nprobe).getField("cid")))
-      .withColumn("__tables", adcTables(col(queryVec), books))
+      .withColumn("__tables", pq_adc_tables(col(queryVec), books))
     // a corpus row lives in ONE cell and a query probes DISTINCT cells, so
     // the equi-join yields each (query, corpus) pair at most once — no
     // dedup needed before the ADC window
-    adcRerank(c.join(broadcast(q), Seq("cell")), m, rerank, k,
+    adcRerank(c.join(broadcast(q), Seq("cell")), rerank, k,
       queryId, corpusId, corpusVec, queryVec)
   }
 
