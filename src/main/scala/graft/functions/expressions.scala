@@ -272,6 +272,27 @@ case class HyperplaneBucket(first: Expression, second: Expression, third: Expres
     copy(f, s, t)
 }
 
+/** Z-order (Morton) key: bit-interleave of two non-negative dimension
+  * values, `bits` low bits each (a & mask is the caller-visible clamp) —
+  * dimension a on even bit positions, b on odd. Sorting by this key
+  * clusters BOTH dimensions simultaneously, so parquet row-group min/max
+  * stats prune 2-d box predicates — the standard lakehouse data-skipping
+  * layout (see [[graft.sources.ZOrderLayout]]). Pure integer arithmetic,
+  * replayed exactly by the DuckDB oracle. */
+case class ZOrderKey(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any, bits: Any): Any =
+    VectorMath.zorder2(a.asInstanceOf[Long], b.asInstanceOf[Long], bits.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, bits) =>
+      s"graft.functions.VectorMath.zorder2($a, $b, $bits)")
+  override def prettyName: String = "zorder_key"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
 /** PQ code assignment fused into one kernel pass: L2-normalize, then per
   * subspace the argmin-squared-distance codebook entry (code-asc tiebreak).
   * The equivalent Column-tree form (m x ksub aggregate/zip_with HOF terms,
@@ -387,6 +408,23 @@ object VectorMath {
     var i = 0
     while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
     math.sqrt(s)
+  }
+
+  /** Morton interleave of the low `bits` bits of two non-negative longs:
+    * a's bit i lands at position 2i, b's at 2i+1. bits <= 31 keeps the
+    * result in a positive BIGINT. */
+  def zorder2(a: Long, b: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1
+    val x = a & mask
+    val y = b & mask
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >>> i) & 1L) << (2 * i)
+      z |= ((y >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
   }
 
   /** L2-normalized double copy; null when the norm is 0 — bit-identical to
