@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+
+import graft.operators.SimilaritySearch
+
+/**
+ * Streaming ANN serving: a file-source stream of query-vector batches is
+ * answered against a FIXED corpus with the PQ index ([[SimilaritySearch
+ * .pqKnn]]) — the embedding-retrieval counterpart of [[MatchServing]]'s
+ * always-on match loop, on the same serving contract:
+ *
+ *  - The PQ index is built ONCE per serving run (codebooks collected at
+ *    stream start, corpus codes computed inside each micro-batch's plan
+ *    from the cached corpus frame); each batch costs one ADC pass over
+ *    |batch| x |corpus codes| — m byte-lookups per pair — plus the exact
+ *    re-rank of rerank survivors. Latency scales with the request batch.
+ *  - A query's neighbor set depends ONLY on (query vector, corpus), so
+ *    micro-batch boundaries cannot change results and the union of
+ *    per-batch outputs equals one batch-mode [[SimilaritySearch.pqKnn]]
+ *    run over all queries (pinned in AnnServingSpec).
+ *  - IDEMPOTENT OUTPUT under at-least-once replay: per-batch hive-style
+ *    `batch_id=<id>` overwrite partitions — the [[MatchServing]] /
+ *    [[CorpusIngest]] recipe, with the same SAME-CONFIG requirement
+ *    (replays must reproduce the batch-to-file assignment; changing
+ *    `maxFilesPerTrigger` or pruning the source needs a clean outDir).
+ */
+object AnnServing {
+
+  /** The query-batch source schema: (query_id, query_vec). */
+  val QuerySchema: StructType = StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("query_vec", ArrayType(FloatType), nullable = true)))
+
+  /** Partition-discovery reader with `batch_id` pinned to LONG (see
+    * [[MatchServing.readServed]]). */
+  def readServed(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(outDir).withColumn("batch_id", col("batch_id").cast("long"))
+  }
+
+  def annStreaming(spark: SparkSession, sourceDir: String,
+                   corpus: DataFrame, outDir: String,
+                   checkpointDir: String,
+                   k: Int = 5, maxFilesPerTrigger: Int = 1): Unit = {
+    val stream = spark.readStream.schema(QuerySchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SimilaritySearch.pqKnn(corpus, batch, k)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

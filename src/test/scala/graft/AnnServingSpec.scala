@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.SimilaritySearch
+import graft.streaming.AnnServing
+
+/** Streaming ANN serving == batch PQ search: micro-batch boundaries must
+  * not change any neighbor set (a query's answer depends only on the
+  * corpus), and restarts / replays must not duplicate output rows. */
+class AnnServingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("streamed query batches' union equals one batch-mode pqKnn") {
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
+    val queries = corpus.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_serve").toString
+    try {
+      queries.repartition(3).write.parquet(s"$base/src")
+      AnnServing.annStreaming(spark, s"$base/src", corpus, s"$base/out", s"$base/ckpt")
+
+      val streamed = spark.read.parquet(s"$base/out")
+      assert(streamed.select("batch_id").distinct().count() > 1,
+        "expected multiple micro-batches")
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 9), col("rn"))
+        .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+      val got = key(streamed)
+      val want = key(SimilaritySearch.pqKnn(corpus, queries, 5))
+      assert(want.nonEmpty)
+      assert(got === want, "micro-batch boundaries changed neighbor sets")
+
+      // restart on the same checkpoint: no new files -> no new output
+      AnnServing.annStreaming(spark, s"$base/src", corpus, s"$base/out", s"$base/ckpt")
+      assert(key(spark.read.parquet(s"$base/out")) === want,
+        "restart replayed already-served batches")
+
+      // worst-case at-least-once replay (fresh checkpoint, same batch ids):
+      // per-batch overwrite dirs absorb it (same-config requirement applies)
+      AnnServing.annStreaming(spark, s"$base/src", corpus, s"$base/out", s"$base/ckpt2")
+      assert(key(spark.read.parquet(s"$base/out")) === want,
+        "full replay must overwrite, never duplicate")
+
+      val served = AnnServing.readServed(spark, s"$base/out")
+      assert(served.schema("batch_id").dataType ===
+        org.apache.spark.sql.types.LongType)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+}
