@@ -850,6 +850,31 @@ object Dedup {
   }
 
   /**
+   * Leakage-safe train/val/test split: assignment is decided per
+   * NEAR-DUP CLUSTER, not per document, so two near-duplicates can never
+   * land on opposite sides of the train/eval boundary — the contamination
+   * [[graft.operators.TextAnalysis.contentHashSplit]] cannot prevent
+   * (near-duplicates differ in content, hence in content hash, hence can
+   * split apart; Lee et al. 2022 measure exactly this train/test leakage
+   * in web corpora). The split key is the cluster label (the cluster's
+   * minimum id — stable under re-sharding as long as ids are), pushed
+   * through the same md5-byte assignment as the content split.
+   *
+   * Scale shape: [[clusters]]' logarithmic pointer-doubling over the
+   * candidate edge set, then one narrow (id, cluster) projection with the
+   * split decided by a scan-local expression — no extra exchange beyond
+   * the clustering itself.
+   *
+   * Output: (id, cluster, split).
+   */
+  def clusterSafeSplit(ids: DataFrame, pairs: DataFrame, idCol: String,
+                       trainFrac: Double = 0.9, valFrac: Double = 0.05,
+                       pairA: String = "id_a", pairB: String = "id_b"): DataFrame =
+    clusters(ids, pairs, idCol, pairA, pairB)
+      .withColumn("split",
+        TextAnalysis.hashSplit(col("cluster").cast("string"), trainFrac, valFrac))
+
+  /**
    * Corpus snapshot diff — the incremental-crawl delta every recurring
    * ingestion pipeline computes before re-processing: classify every
    * document across two corpus snapshots as `added` / `removed` /

@@ -336,7 +336,16 @@ object TextAnalysis {
    * Resolution is 1/256 — fractions round down to the nearest byte.
    */
   def contentHashSplit(df: DataFrame, textCol: String,
-                       trainFrac: Double = 0.9, valFrac: Double = 0.05): DataFrame = {
+                       trainFrac: Double = 0.9, valFrac: Double = 0.05): DataFrame =
+    df.withColumn("split", hashSplit(col(textCol), trainFrac, valFrac))
+
+  /** The split-assignment column shared by [[contentHashSplit]] and
+    * [[Dedup.clusterSafeSplit]]: md5 of the key expression, first byte
+    * compared as its 2-char lowercase-hex prefix (lexicographic hex order
+    * == numeric order), so the assignment is a pure string expression
+    * identical in any engine. Resolution is 1/256 — fractions round down
+    * to the nearest byte. */
+  def hashSplit(key: Column, trainFrac: Double, valFrac: Double): Column = {
     require(trainFrac + valFrac <= 1.0, "train + val fractions exceed 1")
     // frac >= 1 must swallow EVERY byte including 0xff: "g" sorts after
     // any 2-char hex prefix, so the comparison stays a plain string test
@@ -344,11 +353,10 @@ object TextAnalysis {
       val b = math.floor(frac * 256).toInt
       if (b >= 256) "g" else f"$b%02x"
     }
-    val trainHex = hexThreshold(trainFrac)
-    val valHex = hexThreshold(trainFrac + valFrac)
-    val b = substring(md5(col(textCol)), 1, 2)
-    df.withColumn("split",
-      when(b < trainHex, "train").when(b < valHex, "val").otherwise("test"))
+    val b = substring(md5(key), 1, 2)
+    when(b < hexThreshold(trainFrac), "train")
+      .when(b < hexThreshold(trainFrac + valFrac), "val")
+      .otherwise("test")
   }
 
   /**

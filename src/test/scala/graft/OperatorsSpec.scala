@@ -1141,6 +1141,38 @@ class OperatorsSpec extends AnyFunSuite {
     split.unpersist()
   }
 
+  test("cluster-safe split: near-dup clusters never straddle the train/eval boundary") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // three near-dup families whose members have DIFFERENT content (so a
+    // content-hash split could separate them) plus singletons
+    val docs = (
+      (1 to 6).map(i => (i.toLong, s"family-one shared prefix variant $i")) ++
+      (11 to 14).map(i => (i.toLong, s"family-two shared prefix v$i")) ++
+      Seq((21L, "a lone document"), (22L, "another unrelated text"))
+    ).toDF("doc_id", "text")
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)) ++
+      Seq((11L, 12L), (12L, 13L), (13L, 14L))).toDF("id_a", "id_b")
+    val out = Dedup.clusterSafeSplit(docs.select("doc_id"), edges, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // THE invariant: one split per cluster
+    out.groupBy(_._2).foreach { case (cl, rows) =>
+      assert(rows.map(_._3).distinct.length === 1, s"cluster $cl straddles splits: $rows")
+    }
+    // cluster labels are the min member id; singletons self-label
+    assert(out.filter(_._2 == 1L).map(_._1).sorted.toSeq === (1L to 6L))
+    assert(out.filter(_._2 == 11L).map(_._1).sorted.toSeq === (11L to 14L))
+    assert(out.filter(r => r._1 >= 21L).forall(r => r._2 === r._1))
+    // the contrast that motivates the operator: the per-document content
+    // split CAN separate members of a near-dup family (leakage), the
+    // cluster split by construction cannot
+    val byContent = TextAnalysis.contentHashSplit(docs, "text", 0.5, 0.25)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val family1 = (1L to 6L).map(byContent).distinct
+    assert(family1.length > 1,
+      "fixture should demonstrate content-split leakage (different variants, different hashes)")
+  }
+
   test("corpus dedup keeps exactly one representative per duplicate cluster") {
     val docs = spark.read.parquet(s"${SparkTestBase.Sf001}/documents.parquet")
     val out = Dedup.corpusDedup(docs, "text", "doc_id", jaccardThreshold = 0.5)
