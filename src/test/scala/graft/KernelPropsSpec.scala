@@ -1,0 +1,119 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorMath
+
+/** Property pins for the round-11 kernels (Morton interleave, PQ
+  * encode/ADC) — algebraic laws checked against independent in-test
+  * re-computations, the same regime as FuzzPropsSpec. Pure JVM, no Spark
+  * session. */
+class KernelPropsSpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    // fixed seed, same rationale as FuzzPropsSpec: driver rounds must not
+    // flake on a rare seed — new edge cases become explicit vectors
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(500)
+      .withInitialSeed(org.scalacheck.rng.Seed(20260814L))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
+  private val bitsGen = Gen.chooseNum(1, 31)
+  private val longGen = Gen.chooseNum(0L, Long.MaxValue)
+
+  test("zorder2 is a bijection on masked inputs: deinterleave recovers both dims") {
+    def deinterleave(z: Long, bits: Int): (Long, Long) = {
+      var a = 0L; var b = 0L
+      var i = 0
+      while (i < bits) {
+        a |= ((z >>> (2 * i)) & 1L) << i
+        b |= ((z >>> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      (a, b)
+    }
+    check(Prop.forAllNoShrink(longGen, longGen, bitsGen) { (a, b, bits) =>
+      val mask = (1L << bits) - 1
+      val z = VectorMath.zorder2(a, b, bits)
+      deinterleave(z, bits) == ((a & mask, b & mask)) &&
+        z >= 0 && (bits == 31 || z < (1L << (2 * bits)))
+    })
+  }
+
+  test("zorder2 prefix property: dropping 2k low bits interleaves the shifted dims") {
+    // the law behind min-max pruning: a z-range prefix IS a (A, B) quadrant
+    check(Prop.forAllNoShrink(longGen, longGen, Gen.chooseNum(2, 31),
+      Gen.chooseNum(1, 30)) { (a, b, bits, k0) =>
+      val k = math.min(k0, bits - 1)
+      val mask = (1L << bits) - 1
+      (VectorMath.zorder2(a, b, bits) >>> (2 * k)) ==
+        VectorMath.zorder2((a & mask) >>> k, (b & mask) >>> k, bits - k)
+    })
+  }
+
+  private val dim = 16
+  private val m = 4
+  private val ksub = 4
+  private val vecGen: Gen[Array[Float]] =
+    Gen.listOfN(dim, Gen.chooseNum(-5.0f, 5.0f)).map(_.toArray)
+  private val booksGen: Gen[Array[Array[Array[Double]]]] =
+    Gen.listOfN(m * ksub * (dim / m), Gen.chooseNum(-1.0, 1.0)).map { flat =>
+      Array.tabulate(m)(j => Array.tabulate(ksub)(c =>
+        flat.slice((j * ksub + c) * (dim / m), (j * ksub + c + 1) * (dim / m)).toArray))
+    }
+
+  private def norm(v: Array[Float]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    v.map(_.toDouble / n)
+  }
+
+  test("pqEncode picks the per-subspace distance minimizer (first on ties)") {
+    check(Prop.forAllNoShrink(vecGen, booksGen) { (v, books) =>
+      val nv = norm(v)
+      val sub = dim / m
+      val codes = VectorMath.pqEncode(v, books).toIntArray()
+      (0 until m).forall { j =>
+        def d(c: Int) = (0 until sub).map { i =>
+          val t = nv(j * sub + i) - books(j)(c)(i); t * t
+        }.sum
+        val chosen = d(codes(j))
+        (0 until ksub).forall(c => chosen <= d(c)) &&
+          (0 until codes(j)).forall(c => d(c) > chosen) // strict: first min wins
+      }
+    })
+  }
+
+  test("pqAdc equals the dot of the normalized query with the PQ reconstruction") {
+    check(Prop.forAllNoShrink(vecGen, vecGen, booksGen) { (x, q, books) =>
+      val sub = dim / m
+      val codes = VectorMath.pqEncode(x, books)
+      val tables = VectorMath.pqAdcTables(q, books)
+      val adc = VectorMath.pqAdc(tables, codes)
+      // independent recomputation: reconstruction = concat of chosen codewords
+      val qn = norm(q)
+      val want = (0 until m).map { j =>
+        val cw = books(j)(codes.getInt(j))
+        (0 until sub).map(i => qn(j * sub + i) * cw(i)).sum
+      }.sum
+      math.abs(adc - want) < 1e-9
+    })
+  }
+
+  test("zero-norm and empty vectors refuse to encode (null, not garbage)") {
+    check(Prop.forAllNoShrink(booksGen) { books =>
+      VectorMath.pqEncode(Array.fill(dim)(0.0f), books) == null &&
+        VectorMath.pqAdcTables(Array.fill(dim)(0.0f), books) == null
+    })
+  }
+
+  test("cosine stays in [-1, 1] and is 1 on self for nonzero vectors") {
+    check(Prop.forAllNoShrink(vecGen, vecGen) { (a, b) =>
+      val c = VectorMath.cosine(a, b)
+      val selfOk = VectorMath.l2(a) == 0.0 ||
+        math.abs(VectorMath.cosine(a, a) - 1.0) < 1e-9
+      c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 && selfOk
+    })
+  }
+}
