@@ -154,6 +154,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchangesBelow.isEmpty, s"corpus shuffled before the ADC join:\n${joins.head.left}")
   }
 
+  test("IVF-PQ: cell equi-join prunes, codes assigned scan-local, ADC shuffle bounded") {
+    val df = SparkEntry.queries("ss_knn_ivfpq")(spark, sf)
+    val p = plan(df)
+    // coarse prune is a hash equi-join on cell (queries broadcast), never a
+    // nested loop; the ADC rank limit still pushes below the exchange
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // cell + code assignment are expressions in the corpus scan stage
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, p)
+    val exchangesBelow = joins.head.left.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchangesBelow.isEmpty,
+      s"corpus shuffled before the IVF-PQ cell join:\n${joins.head.left}")
+  }
+
   test("boilerplate n-grams: distinct-count aggregates partially before the exchange") {
     val df = SparkEntry.queries("tx_boilerplate_ngrams")(spark, sf)
     val p = plan(df)
