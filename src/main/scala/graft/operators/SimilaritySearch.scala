@@ -200,27 +200,42 @@ object SimilaritySearch {
       struct((-cosine_sim(vec, typedLit(cvec))).as("neg"), lit(cid).as("cid"))
     }: _*)).getItem(0).getField("cid")
 
+  /** Index-build observability: incremented once per [[pqCodebooks]] call
+    * (the driver-side collect that anchors a PQ index build). A serving
+    * loop that accidentally rebuilds its index per micro-batch shows up as
+    * this counter advancing with the batch count — AnnServingSpec pins it
+    * at exactly one per serving run. */
+  val codebookBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Deterministic product-quantization codebooks: subspace `j`'s `ksub`
-    * centroids are the j-th subvector slices of the first `ksub` corpus
-    * vectors by id, L2-NORMALIZED BEFORE SLICING (so PQ approximates
-    * cosine — see [[pqKnn]]). The same fixed-prefix trade as
-    * [[ivfCentroids]]: a production build trains per-subspace k-means
-    * (Jegou et al. 2011); the prefix keeps the whole index
-    * DuckDB-oracle-able while exercising identical encode/ADC plumbing.
-    * Result indexed [subspace][code] — m x ksub x (dim/m) floats, driver-
-    * sized. Vectors among the prefix with zero norm are skipped. */
+    * centroids are the j-th subvector slices of the first `ksub` non-null,
+    * nonzero-norm corpus vectors by id, L2-NORMALIZED BEFORE SLICING (so
+    * PQ approximates cosine — see [[pqKnn]]). The same fixed-prefix trade
+    * as [[ivfCentroids]]: a production build trains per-subspace k-means
+    * ([[pqCodebooksTrained]], Jegou et al. 2011); the prefix keeps the
+    * whole index DuckDB-oracle-able while exercising identical encode/ADC
+    * plumbing. Result indexed [subspace][code] — m x ksub x (dim/m)
+    * floats, driver-sized. Null / zero-norm vectors are filtered in the
+    * FRAME, before the limit, so the prefix is exactly the oracle's
+    * "first ksub valid vectors of the corpus" whatever the invalid-row
+    * density (the old first-2*ksub-then-filter form could silently shrink
+    * below ksub). */
   def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
                   corpusId: String = "vec_id",
                   corpusVec: String = "embedding"): Array[Array[Array[Double]]] = {
-    val protos = corpus.filter(col(corpusVec).isNotNull)
-      .orderBy(col(corpusId)).limit(2 * ksub)
+    codebookBuilds.incrementAndGet()
+    val normSq = expr(
+      s"aggregate($corpusVec, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    val protos = corpus.filter(col(corpusVec).isNotNull).filter(normSq > 0.0)
+      .orderBy(col(corpusId)).limit(ksub)
       .select(col(corpusVec)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-      .flatMap { v =>
+      .map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)
-        if (n > 0.0) Some(v.map(_ / n)) else None
+        v.map(_ / n)
       }
-      .take(ksub)
+    require(protos.length == ksub,
+      s"PQ codebooks need $ksub valid prototype vectors, corpus has ${protos.length}")
     val sub = protos.head.length / m
     Array.tabulate(m)(j => protos.map(_.slice(j * sub, (j + 1) * sub)))
   }
@@ -271,15 +286,37 @@ object SimilaritySearch {
     topKPerQuery(scored, k, queryId, corpusId)
   }
 
+  /** The corpus side of the PQ index: `corpus` plus its `__codes` column
+    * (m bytes per vector). This IS the one-off index build — at 100 TB the
+    * result is what gets persisted (or cached, for a serving run), so the
+    * encode pass runs once, not once per query batch. */
+  def pqEncodeCorpus(corpus: DataFrame, books: Array[Array[Array[Double]]],
+                     corpusVec: String = "embedding"): DataFrame =
+    corpus.withColumn("__codes", pq_encode(col(corpusVec), books))
+
+  /** PQ search against a PRE-ENCODED corpus (see [[pqEncodeCorpus]]): each
+    * query batch pays only its own ADC-table projection, the ADC join and
+    * the exact re-rank — no codebook collect, no corpus re-encode. This is
+    * the entry point a serving loop calls per micro-batch
+    * ([[graft.streaming.AnnServing]]); [[pqKnn]] composes it with a fresh
+    * index build for the one-shot batch case. */
+  def pqKnnEncoded(codedCorpus: DataFrame, books: Array[Array[Array[Double]]],
+                   queries: DataFrame, k: Int, rerank: Int = 32,
+                   corpusId: String = "vec_id", corpusVec: String = "embedding",
+                   queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val q = queries.withColumn("__tables", pq_adc_tables(col(queryVec), books))
+    adcRerank(codedCorpus.crossJoin(broadcast(q)), rerank, k,
+      queryId, corpusId, corpusVec, queryVec)
+  }
+
   def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
             m: Int = 8, ksub: Int = 16, rerank: Int = 32,
             corpusId: String = "vec_id", corpusVec: String = "embedding",
-            queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
-    val books = pqCodebooks(corpus, m, ksub, corpusId, corpusVec)
-    val c = corpus.withColumn("__codes", pq_encode(col(corpusVec), books))
-    val q = queries.withColumn("__tables", pq_adc_tables(col(queryVec), books))
-    adcRerank(c.crossJoin(broadcast(q)), rerank, k,
-      queryId, corpusId, corpusVec, queryVec)
+            queryId: String = "query_id", queryVec: String = "query_vec",
+            books: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val b = books.getOrElse(pqCodebooks(corpus, m, ksub, corpusId, corpusVec))
+    pqKnnEncoded(pqEncodeCorpus(corpus, b, corpusVec), b, queries, k, rerank,
+      corpusId, corpusVec, queryId, queryVec)
   }
 
   /**

@@ -12,11 +12,18 @@ import graft.operators.SimilaritySearch
  * .pqKnn]]) — the embedding-retrieval counterpart of [[MatchServing]]'s
  * always-on match loop, on the same serving contract:
  *
- *  - The PQ index is built ONCE per serving run (codebooks collected at
- *    stream start, corpus codes computed inside each micro-batch's plan
- *    from the cached corpus frame); each batch costs one ADC pass over
- *    |batch| x |corpus codes| — m byte-lookups per pair — plus the exact
- *    re-rank of rerank survivors. Latency scales with the request batch.
+ *  - The PQ index is built ONCE per serving run: codebooks are collected
+ *    at stream start and the encoded corpus ([[SimilaritySearch
+ *    .pqEncodeCorpus]]) is materialized into the block-manager cache
+ *    BEFORE the stream starts, so each micro-batch runs ONLY the
+ *    query-side ADC-table projection, one ADC pass over |batch| x
+ *    |corpus codes| — m byte-lookups per pair — and the exact re-rank of
+ *    rerank survivors ([[SimilaritySearch.pqKnnEncoded]]). Latency scales
+ *    with the request batch; the corpus is never re-collected and never
+ *    re-encoded (pinned by AnnServingSpec via
+ *    [[SimilaritySearch.codebookBuilds]]). At 100 TB the cached frame
+ *    becomes the persisted codes table — the raw vectors stay cold until
+ *    re-rank, exactly the PQ scale plan.
  *  - A query's neighbor set depends ONLY on (query vector, corpus), so
  *    micro-batch boundaries cannot change results and the union of
  *    per-batch outputs equals one batch-mode [[SimilaritySearch.pqKnn]]
@@ -45,17 +52,24 @@ object AnnServing {
                    corpus: DataFrame, outDir: String,
                    checkpointDir: String,
                    k: Int = 5, maxFilesPerTrigger: Int = 1): Unit = {
-    val stream = spark.readStream.schema(QuerySchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(sourceDir)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        SimilaritySearch.pqKnn(corpus, batch, k)
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // index build, ONCE, before the stream starts: one codebook collect +
+    // one encode pass, materialized so foreachBatch reads codes from cache
+    val books = SimilaritySearch.pqCodebooks(corpus, m = 8, ksub = 16)
+    val codedCorpus = SimilaritySearch.pqEncodeCorpus(corpus, books).persist()
+    codedCorpus.count()
+    try {
+      val stream = spark.readStream.schema(QuerySchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(sourceDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          SimilaritySearch.pqKnnEncoded(codedCorpus, books, batch, k)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally codedCorpus.unpersist()
   }
 }

@@ -20,11 +20,16 @@ class AnnServingSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft_ann_serve").toString
     try {
       queries.repartition(3).write.parquet(s"$base/src")
+      val builds0 = SimilaritySearch.codebookBuilds.get()
       AnnServing.annStreaming(spark, s"$base/src", corpus, s"$base/out", s"$base/ckpt")
 
       val streamed = spark.read.parquet(s"$base/out")
       assert(streamed.select("batch_id").distinct().count() > 1,
         "expected multiple micro-batches")
+      // THE serving contract: the PQ index is built once per run, never per
+      // micro-batch — multiple batches, exactly one codebook collect
+      assert(SimilaritySearch.codebookBuilds.get() - builds0 === 1L,
+        "PQ index must be built exactly once per serving run")
       def key(df: org.apache.spark.sql.DataFrame) = df
         .select(col("query_id"), col("vec_id"), round(col("cosine"), 9), col("rn"))
         .as[(Long, Long, Double, Int)].collect().sorted.toSeq
