@@ -293,6 +293,38 @@ case class ZOrderKey(first: Expression, second: Expression, third: Expression)
     copy(f, s, t)
 }
 
+/** Top-`n` nearest centroids of a vector (cosine argmax order, centroid-id
+  * ASC tiebreak) fused into one kernel pass — the IVF cell-assignment /
+  * probe-selection kernel. The equivalent Column-tree form
+  * (`sort_array(array(struct(-cosine, cid), ...))` over nlist literal
+  * structs) is correct at nlist=16 but sorts an nlist-element struct array
+  * PER ROW: at production nlist (1024-4096) that is the same
+  * per-row-expression-tree pathology as the PQ HOF trees ([[PqEncode]]) —
+  * measured scaling linearly-with-an-nlist-sized-sort where this kernel's
+  * bounded insertion is O(nlist * n) flat in allocation. Centroids ride as
+  * codegen reference objects (driver-sized: nlist vectors). Ordering is
+  * exactly the struct-sort's (java.lang.Double.compare on -cosine, then
+  * cid ASC) — KernelPropsSpec pins the equivalence. NULL input -> NULL
+  * (the struct form produced the min-cid cell for a NULL vector, but every
+  * such row dies downstream on a NULL cosine/ADC — the end results agree;
+  * the IVF oracles pin it). */
+case class NearestCentroids(child: Expression, cids: Array[Long],
+                            cvecs: Array[Array[Float]], n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.nearestCentroids(v.asInstanceOf[ArrayData].toFloatArray(), cids, cvecs, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", cids, "long[]")
+    val vecsRef = ctx.addReferenceObj("centVecs", cvecs, "float[][]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = graft.functions.VectorMath.nearestCentroids($v.toFloatArray(), $idsRef, $vecsRef, $n);""")
+  }
+  override def prettyName: String = "nearest_centroids"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** PQ code assignment fused into one kernel pass: L2-normalize, then per
   * subspace the argmin-squared-distance codebook entry (code-asc tiebreak).
   * The equivalent Column-tree form (m x ksub aggregate/zip_with HOF terms,
@@ -379,6 +411,39 @@ object VectorMath {
       p += 1
     }
     bucket
+  }
+
+  /** Top-`n` centroid ids by (-cosine ASC, cid ASC) — bounded insertion
+    * into an n-slot buffer, one cosine per centroid, two allocations.
+    * Comparison is java.lang.Double.compare, mirroring the struct-sort
+    * column form this kernel replaces (mixed ±0.0 cannot arise: a zero
+    * cosine is always +0.0 here, so its negation is uniformly -0.0). */
+  def nearestCentroids(v: Array[Float], cids: Array[Long],
+                       cvecs: Array[Array[Float]], n: Int): ArrayData = {
+    val k = math.min(n, cids.length)
+    val negs = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var filled = 0
+    var i = 0
+    while (i < cids.length) {
+      val neg = -cosine(v, cvecs(i))
+      val cid = cids(i)
+      var pos = filled
+      while (pos > 0 && {
+        val cmp = java.lang.Double.compare(negs(pos - 1), neg)
+        cmp > 0 || (cmp == 0 && ids(pos - 1) > cid)
+      }) pos -= 1
+      if (pos < k) {
+        var j = math.min(filled, k - 1)
+        while (j > pos) { negs(j) = negs(j - 1); ids(j) = ids(j - 1); j -= 1 }
+        negs(pos) = neg
+        ids(pos) = cid
+        if (filled < k) filled += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(ids, filled))
   }
 
   /** Deterministic sequential-accumulation cosine similarity. */

@@ -48,6 +48,10 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
   def hyperplane_bucket(v: Column, planes: Column, seed: Column): Column =
     c(HyperplaneBucket(e(v), e(planes), e(seed)))
+  /** Top-`n` nearest-centroid ids (cosine argmax order, cid-asc tiebreak)
+    * as array<bigint> — the fused IVF assign/probe kernel. */
+  def nearest_centroids(v: Column, cents: Array[(Long, Array[Float])], n: Int): Column =
+    c(NearestCentroids(e(v), cents.map(_._1), cents.map(_._2), n))
   def pq_encode(v: Column, books: Array[Array[Array[Double]]]): Column =
     c(PqEncode(e(v), books))
   def pq_adc_tables(v: Column, books: Array[Array[Array[Double]]]): Column =

@@ -108,6 +108,41 @@ class KernelPropsSpec extends AnyFunSuite {
     })
   }
 
+  private val centsGen: Gen[Array[(Long, Array[Float])]] = for {
+    nc <- Gen.chooseNum(1, 24)
+    // non-consecutive, unordered ids: the kernel must not assume either
+    ids <- Gen.listOfN(nc, Gen.chooseNum(0L, 1000L)).map(_.distinct)
+    vecs <- Gen.listOfN(ids.length, vecGen)
+  } yield ids.zip(vecs).toArray
+
+  test("nearestCentroids equals a full sort by (-cosine, cid) truncated to n") {
+    check(Prop.forAllNoShrink(vecGen, centsGen, Gen.chooseNum(1, 8)) { (v, cents, n) =>
+      val got = VectorMath.nearestCentroids(
+        v, cents.map(_._1), cents.map(_._2), n).toLongArray().toSeq
+      val want = cents.toSeq
+        .map { case (cid, cv) => (-VectorMath.cosine(v, cv), cid) }
+        .sortWith { case ((na, ia), (nb, ib)) =>
+          val c = java.lang.Double.compare(na, nb)
+          c < 0 || (c == 0 && ia < ib)
+        }
+        .take(n).map(_._2)
+      got == want
+    })
+  }
+
+  test("nearestCentroids ties break to the smallest centroid id") {
+    // duplicate centroid vectors -> identical cosines -> cid ASC decides;
+    // zero-norm input -> every cosine is 0.0 -> pure cid order
+    check(Prop.forAllNoShrink(vecGen, vecGen, Gen.chooseNum(1, 4)) { (v, cv, n) =>
+      val cents = Array((7L, cv), (3L, cv), (11L, cv), (5L, cv))
+      val dup = VectorMath.nearestCentroids(v, cents.map(_._1), cents.map(_._2), n)
+        .toLongArray().toSeq
+      val zero = VectorMath.nearestCentroids(
+        Array.fill(dim)(0.0f), cents.map(_._1), cents.map(_._2), n).toLongArray().toSeq
+      dup == Seq(3L, 5L, 7L, 11L).take(n) && zero == Seq(3L, 5L, 7L, 11L).take(n)
+    })
+  }
+
   test("cosine stays in [-1, 1] and is 1 on self for nonzero vectors") {
     check(Prop.forAllNoShrink(vecGen, vecGen) { (a, b) =>
       val c = VectorMath.cosine(a, b)

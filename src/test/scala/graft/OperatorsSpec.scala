@@ -561,6 +561,27 @@ class OperatorsSpec extends AnyFunSuite {
       "seed-pinned k-means must reproduce identical centroids run-to-run")
   }
 
+  test("nearest-centroids kernel == the struct-sort Column form it replaced") {
+    // the fused NearestCentroids expression must reproduce, id-for-id and
+    // in order, what sort_array(array(struct(-cosine, cid)...)) computed —
+    // on the real fixture (incl. whatever tie/zero-norm rows it holds)
+    import graft.functions.{nearest_centroids, cosine_sim}
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
+    val cents = SimilaritySearch.ivfCentroids(corpus, 16)
+    def structSort(vec: org.apache.spark.sql.Column, n: Int) =
+      slice(sort_array(array(cents.toIndexedSeq.map { case (cid, cvec) =>
+        struct((-cosine_sim(vec, typedLit(cvec))).as("neg"), lit(cid).as("cid"))
+      }: _*)), 1, n).getField("cid")
+    Seq(1, 4, 16).foreach { n =>
+      val mismatches = corpus.filter(col("embedding").isNotNull)
+        .select(nearest_centroids(col("embedding"), cents, n).as("kernel"),
+          structSort(col("embedding"), n).as("sorted"))
+        .filter(not(col("kernel") === col("sorted")))
+        .count()
+      assert(mismatches === 0L, s"kernel diverged from struct-sort at n=$n")
+    }
+  }
+
   test("kNN label propagation: unanimous neighborhood wins; vote ties break to smallest label") {
     import graft.operators.SimilaritySearch
     // corpus: 4 vectors near axis e1 labeled 1, 4 near e2 labeled 2
