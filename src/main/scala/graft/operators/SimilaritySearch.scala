@@ -252,6 +252,46 @@ object SimilaritySearch {
     Array.tabulate(m)(j => protos.map(_.slice(j * sub, (j + 1) * sub)))
   }
 
+  /** TRAINED product-quantization codebooks: per-subspace k-means (Jegou,
+    * Douze, Schmid 2011 — the construction FAISS ships) over the
+    * L2-normalized corpus subvectors, the production counterpart of
+    * [[pqCodebooks]]'s deterministic prefix — the same pairing as
+    * [[kmeansCentroids]] vs [[ivfCentroids]] on the IVF side. Seed-pinned
+    * (subspace j trains with seed + j), so the index build is reproducible
+    * run-to-run; like the trained IVF quantizer it is NOT corpus-row-
+    * derived and hence not DuckDB-replayable, which is why the prefix
+    * stays the oracle-gated default. Training is the one-off index build:
+    * at 100 TB it runs on a sample (k-means quality saturates far below
+    * full-corpus scans) and only m x ksub x (dim/m) doubles reach the
+    * driver. PqSpec pins reproducibility and that trained codebooks do
+    * not lose recall@5 to the prefix ones on the embeddings fixture. */
+  def pqCodebooksTrained(corpus: DataFrame, m: Int, ksub: Int,
+                         corpusVec: String = "embedding",
+                         seed: Long = 32L, maxIter: Int = 20): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    codebookBuilds.incrementAndGet()
+    val normSq = expr(
+      s"aggregate($corpusVec, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    val nv = corpus.filter(col(corpusVec).isNotNull).filter(normSq > 0.0)
+      .select(expr(
+        s"transform($corpusVec, x -> CAST(x AS DOUBLE) / " +
+          s"sqrt(aggregate($corpusVec, CAST(0.0 AS DOUBLE), (acc, y) -> acc + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))")
+        .as("nv"))
+      .persist()
+    try {
+      val dim = nv.select(size(col("nv"))).head().getInt(0)
+      val sub = dim / m
+      Array.tabulate(m) { j =>
+        val features = nv.select(
+          array_to_vector(slice(col("nv"), j * sub + 1, sub)).as("features"))
+        val model = new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter)
+          .setFeaturesCol("features").fit(features)
+        model.clusterCenters.map(_.toArray)
+      }
+    } finally nv.unpersist()
+  }
+
   // PQ encode / ADC-table / ADC-sum kernels live in
   // graft.functions.{PqEncode, PqAdcTables, PqAdc}: the equivalent
   // Column-tree forms (m x ksub aggregate/zip_with terms, each duplicating

@@ -57,6 +57,37 @@ class PqSpec extends AnyFunSuite {
     assert(allCells === plain, "probing every cell must reduce IVF-PQ to plain PQ")
   }
 
+  test("trained PQ codebooks: seed-pinned reproducible; recall does not lose to prefix") {
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
+    val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = pairs(SimilaritySearch.bruteForceKnn(corpus, queries, 5))
+    val trained = SimilaritySearch.pqCodebooksTrained(corpus, m = 8, ksub = 16)
+    // shape contract: m subspaces x ksub codewords x dim/m each
+    assert(trained.length === 8)
+    assert(trained.forall(_.length === 16))
+    assert(trained.forall(_.forall(_.length === 8)))
+    // seed pin: rebuilding the index reproduces identical codebooks
+    // bit-for-bit — what makes a k-means rebuild operationally safe
+    val trained2 = SimilaritySearch.pqCodebooksTrained(corpus, m = 8, ksub = 16)
+    assert(trained.map(_.map(_.toSeq).toSeq).toSeq ===
+      trained2.map(_.map(_.toSeq).toSeq).toSeq,
+      "seed-pinned per-subspace k-means must reproduce identical codebooks")
+    val prefixRecall = {
+      val p = pairs(SimilaritySearch.pqKnn(corpus, queries, 5))
+      (exact & p).size.toDouble / exact.size
+    }
+    val trainedRecall = {
+      val p = pairs(SimilaritySearch.pqKnn(corpus, queries, 5, books = Some(trained)))
+      (exact & p).size.toDouble / exact.size
+    }
+    info(f"PQ recall@5 trained k-means vs prefix codebooks: $trainedRecall%.3f vs $prefixRecall%.3f")
+    assert(trainedRecall >= prefixRecall,
+      f"trained codebooks ($trainedRecall%.3f) must not lose recall vs prefix ($prefixRecall%.3f)")
+    // the absolute floor the prefix variant is graded on applies here too
+    assert(trainedRecall >= 0.70, f"trained PQ recall@5 $trainedRecall%.3f below floor")
+  }
+
   test("PQ encode: null and zero-norm vectors produce no candidates") {
     val corpus = Seq(
       (1L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
