@@ -293,6 +293,25 @@ case class ZOrderKey(first: Expression, second: Expression, third: Expression)
     copy(f, s, t)
 }
 
+/** Variadic (N-dimensional) Z-order key: Morton interleave of the low
+  * `bits` bits of an array of non-negative dimension values — dim j's bit
+  * i lands at position i*d + j, the d=2 case coinciding bit-for-bit with
+  * [[ZOrderKey]]. This is the multi-column Z-order Delta's `OPTIMIZE
+  * ZORDER BY (a, b, c)` and Iceberg's z-ordered sort compute; d * bits
+  * must stay <= 63. Pure integer arithmetic, oracle-replayable. */
+case class ZOrderKeyN(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), IntegerType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(vals: Any, bits: Any): Any =
+    VectorMath.zorderN(vals.asInstanceOf[ArrayData], bits.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (vals, bits) =>
+      s"graft.functions.VectorMath.zorderN($vals, $bits)")
+  override def prettyName: String = "zorder_key_n"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Top-`n` nearest centroids of a vector (cosine argmax order, centroid-id
   * ASC tiebreak) fused into one kernel pass — the IVF cell-assignment /
   * probe-selection kernel. The equivalent Column-tree form
@@ -491,6 +510,33 @@ object VectorMath {
     }
     z
   }
+
+  /** N-dimensional Morton interleave of the low `bits` bits of `d` non-
+    * negative longs: dim j's bit i lands at position i*d + j, so low bit
+    * positions cycle through the dimensions — for d=2 this is EXACTLY
+    * [[zorder2]] (dim 0 on even positions, dim 1 on odd; pinned by
+    * KernelPropsSpec). Requires d * bits <= 63 to keep the key a positive
+    * BIGINT (the Delta/Iceberg multi-column Z-order constraint). */
+  def zorderN(vals: Array[Long], bits: Int): Long = {
+    val d = vals.length
+    val mask = (1L << bits) - 1
+    var z = 0L
+    var j = 0
+    while (j < d) {
+      val x = vals(j) & mask
+      var i = 0
+      while (i < bits) {
+        z |= ((x >>> i) & 1L) << (i * d + j)
+        i += 1
+      }
+      j += 1
+    }
+    z
+  }
+
+  /** [[zorderN]] over Catalyst array data (the expression entry point). */
+  def zorderN(vals: ArrayData, bits: Int): Long =
+    zorderN(vals.toLongArray(), bits)
 
   /** L2-normalized double copy; null when the norm is 0 — bit-identical to
     * the HOF form sqrt(aggregate(x, 0, acc + x*x)) then x/norm (sequential

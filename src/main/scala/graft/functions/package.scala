@@ -59,6 +59,9 @@ package object functions {
   def pq_adc(tables: Column, codes: Column): Column = c(PqAdc(e(tables), e(codes)))
   def zorder_key(a: Column, b: Column, bits: Column): Column =
     c(ZOrderKey(e(a), e(b), e(bits)))
+  /** Variadic Morton key over an array<bigint> of dimension values. */
+  def zorder_key_n(dims: Column, bits: Column): Column =
+    c(ZOrderKeyN(e(dims), e(bits)))
 
   // ---- aggregates ----
   /** Bounded-heap top-k aggregate: k best (ord, id) pairs per group,
@@ -97,6 +100,7 @@ package object functions {
     reg2("cosine_sim", a => CosineSim(a(0), a(1)))
     reg2("hyperplane_bucket", a => HyperplaneBucket(a(0), a(1), a(2)))
     reg2("zorder_key", a => ZOrderKey(a(0), a(1), a(2)))
+    reg2("zorder_key_n", a => ZOrderKeyN(a(0), a(1)))
     reg2("topk_by", a => TopKByOrd(a(0), a(1), a(2)).toAggregateExpression())
     reg2("heavy_hitters", a => HeavyHittersAgg(a(0), a(1)).toAggregateExpression())
   }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.zorder_key
+import graft.functions.{zorder_key, zorder_key_n}
 
 /**
  * Z-order (Morton) clustered layout — multi-dimensional data skipping for
@@ -52,34 +52,64 @@ object ZOrderLayout {
       bucketize(col(dimB).cast("double"), cutsB, n), lit(bits))
   }
 
-  /** Write `df` z-ordered on (dimA, dimB): one range exchange on the z-key
-    * into `numFiles` partitions + a within-partition sort, so every output
-    * file covers a compact z-range (= a small box in (A, B) space) and its
-    * parquet min-max stats prune 2-d predicates. */
-  def writeZOrdered(df: DataFrame, path: String, dimA: String, dimB: String,
-                    numFiles: Int, bits: Int = 8): Unit = {
-    val keyed = df.withColumn("__z", zKey(df, dimA, dimB, bits))
+  /** The variadic z-key: Morton interleave over 2-4 quantile-normalized
+    * dimensions ([[graft.functions.ZOrderKeyN]] — the multi-column form
+    * Delta's `OPTIMIZE ZORDER BY (a, b, c)` computes). Same
+    * driver-collected cut-point normalization as [[zKey]], one approx-
+    * quantile pass per dimension; `dims.length * bits` must stay <= 63,
+    * and each added dimension halves the per-dimension resolution a fixed
+    * file budget can hold — the standard 2-4 column guidance. */
+  def zKeyN(df: DataFrame, dims: Seq[String], bits: Int = 8,
+            relativeError: Double = 0.001): Column = {
+    require(dims.length >= 2 && dims.length * bits <= 63,
+      s"z-order needs >= 2 dims and dims*bits <= 63, got ${dims.length} x $bits")
+    val n = 1 << bits
+    val probs = (1 to n).map(_.toDouble / n).toArray
+    val bucketized = dims.map { d =>
+      bucketize(col(d).cast("double"), df.stat.approxQuantile(d, probs, relativeError), n)
+    }
+    zorder_key_n(array(bucketized: _*), lit(bits))
+  }
+
+  /** Write `df` z-ordered on `dims`: one range exchange on the z-key into
+    * `numFiles` partitions + a within-partition sort, so every output file
+    * covers a compact z-range (= a small box in dim space) and its parquet
+    * min-max stats prune multi-dimensional predicates. */
+  def writeZOrdered(df: DataFrame, path: String, dims: Seq[String],
+                    numFiles: Int, bits: Int): Unit = {
+    val keyed = df.withColumn("__z",
+      if (dims.length == 2) zKey(df, dims.head, dims(1), bits)
+      else zKeyN(df, dims, bits))
     keyed.repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
 
+  /** 2-d convenience overload (the original surface). */
+  def writeZOrdered(df: DataFrame, path: String, dimA: String, dimB: String,
+                    numFiles: Int, bits: Int = 8): Unit =
+    writeZOrdered(df, path, Seq(dimA, dimB), numFiles, bits)
+
   /** File-level pruning evidence: per input file, the min/max of `dimA` and
     * `dimB`, and whether the file would be admitted by the box predicate
     * [aLo, aHi] x [bLo, bHi] on stats alone — the same test a parquet
     * reader's row-group filter runs. Used by ZOrderSpec to compare layouts. */
   def admittedFiles(df: DataFrame, dimA: String, dimB: String,
-                    aLo: Double, aHi: Double, bLo: Double, bHi: Double): (Long, Long) = {
-    val stats = df
-      .groupBy(input_file_name().as("__f"))
-      .agg(min(col(dimA).cast("double")).as("a_min"),
-        max(col(dimA).cast("double")).as("a_max"),
-        min(col(dimB).cast("double")).as("b_min"),
-        max(col(dimB).cast("double")).as("b_max"))
-    val admitted = stats.filter(
-      col("a_min") <= aHi && col("a_max") >= aLo &&
-      col("b_min") <= bHi && col("b_max") >= bLo).count()
-    (admitted, stats.count())
+                    aLo: Double, aHi: Double, bLo: Double, bHi: Double): (Long, Long) =
+    admittedFilesN(df, Seq((dimA, aLo, aHi), (dimB, bLo, bHi)))
+
+  /** N-dimensional box variant of [[admittedFiles]]: each `(dim, lo, hi)`
+    * must overlap the file's min-max for the file to be admitted. */
+  def admittedFilesN(df: DataFrame, box: Seq[(String, Double, Double)]): (Long, Long) = {
+    val aggs = box.zipWithIndex.flatMap { case ((d, _, _), i) =>
+      Seq(min(col(d).cast("double")).as(s"mn_$i"), max(col(d).cast("double")).as(s"mx_$i"))
+    }
+    val stats = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+    val pred = box.zipWithIndex.map { case ((_, lo, hi), i) =>
+      col(s"mn_$i") <= hi && col(s"mx_$i") >= lo
+    }.reduce(_ && _)
+    (stats.filter(pred).count(), stats.count())
   }
 }

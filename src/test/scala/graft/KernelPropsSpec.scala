@@ -53,6 +53,44 @@ class KernelPropsSpec extends AnyFunSuite {
     })
   }
 
+  test("zorderN at d=2 is bit-for-bit zorder2 (the pinned 2-d oracle form)") {
+    check(Prop.forAllNoShrink(longGen, longGen, bitsGen) { (a, b, bits) =>
+      VectorMath.zorderN(Array(a, b), bits) == VectorMath.zorder2(a, b, bits)
+    })
+  }
+
+  test("zorderN is a bijection on masked inputs for 2-4 dims") {
+    def deinterleaveN(z: Long, d: Int, bits: Int): Seq[Long] =
+      (0 until d).map { j =>
+        var x = 0L
+        var i = 0
+        while (i < bits) { x |= ((z >>> (i * d + j)) & 1L) << i; i += 1 }
+        x
+      }
+    val dGen = Gen.chooseNum(2, 4)
+    check(Prop.forAllNoShrink(dGen, Gen.listOfN(4, longGen)) { (d, vs0) =>
+      val bits = 63 / d
+      val mask = (1L << bits) - 1
+      val vs = vs0.take(d).toArray
+      val z = VectorMath.zorderN(vs, bits)
+      z >= 0 && deinterleaveN(z, d, bits) == vs.map(_ & mask).toSeq
+    })
+  }
+
+  test("zorderN prefix property: dropping d*k low bits interleaves the shifted dims") {
+    // the data-skipping law in any dimension count: a z-range prefix IS a
+    // d-dimensional box (each dim coarsened by k bits)
+    check(Prop.forAllNoShrink(Gen.chooseNum(2, 4), Gen.listOfN(4, longGen),
+      Gen.chooseNum(1, 14)) { (d, vs0, k0) =>
+      val bits = 63 / d
+      val k = math.min(k0, bits - 1)
+      val mask = (1L << bits) - 1
+      val vs = vs0.take(d).toArray
+      (VectorMath.zorderN(vs, bits) >>> (d * k)) ==
+        VectorMath.zorderN(vs.map(v => (v & mask) >>> k), bits - k)
+    })
+  }
+
   private val dim = 16
   private val m = 4
   private val ksub = 4

@@ -18,4 +18,5 @@ object SparkTestBase {
   }
   val Sf0001 = "/root/testdata/sf0.001"
   val Sf001 = "/root/testdata/sf0.01"
+  val Sf01 = "/root/testdata/sf0.1"
 }

@@ -61,6 +61,69 @@ class ZOrderSpec extends AnyFunSuite {
       s"z-order must skip at least half the files on a secondary-dim slice ($zB/$zTot)")
   }
 
+  test("3-d z-order: a 3-d box prunes files a linear sort cannot") {
+    // 16^3 uniform grid; the box constrains the SECOND and THIRD
+    // dimensions, where a linear (a, b, c) sort has no stats to offer
+    val n = 16
+    val grid = (0 until n * n * n).map { i =>
+      (i.toLong, (i / (n * n)).toDouble, ((i / n) % n).toDouble, (i % n).toDouble)
+    }.toDF("id", "a", "b", "c")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder3").toString
+    val numFiles = 16
+    ZOrderLayout.writeZOrdered(grid, s"$dir/z", Seq("a", "b", "c"), numFiles, bits = 4)
+    grid.repartitionByRange(numFiles, col("a"), col("b"), col("c"))
+      .sortWithinPartitions("a", "b", "c")
+      .write.mode("overwrite").parquet(s"$dir/linear")
+    val zDf = spark.read.parquet(s"$dir/z")
+    val lDf = spark.read.parquet(s"$dir/linear")
+    val box = Seq(("a", 0.0, 15.0), ("b", 4.0, 7.0), ("c", 4.0, 7.0))
+    val (zAdm, zTot) = ZOrderLayout.admittedFilesN(zDf, box)
+    val (lAdm, lTot) = ZOrderLayout.admittedFilesN(lDf, box)
+    info(s"3-d secondary box admits $zAdm/$zTot z-ordered files vs $lAdm/$lTot linear")
+    assert(lAdm === lTot, "linear layout cannot prune b/c-only predicates")
+    assert(zAdm < lAdm, s"3-d z-order must prune ($zAdm vs $lAdm)")
+    assert(zAdm.toDouble / zTot <= 0.5)
+    // round-trip: the layout is a reordering, never a row change
+    assert(zDf.count() === grid.count())
+  }
+
+  test("sf0.1 events layout: z-order admits strictly fewer files than linear sort") {
+    // the end-to-end pin behind the src_zorder_scan driver query: same
+    // (ux, dy) dimensions, real data, file-level min-max evidence
+    val dims = graft.SparkEntry.zorderScanDims(spark, SparkTestBase.Sf01)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_sf01").toString
+    val numFiles = 16
+    ZOrderLayout.writeZOrdered(dims, s"$dir/z", "ux", "dy", numFiles, bits = 8)
+    dims.repartitionByRange(numFiles, col("ux"), col("dy"))
+      .sortWithinPartitions("ux", "dy")
+      .write.mode("overwrite").parquet(s"$dir/linear")
+    val zDf = spark.read.parquet(s"$dir/z")
+    val lDf = spark.read.parquet(s"$dir/linear")
+    // the src_zorder_scan box (ux 4-11, dy 18-25): both dims constrained —
+    // z-order must not read more than half the files (a linear sort CAN
+    // beat z here when the box is primary-dim-selective; the z win is that
+    // it prunes whatever dimension the predicate lands on)
+    val (zAdm, zTot) = ZOrderLayout.admittedFiles(zDf, "ux", "dy", 4, 11, 18, 25)
+    val (lAdm, lTot) = ZOrderLayout.admittedFiles(lDf, "ux", "dy", 4, 11, 18, 25)
+    info(s"sf0.1 events 2-d box admits $zAdm/$zTot z files vs $lAdm/$lTot linear")
+    assert(zAdm.toDouble / zTot <= 0.5, s"$zAdm/$zTot")
+    // THE strict pin: a predicate on the secondary dimension only — the
+    // linear sort leads on ux, so every file spans the full dy range and
+    // admits; z-order bounds dy per file and must admit strictly fewer
+    val (zB, _) = ZOrderLayout.admittedFiles(zDf, "ux", "dy", 0, 255, 18, 25)
+    val (lB, _) = ZOrderLayout.admittedFiles(lDf, "ux", "dy", 0, 255, 18, 25)
+    info(s"sf0.1 events dy-slice admits $zB/$zTot z files vs $lB/$lTot linear")
+    assert(lB === lTot, "linear layout cannot prune a secondary-dim predicate")
+    assert(zB < lB, s"z-order must admit strictly fewer files ($zB vs $lB)")
+    // a NARROW secondary slice (2 of ~30 days): pruning granularity at 16
+    // files is 2 quantile bits per dim, so the wide 8-day slice above can
+    // only shed ~half the quadrants (measured 9/16) while a slice inside
+    // one dy-quadrant must drop to ~1/4 of the files
+    val (zN, _) = ZOrderLayout.admittedFiles(zDf, "ux", "dy", 0, 255, 18, 19)
+    info(s"sf0.1 events narrow dy-slice admits $zN/$zTot z files")
+    assert(zN.toDouble / zTot <= 0.5, s"$zN/$zTot")
+  }
+
   test("quantile normalization keeps the key skew-robust") {
     // heavily skewed A (zipf-ish): equal-width bucketing would starve most
     // buckets; quantile cuts keep every z-cell populated, so the range
