@@ -43,6 +43,26 @@ object Bpe {
   private val E = "\u0002" // symbol end marker
   private val W = "\u0003" // word separator (apply path)
 
+  /** Code-point lexicographic comparison — the order UTF8String (Spark)
+    * and DuckDB's binary collation sort strings in. java.lang.String
+    * compareTo compares UTF-16 CODE UNITS, which inverts supplementary-
+    * plane characters (U+10000+, high surrogate 0xD800-0xDBFF) against
+    * U+E000-U+FFFF — so a count-tie argmax using tuple Ordering could pick
+    * a different merge than the distributed orderBy / the SQL oracle.
+    * Code-point order == UTF-8 byte order, so this matches both. */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** whitespace words of lower(trim(text)), empties dropped. */
   private def wordsOf(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
@@ -94,7 +114,18 @@ object Bpe {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        val ((l, r), _) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        // argmax by (count DESC, left ASC, right ASC) in CODE-POINT order —
+        // a total order (pair keys are unique), so the HashMap's iteration
+        // order cannot leak into the result
+        val ((l, r), _) = counts.reduceLeft { (x, y) =>
+          val ((lx, rx), cx) = x
+          val ((ly, ry), cy) = y
+          val yBetter = cy > cx || (cy == cx && {
+            val cl = cpCompare(ly, lx)
+            cl < 0 || (cl == 0 && cpCompare(ry, rx) < 0)
+          })
+          if (yBetter) y else x
+        }
         merges += ((rank, l, r))
         dict = dict.map { case (w, cnt) =>
           (w.replace(s"$S$l$E$S$r$E", s"$S$l$r$E"), cnt)

@@ -31,6 +31,21 @@ class BpeSpec extends AnyFunSuite {
     assert(merges === Seq((1, "a", "b"), (2, "c", "d")))
   }
 
+  test("tie-break compares CODE POINTS, not UTF-16 code units") {
+    // U+E000 (a BMP private-use char, one UTF-16 unit 0xE000) vs U+10000
+    // (supplementary, surrogate pair starting 0xD800): String.compareTo
+    // orders the SURROGATE first (0xD800 < 0xE000) but code-point /
+    // UTF-8-byte order — what UTF8String and the SQL oracle sort by —
+    // orders U+E000 (57344) < U+10000 (65536). Both pairs tie at count 1
+    // with equal left symbol, so the right-symbol comparison decides.
+    val supp = new String(Character.toChars(0x10000))
+    val pua = "\uE000"
+    val docs = Seq((1L, s"a$pua a$supp")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, numMerges = 1)
+    assert(merges === Seq((1, "a", pua)),
+      "count tie must resolve in code-point order (U+E000 before U+10000)")
+  }
+
   test("overlapping pair merges left-to-right non-overlapping") {
     // "aaa": pair (a,a) counts once per adjacent position but merges only
     // the leftmost disjoint occurrences -> ["aa", "a"]; next round the
