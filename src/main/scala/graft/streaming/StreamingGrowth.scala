@@ -92,12 +92,16 @@ object StreamingGrowth {
     * GroupState with an event-time timeout (see class doc). */
   def cellStream(spark: SparkSession, sourceDir: String,
                  watermark: String = "2 hours",
-                 retentionMs: Long = 90L * 24 * 3600 * 1000): Dataset[StatusCell] = {
+                 retentionMs: Long = 90L * 24 * 3600 * 1000,
+                 maxFilesPerTrigger: Option[Int] = None): Dataset[StatusCell] = {
     implicit val cellEnc = Encoders.product[StatusCell]
     implicit val stateEnc = Encoders.product[GrowthState]
     implicit val longEnc = Encoders.scalaLong
     val schema = spark.read.parquet(sourceDir).schema
-    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    val reader0 = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n))
+    val src = reader.parquet(sourceDir)
       .withWatermark("ts", watermark)
     val evs = src.select(col("event_id"), col("user_id"),
         weekCol("ts").as("week"), col("ts"))
@@ -128,8 +132,9 @@ object StreamingGrowth {
   def cellsStreaming(spark: SparkSession, sourceDir: String,
                      watermark: String = "2 hours",
                      retentionMs: Long = 90L * 24 * 3600 * 1000,
-                     queryName: String = "growth_cells"): DataFrame = {
-    val q = cellStream(spark, sourceDir, watermark, retentionMs)
+                     queryName: String = "growth_cells",
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val q = cellStream(spark, sourceDir, watermark, retentionMs, maxFilesPerTrigger)
       .toDF().writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)

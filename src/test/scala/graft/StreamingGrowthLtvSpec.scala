@@ -60,6 +60,51 @@ class StreamingGrowthLtvSpec extends AnyFunSuite {
       s"batch-only: ${(batch -- stream).take(3)}; stream-only: ${(stream -- batch).take(3)}")
   }
 
+  test("growth ORDER CONTRACT boundary: a cross-batch straggler mislabels retained as resurrected") {
+    // The documented divergence (StreamingGrowth class doc): the fold sorts
+    // WITHIN each micro-batch, so an event older than the recorded last
+    // week arriving in a LATER batch is folded after its successor. User 1
+    // is active in weeks w and w+1; the w+1 event is delivered in batch 1
+    // and the w event straggles into batch 2 (file mtimes order the
+    // batches; watermark 30 days so the straggler is NOT dropped as late —
+    // this pins the order contract itself, not watermark filtering).
+    val base = java.nio.file.Files.createTempDirectory("graft_growth_ooo")
+    def writeOne(sub: String, eventId: Long, t: String, mtime: Long): Unit = {
+      val tmp = base.resolve(s"tmp_$sub").toString
+      Seq((eventId, 1L, ts(t), "view"))
+        .toDF("event_id", "user_id", "ts", "event_type")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(base.resolve("src").toFile, s"$sub.parquet")
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 120000
+    writeOne("late_week_first", 2L, "2024-01-08 00:00:00", t0)          // week w+1
+    writeOne("straggler_second", 1L, "2024-01-01 00:00:00", t0 + 60000) // week w
+    val stream = StreamingGrowth.cellsStreaming(spark, base.resolve("src").toString,
+        watermark = "30 days", queryName = s"growth_ooo_${System.nanoTime()}",
+        maxFilesPerTrigger = Some(1))
+      .as[StatusCell].collect().map(c => (c.week, c.status)).sortBy(_._1).toSeq
+    val batch = StreamingGrowth.cellsBatch(
+        Seq((1L, 1L, ts("2024-01-01 00:00:00"), "view"),
+            (2L, 1L, ts("2024-01-08 00:00:00"), "view"))
+          .toDF("event_id", "user_id", "ts", "event_type"))
+      .collect().map(c => (c.week, c.status)).sortBy(_._1).toSeq
+    val w = batch.head._1
+    // in-order replay: the truth
+    assert(batch === Seq((w, "new"), (w + 1, "retained")))
+    // out-of-event-time-order delivery: week w+1 greets the empty state as
+    // "new"; the week-w straggler then reads last=w+1 and (not being
+    // last+1) is labeled "resurrected" — exactly the documented mislabel.
+    // THIS is why the serving recipe requires event-time-ordered delivery
+    // (AvailableNow over one source pass, or date-partitioned replay).
+    assert(stream === Seq((w, "resurrected"), (w + 1, "new")),
+      s"order-contract boundary shifted: got $stream")
+  }
+
   test("ltv: cell emission on a hand-computed history, revenue riders") {
     // purchase on the cohort-opening event -> one cell with both facets;
     // second purchase same offset -> revenue-only cell; non-revenue event
