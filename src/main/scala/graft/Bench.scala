@@ -185,8 +185,16 @@ object Bench {
   private def breaches(b: Baseline, name: String,
                        cpu: Double, wall: Double): Boolean =
     if (b.wallContract.contains(name))
+      // wall is the contract — but the HardCpuRatio escape hatch stays
+      // live (ADVICE r11): a CPU-only excursion beyond any observed
+      // SMT-attribution spread is a real signal even with flat wall, and
+      // without this clause a genuine CPU regression in a wall-contract
+      // query could never flag round-locally (only informational drift)
       b.wall.get(name).exists { wb =>
         wall > wb * b.threshold && wall - wb > noiseFloorSec(wb)
+      } || b.cpu.get(name).exists { base =>
+        cpu > base * math.max(HardCpuRatio, b.threshold * 2.0) &&
+          cpu - base > HardCpuAbsSec
       }
     else b.cpu.get(name).exists { base =>
       val cpuBreach = cpu > base * b.threshold && cpu - base > noiseFloorSec(base)

@@ -89,6 +89,32 @@ def _stub_for(module, name):
     return _stubs[key]
 
 
+# The ONLY non-sklearn/joblib globals the unpickler will resolve. The
+# pickle is UNTRUSTED reference content: a REDUCE opcode can call any
+# resolvable global, so everything outside this list (os.system,
+# subprocess, builtins.eval, ...) must raise instead of falling through to
+# the default resolver. The sklearn 1.7 + joblib numpy_pickle layout only
+# needs numpy's array/dtype reconstruction and passive containers.
+_ALLOWED_GLOBALS = {
+    ("numpy", "dtype"),
+    ("numpy", "ndarray"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "scalar"),
+    ("builtins", "bytearray"),
+    ("builtins", "complex"),
+    ("builtins", "dict"),
+    ("builtins", "frozenset"),
+    ("builtins", "list"),
+    ("builtins", "range"),
+    ("builtins", "set"),
+    ("builtins", "slice"),
+    ("builtins", "tuple"),
+    ("collections", "OrderedDict"),
+}
+
+
 class ModelUnpickler(pickle._Unpickler):
     # pickle._Unpickler dispatches opcodes through a class-level table, so
     # the BUILD hook must be rebound there (joblib does the same).
@@ -99,7 +125,10 @@ class ModelUnpickler(pickle._Unpickler):
             return NumpyArrayWrapper
         if module.startswith(("sklearn", "joblib")):
             return _stub_for(module, name)
-        return super().find_class(module, name)
+        if (module, name) in _ALLOWED_GLOBALS:
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"refusing to resolve {module}.{name} from the untrusted model pickle")
 
     def load_build(self):
         pickle._Unpickler.load_build(self)
