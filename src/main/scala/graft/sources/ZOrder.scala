@@ -41,13 +41,16 @@ object ZOrderLayout {
 
   /** The z-key column for `df` over two numeric dimensions, quantile-
     * normalized to `bits` bits each via approxQuantile cut points
-    * (driver-sized: 2^bits doubles per dimension, one pass each). */
+    * (driver-sized: 2^bits doubles per dimension). BOTH dimensions'
+    * quantile sketches build in ONE corpus pass (the multi-column
+    * approxQuantile overload) — at 100 TB the cut-point build is a single
+    * scan however many dimensions the key interleaves. */
   def zKey(df: DataFrame, dimA: String, dimB: String, bits: Int = 8,
            relativeError: Double = 0.001): Column = {
     val n = 1 << bits
     val probs = (1 to n).map(_.toDouble / n).toArray
-    val cutsA = df.stat.approxQuantile(dimA, probs, relativeError)
-    val cutsB = df.stat.approxQuantile(dimB, probs, relativeError)
+    val Array(cutsA, cutsB) =
+      df.stat.approxQuantile(Array(dimA, dimB), probs, relativeError)
     zorder_key(bucketize(col(dimA).cast("double"), cutsA, n),
       bucketize(col(dimB).cast("double"), cutsB, n), lit(bits))
   }
@@ -65,8 +68,10 @@ object ZOrderLayout {
       s"z-order needs >= 2 dims and dims*bits <= 63, got ${dims.length} x $bits")
     val n = 1 << bits
     val probs = (1 to n).map(_.toDouble / n).toArray
-    val bucketized = dims.map { d =>
-      bucketize(col(d).cast("double"), df.stat.approxQuantile(d, probs, relativeError), n)
+    // all dimensions' sketches in ONE corpus pass (see [[zKey]])
+    val cuts = df.stat.approxQuantile(dims.toArray, probs, relativeError)
+    val bucketized = dims.zip(cuts).map { case (d, c) =>
+      bucketize(col(d).cast("double"), c, n)
     }
     zorder_key_n(array(bucketized: _*), lit(bits))
   }
