@@ -321,18 +321,35 @@ object SimilaritySearch {
    */
   /** ADC-prune (top `rerank` per query) + exact-cosine re-rank + top-k —
     * the tail shared by [[pqKnn]] and [[ivfPqKnn]]. Input: candidate rows
-    * carrying __codes and __tables. */
-  private def adcRerank(candidates0: DataFrame, rerank: Int, k: Int,
+    * carrying __codes and __tables; `corpus`/`queries` supply the RAW
+    * vectors for the exact re-rank.
+    *
+    * COLD-VECTOR SHAPE (r12): the ADC stage is projected down to
+    * (queryId, corpusId, __adc) BEFORE the rank window, so the ADC
+    * exchange carries ~24-byte rows — not the raw vectors (the previous
+    * form shipped the embedding column through the shuffle with every
+    * candidate, and its cosine reference blocked the scan from ever
+    * pruning a persisted codes table down to the codes column). The
+    * rerank-bounded survivor set (|queries| x rerank rows — broadcast-
+    * sized by construction) then joins the vectors back: this is what
+    * makes "the codes are what gets persisted, the raw vectors stay cold
+    * until re-rank" true in the executed plan, not just the docs. */
+  private def adcRerank(candidates0: DataFrame, corpus: DataFrame,
+                        queries: DataFrame, rerank: Int, k: Int,
                         queryId: String, corpusId: String,
                         corpusVec: String, queryVec: String): DataFrame = {
     val wAdc = Window.partitionBy(col(queryId))
       .orderBy(col("__adc").desc, col(corpusId).asc)
-    val candidates = candidates0
+    val pruned = candidates0
       .withColumn("__adc", pq_adc(col("__tables"), col("__codes")))
       .filter(col("__adc").isNotNull)
+      .select(col(queryId), col(corpusId), col("__adc"))
       .withColumn("__arn", row_number().over(wAdc))
       .filter(col("__arn") <= rerank)
-    val scored = candidates
+      .select(col(queryId), col(corpusId))
+    val scored = corpus.select(col(corpusId), col(corpusVec))
+      .join(broadcast(pruned), corpusId)
+      .join(broadcast(queries.select(col(queryId), col(queryVec))), queryId)
       .withColumn("cosine", cosine_sim(col(corpusVec), col(queryVec)))
       .select(col(queryId), col(corpusId), col("cosine"))
     topKPerQuery(scored, k, queryId, corpusId)
@@ -356,9 +373,11 @@ object SimilaritySearch {
                    queries: DataFrame, k: Int, rerank: Int = 32,
                    corpusId: String = "vec_id", corpusVec: String = "embedding",
                    queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
-    val q = queries.withColumn("__tables", pq_adc_tables(col(queryVec), books))
-    adcRerank(codedCorpus.crossJoin(broadcast(q)), rerank, k,
-      queryId, corpusId, corpusVec, queryVec)
+    val q = queries.select(col(queryId),
+      pq_adc_tables(col(queryVec), books).as("__tables"))
+    adcRerank(
+      codedCorpus.select(col(corpusId), col("__codes")).crossJoin(broadcast(q)),
+      codedCorpus, queries, rerank, k, queryId, corpusId, corpusVec, queryVec)
   }
 
   def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -395,12 +414,15 @@ object SimilaritySearch {
       .withColumn("__codes", pq_encode(col(corpusVec), books))
     val q = queries
       .withColumn("cell", probeExpr(col(queryVec), cents, nprobe))
-      .withColumn("__tables", pq_adc_tables(col(queryVec), books))
+      .select(col(queryId), col("cell"),
+        pq_adc_tables(col(queryVec), books).as("__tables"))
     // a corpus row lives in ONE cell and a query probes DISTINCT cells, so
     // the equi-join yields each (query, corpus) pair at most once — no
     // dedup needed before the ADC window
-    adcRerank(c.join(broadcast(q), Seq("cell")), rerank, k,
-      queryId, corpusId, corpusVec, queryVec)
+    adcRerank(
+      c.select(col(corpusId), col("cell"), col("__codes"))
+        .join(broadcast(q), Seq("cell")),
+      corpus, queries, rerank, k, queryId, corpusId, corpusVec, queryVec)
   }
 
   /**

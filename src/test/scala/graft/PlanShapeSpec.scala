@@ -152,6 +152,29 @@ class PlanShapeSpec extends AnyFunSuite {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
     assert(exchangesBelow.isEmpty, s"corpus shuffled before the ADC join:\n${joins.head.left}")
+    // COLD-VECTOR contract (r12): no hash shuffle in the whole query may
+    // carry an array<float> column — the ADC prune exchange moves
+    // (query_id, vec_id, __adc) rows and the final top-k moves heap
+    // buffers; raw vectors reach the plan only through the rerank-bounded
+    // broadcast joins (parsed from the formatted explain, which always
+    // shows each Exchange's input schema)
+    assertNoVectorShuffle(df)
+  }
+
+  /** Every `(n) Exchange` block of the formatted explain must have an
+    * Input line free of array<float> — vectors ride broadcasts, never
+    * hash shuffles. */
+  private def assertNoVectorShuffle(df: DataFrame): Unit = {
+    val fm = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val offending = fm.split("\n\n").filter { block =>
+      val first = block.linesIterator.toSeq.headOption.getOrElse("")
+      first.matches("""\(\d+\) Exchange.*""") &&
+        block.linesIterator.exists(l =>
+          l.trim.startsWith("Input") && l.contains("array<float>"))
+    }
+    assert(offending.isEmpty,
+      s"a hash shuffle carries vector columns:\n${offending.mkString("\n")}")
   }
 
   test("IVF-PQ: cell equi-join prunes, codes assigned scan-local, ADC shuffle bounded") {
@@ -172,6 +195,8 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(exchangesBelow.isEmpty,
       s"corpus shuffled before the IVF-PQ cell join:\n${joins.head.left}")
+    // same cold-vector contract as plain PQ
+    assertNoVectorShuffle(df)
   }
 
   test("boilerplate n-grams: distinct-count aggregates partially before the exchange") {
