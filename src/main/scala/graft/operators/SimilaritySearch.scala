@@ -149,8 +149,15 @@ object SimilaritySearch {
     val q = if (!multiProbe) q0 else
       q0.withColumn("bucket", explode(array(
         col("bucket") +: (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1 << p))): _*)))
+    // score INSIDE the bucket-join stage, then project to narrow rows
+    // BEFORE the pair-dedup exchange: duplicate (query, corpus) hits from
+    // different tables/probes carry identical cosines, so deduping the
+    // (queryId, corpusId, cosine) projection is equivalent — and the
+    // dedup shuffle moves 24-byte rows instead of two raw vectors per
+    // candidate (the same cold-vector contract as the PQ family)
     val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .withColumn("cosine", cosine_sim(col(corpusVec), col(queryVec)))
+      .select(col(queryId), col(corpusId), col("cosine"))
       .dropDuplicates(queryId, corpusId)
     topKPerQuery(scored, k, queryId, corpusId)
   }

@@ -161,6 +161,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assertNoVectorShuffle(df)
   }
 
+  test("ANN family: no hash shuffle carries raw vectors (cold-vector contract)") {
+    // brute/ivf/classify reduce map-side into bounded heaps (the exchange
+    // moves agg buffers); lsh projects (query, corpus, cosine) before its
+    // pair-dedup exchange; pq/ivfpq are pinned in their own tests
+    Seq("ss_knn_brute", "ss_knn_lsh", "ss_knn_ivf", "ss_knn_classify")
+      .foreach { q => assertNoVectorShuffle(SparkEntry.queries(q)(spark, sf)) }
+  }
+
   /** Every `(n) Exchange` block of the formatted explain must have an
     * Input line free of array<float> — vectors ride broadcasts, never
     * hash shuffles. */
