@@ -413,9 +413,11 @@ object SimilaritySearch {
                nCentroids: Int = 16, nprobe: Int = 4,
                m: Int = 8, ksub: Int = 16, rerank: Int = 32,
                corpusId: String = "vec_id", corpusVec: String = "embedding",
-               queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
-    val cents = ivfCentroids(corpus, nCentroids, corpusId, corpusVec)
-    val books = pqCodebooks(corpus, m, ksub, corpusId, corpusVec)
+               queryId: String = "query_id", queryVec: String = "query_vec",
+               centroids: Option[Array[(Long, Array[Float])]] = None,
+               books0: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(corpus, nCentroids, corpusId, corpusVec))
+    val books = books0.getOrElse(pqCodebooks(corpus, m, ksub, corpusId, corpusVec))
     val c = corpus
       .withColumn("cell", cellExpr(col(corpusVec), cents))
       .withColumn("__codes", pq_encode(col(corpusVec), books))

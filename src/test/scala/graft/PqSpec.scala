@@ -88,6 +88,42 @@ class PqSpec extends AnyFunSuite {
     assert(trainedRecall >= 0.70, f"trained PQ recall@5 $trainedRecall%.3f below floor")
   }
 
+  test("persisted codes table: parquet roundtrip searches identically; ADC scan prunes to codes-only") {
+    // THE 100 TB claim made checkable: "the codes are what gets persisted,
+    // the raw vectors stay cold until re-rank". Encode once, write the
+    // coded corpus to parquet, reload, search — results must equal a fresh
+    // batch pqKnn, and the ADC-stage scan of the persisted table must
+    // column-prune to (vec_id, __codes): the hot scan reads m bytes per
+    // vector, never the embedding column (that is the 32x scan cut).
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
+    val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val books = SimilaritySearch.pqCodebooks(corpus, m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_codes").toString
+    try {
+      SimilaritySearch.pqEncodeCorpus(corpus, books)
+        .write.parquet(s"$dir/coded")
+      val reloaded = spark.read.parquet(s"$dir/coded")
+      val df = SimilaritySearch.pqKnnEncoded(reloaded, books, queries, 5)
+      def key(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 9), col("rn"))
+        .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+      val fresh = key(SimilaritySearch.pqKnn(corpus, queries, 5))
+      assert(fresh.nonEmpty)
+      assert(key(df) === fresh, "persisted-codes search diverged from batch pqKnn")
+      // scan-level evidence: at least one scan of the coded table reads
+      // ONLY (vec_id, __codes) — the embedding column stays cold there
+      val schemas = df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata("Location").contains("coded") => s.metadata("ReadSchema")
+      }
+      assert(schemas.exists(rs => rs.contains("__codes") && !rs.contains("embedding")),
+        s"no codes-only scan of the persisted table; ReadSchemas: $schemas")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("PQ encode: null and zero-norm vectors produce no candidates") {
     val corpus = Seq(
       (1L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
