@@ -146,6 +146,35 @@ object Bpe {
       .toDF("merge_rank", "pair_left", "pair_right", "merged")
   }
 
+  /** The folded marker string for a document: words wrapped, joined on a
+    * separator no merge pattern can cross, every merge applied in rank
+    * order as one literal `replace` — the shared core of
+    * [[applyTokenCount]] and [[applyTokens]], a single codegen projection. */
+  private def foldedSymbols(textCol: String,
+                            merges: Seq[(Int, String, String)]): Column = {
+    val s0 = array_join(transform(wordsOf(col(textCol)), w => wrap(w)), W)
+    merges.sortBy(_._1).foldLeft(s0) { case (acc, (_, l, r)) =>
+      replace(acc, lit(s"$S$l$E$S$r$E"), lit(s"$S$l$r$E"))
+    }
+  }
+
+  /** Full tokenization: per document, the BPE token STRINGS in order
+    * (joined on '|' so the column is scalar and engine-comparable) plus
+    * the token count — what sequence building actually consumes, where
+    * [[applyTokenCount]] only audits budget. Same one-projection shape:
+    * the surviving marker-wrapped symbols ARE the tokens, extracted with
+    * one regexp pass over the folded string. Null text tokenizes to the
+    * empty sequence (0 tokens), not NULL — an absent document contributes
+    * nothing to a sequence, the same convention as the oracle's COALESCE. */
+  def applyTokens(docs: DataFrame, merges: Seq[(Int, String, String)],
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sN = coalesce(foldedSymbols(textCol, merges), lit(""))
+    val toks = regexp_extract_all(sN, lit(s"$S([^$S$E]+)$E"), lit(1))
+    docs.select(col(idCol),
+      array_join(toks, "|").as("tokens"),
+      size(toks).cast("long").as("n_tokens_bpe"))
+  }
+
   /** Tokenize with a learned merge list: per document, the BPE token count
     * after applying every merge in rank order. ONE codegen projection —
     * words wrap, join on a separator the merge patterns cannot cross, the
@@ -153,10 +182,7 @@ object Bpe {
     * the token count is the surviving start-marker count. */
   def applyTokenCount(docs: DataFrame, merges: Seq[(Int, String, String)],
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val s0 = array_join(transform(wordsOf(col(textCol)), w => wrap(w)), W)
-    val sN = merges.sortBy(_._1).foldLeft(s0) { case (acc, (_, l, r)) =>
-      replace(acc, lit(s"$S$l$E$S$r$E"), lit(s"$S$l$r$E"))
-    }
+    val sN = foldedSymbols(textCol, merges)
     docs.select(col(idCol),
       (length(sN) - length(replace(sN, lit(S), lit("")))).cast("long")
         .as("n_tokens_bpe"))

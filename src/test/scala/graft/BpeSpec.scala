@@ -77,6 +77,26 @@ class BpeSpec extends AnyFunSuite {
     assert(merged === Map(1L -> 4L, 2L -> 3L))
   }
 
+  test("applyTokens: token strings in order, counts agree with applyTokenCount") {
+    val docs = Seq((1L, "low lower"), (2L, "west"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val merges = Seq((1, "l", "o"), (2, "lo", "w"))
+    val toks = Bpe.applyTokens(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc1: "low"->[low], "lower"->[low,e,r]; doc2 untouched chars;
+    // doc3 (null text): empty sequence, never NULL
+    assert(toks(1L) === (("low|low|e|r", 4L)))
+    assert(toks(2L) === (("w|e|s|t", 4L)))
+    assert(toks(3L) === (("", 0L)))
+    // count parity with the count-only path on a non-null corpus
+    val corpus = Seq((1L, "low lower"), (2L, "west")).toDF("doc_id", "text")
+    val a = Bpe.applyTokens(corpus, merges).select("doc_id", "n_tokens_bpe")
+      .as[(Long, Long)].collect().toMap
+    val b = Bpe.applyTokenCount(corpus, merges)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
   test("merge list matches a from-scratch symbol-list trainer (driver-fold pin)") {
     // Independent oracle: textbook BPE over SYMBOL LISTS (no marker-string
     // encoding shared with the implementation under test) — greedy
