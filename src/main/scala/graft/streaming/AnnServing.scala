@@ -48,13 +48,18 @@ object AnnServing {
     spark.read.parquet(outDir).withColumn("batch_id", col("batch_id").cast("long"))
   }
 
+  /** `books0` lets a serving run reuse a pre-trained index (e.g.
+    * [[SimilaritySearch.pqCodebooksTrained]]); the default builds the
+    * deterministic prefix codebooks from the corpus. */
   def annStreaming(spark: SparkSession, sourceDir: String,
                    corpus: DataFrame, outDir: String,
                    checkpointDir: String,
-                   k: Int = 5, maxFilesPerTrigger: Int = 1): Unit = {
+                   k: Int = 5, maxFilesPerTrigger: Int = 1,
+                   m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+                   books0: Option[Array[Array[Array[Double]]]] = None): Unit = {
     // index build, ONCE, before the stream starts: one codebook collect +
     // one encode pass, materialized so foreachBatch reads codes from cache
-    val books = SimilaritySearch.pqCodebooks(corpus, m = 8, ksub = 16)
+    val books = books0.getOrElse(SimilaritySearch.pqCodebooks(corpus, m, ksub))
     val codedCorpus = SimilaritySearch.pqEncodeCorpus(corpus, books).persist()
     codedCorpus.count()
     try {
@@ -63,7 +68,7 @@ object AnnServing {
         .parquet(sourceDir)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          SimilaritySearch.pqKnnEncoded(codedCorpus, books, batch, k)
+          SimilaritySearch.pqKnnEncoded(codedCorpus, books, batch, k, rerank)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         }
         .option("checkpointLocation", checkpointDir)
