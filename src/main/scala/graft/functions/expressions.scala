@@ -519,6 +519,11 @@ object VectorMath {
     * BIGINT (the Delta/Iceberg multi-column Z-order constraint). */
   def zorderN(vals: Array[Long], bits: Int): Long = {
     val d = vals.length
+    // enforced HERE, not just in the layout API: Long << wraps shifts mod
+    // 64, so an unchecked d*bits > 63 would silently fold high-dimension
+    // bits onto the low interleave positions — scrambled keys, no error
+    require(d * bits <= 63,
+      s"z-order needs dims*bits <= 63, got $d x $bits")
     val mask = (1L << bits) - 1
     var z = 0L
     var j = 0

@@ -280,11 +280,14 @@ object SimilaritySearch {
     codebookBuilds.incrementAndGet()
     val normSq = expr(
       s"aggregate($corpusVec, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    // norm as a COLUMN, referenced from inside the lambda: embedding the
+    // whole-vector aggregate in the per-element body would re-run it for
+    // every element (Catalyst does not hoist subtrees out of HOF lambdas
+    // — the documented PQ-kernel pathology), turning an O(dim) normalize
+    // into O(dim^2) per row
     val nv = corpus.filter(col(corpusVec).isNotNull).filter(normSq > 0.0)
-      .select(expr(
-        s"transform($corpusVec, x -> CAST(x AS DOUBLE) / " +
-          s"sqrt(aggregate($corpusVec, CAST(0.0 AS DOUBLE), (acc, y) -> acc + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))")
-        .as("nv"))
+      .select(col(corpusVec).as("__v"), sqrt(normSq).as("__n"))
+      .selectExpr("transform(__v, x -> CAST(x AS DOUBLE) / __n) AS nv")
       .persist()
     try {
       val dim = nv.select(size(col("nv"))).head().getInt(0)

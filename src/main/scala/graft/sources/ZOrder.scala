@@ -58,8 +58,8 @@ object ZOrderLayout {
   /** The variadic z-key: Morton interleave over 2-4 quantile-normalized
     * dimensions ([[graft.functions.ZOrderKeyN]] — the multi-column form
     * Delta's `OPTIMIZE ZORDER BY (a, b, c)` computes). Same
-    * driver-collected cut-point normalization as [[zKey]], one approx-
-    * quantile pass per dimension; `dims.length * bits` must stay <= 63,
+    * driver-collected cut-point normalization as [[zKey]] — ONE corpus
+    * pass builds every dimension's sketch; `dims.length * bits` must stay <= 63,
     * and each added dimension halves the per-dimension resolution a fixed
     * file budget can hold — the standard 2-4 column guidance. */
   def zKeyN(df: DataFrame, dims: Seq[String], bits: Int = 8,

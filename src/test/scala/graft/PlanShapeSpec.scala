@@ -169,20 +169,41 @@ class PlanShapeSpec extends AnyFunSuite {
       .foreach { q => assertNoVectorShuffle(SparkEntry.queries(q)(spark, sf)) }
   }
 
-  /** Every `(n) Exchange` block of the formatted explain must have an
-    * Input line free of array<float> — vectors ride broadcasts, never
-    * hash shuffles. */
-  private def assertNoVectorShuffle(df: DataFrame): Unit = {
-    val fm = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
-    val offending = fm.split("\n\n").filter { block =>
-      val first = block.linesIterator.toSeq.headOption.getOrElse("")
-      first.matches("""\(\d+\) Exchange.*""") &&
-        block.linesIterator.exists(l =>
-          l.trim.startsWith("Input") && l.contains("array<float>"))
+  /** Every ShuffleExchange's INPUT row schema must be free of array
+    * columns — vectors ride broadcasts, never hash shuffles. Typed
+    * inspection of the physical plan (a formatted-explain string match
+    * would be vacuous: Exchange `Input` lines print attribute NAMES, not
+    * types). AQE is disabled while the plan materializes so executedPlan
+    * exposes the real ShuffleExchangeExec nodes instead of an opaque
+    * AdaptiveSparkPlan leaf; `df` is by-name so construction happens
+    * under the flag too. */
+  private def assertNoVectorShuffle(df: => DataFrame): Unit = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offending = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.child.output.exists(_.dataType.isInstanceOf[
+            org.apache.spark.sql.types.ArrayType]) => e
+      }
+      assert(offending.isEmpty,
+        s"a hash shuffle carries array (vector?) columns:\n" +
+          offending.map(_.child.output.mkString(", ")).mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** Guard for the guard: the detector itself must SEE shuffles — an
+    * exchange that genuinely moves an array column has to be flagged,
+    * otherwise every assertNoVectorShuffle pin above is vacuous. */
+  test("assertNoVectorShuffle detects a vector-carrying exchange (self-test)") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+      .toDF("id", "vec")
+    val fat = vecs.repartition(org.apache.spark.sql.functions.col("id"))
+    val caught = intercept[org.scalatest.exceptions.TestFailedException] {
+      assertNoVectorShuffle(fat)
     }
-    assert(offending.isEmpty,
-      s"a hash shuffle carries vector columns:\n${offending.mkString("\n")}")
+    assert(caught.getMessage.contains("array"))
   }
 
   test("IVF-PQ: cell equi-join prunes, codes assigned scan-local, ADC shuffle bounded") {
