@@ -16,6 +16,21 @@ class PlanShapeSpec extends AnyFunSuite {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
+  /** The physical plan with AQE disabled while it materializes. Under AQE
+    * (on by default) `executedPlan` is an opaque AdaptiveSparkPlanExec
+    * LEAF: `collect` sees no children, so every typed inspection of
+    * exchanges/joins on a shuffling query would be vacuously true.
+    * `sparkPlan` is no better for exchanges — EnsureRequirements hasn't
+    * run there, so requirement-driven shuffles don't exist yet. `df` is
+    * by-name so the query builds (and its QueryExecution caches) under
+    * the flag. */
+  private def preparedPlan(df: => DataFrame): org.apache.spark.sql.execution.SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q2: predicate pushdown and column pruning reach the parquet scan") {
     val df = SparkEntry.queries("q2_filter_pushdown")(spark, sf)
     val scans = df.queryExecution.executedPlan.collect {
@@ -117,11 +132,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     // the corpus branch must be scan -> project(cell) -> join with NO
     // exchange: cell assignment is a scan-local expression, and the only
-    // shuffles key the pruned candidate set by query for dedup/top-k.
-    // (sparkPlan, not executedPlan: AQE wraps the latter and hides its
-    // children from collect)
-    val joins = df.queryExecution.sparkPlan.collect {
-      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    // shuffles key the pruned candidate set by query for dedup/top-k
+    // (preparedPlan: requirement-driven exchanges only exist post-
+    // EnsureRequirements, and AQE would hide them from collect)
+    val joins = preparedPlan(SparkEntry.queries("ss_knn_ivf")(spark, sf)).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("cell")) => j
     }
     assert(joins.nonEmpty, p)
     val corpusSide = joins.head.left // streamed side
@@ -143,8 +159,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // the cross join is queries-broadcast (corpus never shuffled to score)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     // code assignment is an expression in the corpus scan stage: no
-    // exchange below the join on the corpus side
-    val joins = df.queryExecution.sparkPlan.collect {
+    // exchange below the join on the corpus side (preparedPlan — see its
+    // scaladoc; the BNLJ feeds the narrow ADC projection)
+    val joins = preparedPlan(SparkEntry.queries("ss_knn_pq")(spark, sf)).collect {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
     }
     assert(joins.nonEmpty, p)
@@ -153,11 +170,10 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(exchangesBelow.isEmpty, s"corpus shuffled before the ADC join:\n${joins.head.left}")
     // COLD-VECTOR contract (r12): no hash shuffle in the whole query may
-    // carry an array<float> column — the ADC prune exchange moves
+    // carry an array column — the ADC prune exchange moves
     // (query_id, vec_id, __adc) rows and the final top-k moves heap
     // buffers; raw vectors reach the plan only through the rerank-bounded
-    // broadcast joins (parsed from the formatted explain, which always
-    // shows each Exchange's input schema)
+    // broadcast joins
     assertNoVectorShuffle(df)
   }
 
@@ -215,8 +231,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // cell + code assignment are expressions in the corpus scan stage
-    val joins = df.queryExecution.sparkPlan.collect {
-      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    // (preparedPlan — see its scaladoc). The rerank vector-fetch joins are
+    // BroadcastHashJoins too, so pick the CELL join by its equi-key; its
+    // streamed left is the pure corpus chain and must hold no exchange
+    val joins = preparedPlan(SparkEntry.queries("ss_knn_ivfpq")(spark, sf)).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("cell")) => j
     }
     assert(joins.nonEmpty, p)
     val exchangesBelow = joins.head.left.collect {
@@ -518,11 +538,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // the md5 projection must run on the scan side of each exchange; if
     // `text` appears in any Exchange input schema the fat payload is being
     // shuffled and the operator is wrong at 100 TB
-    val exchangeInputs = SparkEntry.queries("dd_snapshot_diff")(spark, sf)
-      .queryExecution.executedPlan.collect {
+    val exchangeInputs = preparedPlan(SparkEntry.queries("dd_snapshot_diff")(spark, sf))
+      .collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
           e.child.output.map(_.name)
       }
+    // the detector must actually see the join's exchanges (vacuity guard)
+    assert(exchangeInputs.nonEmpty, p)
     exchangeInputs.foreach { cols =>
       assert(!cols.contains("text"),
         s"document text crosses an exchange: $cols\n$p")
