@@ -174,7 +174,10 @@ object TextAlgos {
     minH
   }
 
-  private val EnglishStopwords: Set[String] = Set(
+  /** The ONE English stopword list — shared by the langId/stopwordRatio
+    * kernels and TextAnalysis's Column-side stopword_ratio so the two
+    * surfaces cannot drift apart. */
+  val EnglishStopwords: Set[String] = Set(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "by", "at", "from", "this", "be", "are", "was")
 

@@ -498,6 +498,9 @@ object VectorMath {
     * a's bit i lands at position 2i, b's at 2i+1. bits <= 31 keeps the
     * result in a positive BIGINT. */
   def zorder2(a: Long, b: Long, bits: Int): Long = {
+    // same silent-scramble hazard as [[zorderN]]: bits=32 sets the sign
+    // bit, bits>32 wraps shifts mod 64 — fail fast instead
+    require(bits >= 1 && bits <= 31, s"z-order needs 1 <= bits <= 31, got $bits")
     val mask = (1L << bits) - 1
     val x = a & mask
     val y = b & mask

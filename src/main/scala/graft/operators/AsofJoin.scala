@@ -63,11 +63,15 @@ object AsofJoin {
     val payloadType = StructType(right.select(rightVals.map(col): _*).schema.fields)
     val meta = Seq("__key", "__time", "__side", "__tb", "__payload")
 
+    // the tiebreak keeps its NATIVE type: casting to string would order
+    // numeric tiebreaks lexicographically ("10" < "9"), silently breaking
+    // the LARGEST/SMALLEST-tiebreak contract for the common unique-id case
+    val tbType = right.schema(rightTiebreak).dataType
     val lTagged = left
       .withColumn("__key", col(leftKey))
       .withColumn("__time", col(leftTime))
       .withColumn("__side", lit(1))
-      .withColumn("__tb", lit(null).cast("string"))
+      .withColumn("__tb", lit(null).cast(tbType))
       .withColumn("__payload", lit(null).cast(payloadType))
       .select((leftCols ++ meta).map(col): _*)
 
@@ -76,7 +80,7 @@ object AsofJoin {
           .withColumn("__key", col(rightKey))
           .withColumn("__time", col(rightTime))
           .withColumn("__side", lit(0))
-          .withColumn("__tb", col(rightTiebreak).cast("string"))
+          .withColumn("__tb", col(rightTiebreak))
           .withColumn("__payload", struct(rightVals.map(col): _*))
           .select(meta.map(col): _*)
       )((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))

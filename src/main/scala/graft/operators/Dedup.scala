@@ -304,9 +304,13 @@ object Dedup {
               jaccardThreshold: Double = 0.5,
               maxBucketSize: Int = 10000,
               metricTag: String = "lsh_eval"): DataFrame = {
+    // the three expensive legs are each consumed by MORE than one of the
+    // four count aggregates below, and Spark re-executes a subtree per
+    // consumer (the retention/gapFill lesson) — without the checkpoints
+    // the banding pipeline ran 3x and the exact-truth join 2x per eval
     val nonEmpty = df.filter(size(shingle_set(col(textCol), lit(shingleW))) > 0)
     val cand = minhashCandidates(nonEmpty, textCol, idCol, shingleW, numHashes,
-      bands, maxBucketSize, metricTag)
+      bands, maxBucketSize, metricTag).localCheckpoint()
     // verify on precomputed sorted shingle sets (the ngramJaccardPairs
     // trick): array_intersect per candidate beats re-tokenizing both texts
     val sets = nonEmpty.select(col(idCol).as("id"),
@@ -319,9 +323,11 @@ object Dedup {
         (size(col("ss_a")) + size(col("ss_b")) - col("inter")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b")
+      .localCheckpoint()
     val truth = ngramJaccardPairs(nonEmpty, textCol, idCol, shingleW,
       jaccardThreshold, maxBucketSize, metricTag + "_truth")
       .select("id_a", "id_b")
+      .localCheckpoint()
     val nCand = cand.agg(count(lit(1)).as("n_candidates"))
     val nVer = verified.agg(count(lit(1)).as("n_verified"))
     val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
@@ -893,14 +899,21 @@ object Dedup {
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
                    idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
+    // presence is its OWN marker, never inferred from the hash: md5(NULL)
+    // is NULL, so a hash-based presence test would report a present-but-
+    // null-text document as added/removed — re-ingesting or dropping a
+    // document that never moved. NULL text hashes as the empty document
+    // (coalesce), matching the oracle's COALESCE; old/new_len stay NULL
+    // for null text, so the distinction remains visible downstream.
     def proj(df: DataFrame, p: String) = df.select(
       col(idCol).as("doc_id"),
-      md5(col(textCol)).as(s"__${p}_hash"),
-      length(col(textCol)).cast("long").as(s"${p}_len"))
+      md5(coalesce(col(textCol), lit(""))).as(s"__${p}_hash"),
+      length(col(textCol)).cast("long").as(s"${p}_len"),
+      lit(true).as(s"__${p}_present"))
     proj(oldDf, "old").join(proj(newDf, "new"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("__old_hash").isNull, lit("added"))
-          .when(col("__new_hash").isNull, lit("removed"))
+        when(col("__old_present").isNull, lit("added"))
+          .when(col("__new_present").isNull, lit("removed"))
           .when(col("__old_hash") =!= col("__new_hash"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"),
         col("old_len"), col("new_len"))

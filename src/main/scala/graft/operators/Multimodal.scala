@@ -340,10 +340,18 @@ object Multimodal {
       }
   }
 
-  /** Balance fat binary rows into ~targetBytes partitions using the metadata
-    * size column (range partition on a computed bucket, payloads move once). */
+  /** Size the partition COUNT by total payload bytes (~targetBytes each),
+    * then range-partition on media_id — payloads move once. Note the
+    * balance guarantee precisely: the COUNT is byte-derived but each
+    * partition holds an equal ROW share, which is byte-balanced only when
+    * payload size is independent of id (true of crawl-style corpora keyed
+    * by ingest order). A corpus whose size correlates with id (e.g. ids
+    * assigned by media type) keeps per-task byte skew — shrink
+    * targetBytes there so the straggler bound falls with the task size. */
   def repartitionForPayload(media: DataFrame, targetBytes: Long = 128L << 20): DataFrame = {
-    val totalBytes = media.agg(sum(col("n_bytes"))).first().getLong(0)
+    // sum() over zero rows is NULL — an empty frame sizes to one partition
+    val totalBytes = Option(media.agg(sum(col("n_bytes"))).first().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
     val parts = math.max(1, (totalBytes / targetBytes).toInt)
     media.repartitionByRange(parts, col("media_id"))
   }

@@ -33,7 +33,13 @@ object RangeJoin {
     val p = points
       .withColumn("__key", col(pointKey))
       .withColumn("__bin", expr(s"unix_micros($pointTime) div $binUs"))
+    // guard BEFORE the explode: `sequence(hi, lo)` DESCENDS, so one
+    // malformed interval (end <= start, e.g. an epoch-zero sentinel end)
+    // would replicate into millions of junk bins that the exact range
+    // filter then discards — pure blast radius. An empty [s, e) interval
+    // can match nothing, so dropping it here changes no results.
     val i = intervals
+      .filter(col(intervalEnd) > col(intervalStart))
       .withColumn("__key", col(intervalKey))
       .withColumn("__bin", explode(sequence(
         expr(s"unix_micros($intervalStart) div $binUs"),

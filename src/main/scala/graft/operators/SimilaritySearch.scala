@@ -255,6 +255,9 @@ object SimilaritySearch {
       }
     require(protos.length == ksub,
       s"PQ codebooks need $ksub valid prototype vectors, corpus has ${protos.length}")
+    require(protos.head.length % m == 0,
+      s"PQ needs dim divisible by m, got dim=${protos.head.length} m=$m " +
+        "(a remainder would silently drop the vector tail from ADC scoring)")
     val sub = protos.head.length / m
     Array.tabulate(m)(j => protos.map(_.slice(j * sub, (j + 1) * sub)))
   }
@@ -291,6 +294,8 @@ object SimilaritySearch {
       .persist()
     try {
       val dim = nv.select(size(col("nv"))).head().getInt(0)
+      require(dim % m == 0,
+        s"PQ needs dim divisible by m, got dim=$dim m=$m")
       val sub = dim / m
       Array.tabulate(m) { j =>
         val features = nv.select(

@@ -157,9 +157,10 @@ object TextAnalysis {
   }
 
   private def stopword_ratio(t: Column): Column = {
-    val stop = array(Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
-      "it", "that", "for", "on", "with", "as", "by", "at", "from", "this",
-      "be", "are", "was").map(lit): _*)
+    // the shared kernel list, sorted for a deterministic literal array —
+    // a second hand-maintained copy here could drift from the kernels
+    val stop = array(
+      graft.functions.TextAlgos.EnglishStopwords.toSeq.sorted.map(lit): _*)
     val toks = filter(split(lower(trim(t)), "\\s+"), p => length(p) > 0)
     when(size(toks) > 0,
       size(filter(toks, tk => array_contains(stop, tk))).cast("double") / size(toks))
@@ -353,7 +354,11 @@ object TextAnalysis {
       val b = math.floor(frac * 256).toInt
       if (b >= 256) "g" else f"$b%02x"
     }
-    val b = substring(md5(key), 1, 2)
+    // NULL keys hash as the empty string (the sibling samplers' coalesce
+    // convention): without this, md5(NULL) is NULL, both when-branches
+    // evaluate NULL, and EVERY null-keyed document silently lands in
+    // 'test' — biasing the eval set instead of bucketing deterministically
+    val b = substring(md5(coalesce(key.cast("string"), lit(""))), 1, 2)
     when(b < hexThreshold(trainFrac), "train")
       .when(b < hexThreshold(trainFrac + valFrac), "val")
       .otherwise("test")
@@ -419,7 +424,10 @@ object TextAnalysis {
    * independent pack groups (`id % numGroups`) and packed by a window
    * cumsum WITHIN each group — `numGroups`-way parallel, deterministic
    * under any physical partitioning, and bins never cross groups (bin id =
-   * group * 1e6 + offset/capacity). A document whose tokens straddle a bin
+   * bin-within-group * numGroups + group — collision-free for ANY bin
+   * count, where a fixed per-group stride would fold two groups' bins
+   * together once a group exceeds the stride: at 100 TB a 2048-capacity
+   * group holds ~1e7 bins, far past any fixed 1e6). A document whose tokens straddle a bin
    * boundary spills into the next bin (`bin_offset` + its length >
    * capacity); the downstream batcher splits or truncates at material-
    * ization time, exactly like offset-based packing in production loaders.
@@ -433,7 +441,8 @@ object TextAnalysis {
         pmod(col(idCol), lit(numGroups)).cast("long").as("pack_group"))
       .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin_id",
-        col("pack_group") * lit(1000000L) + floor(col("tok_offset") / capacity).cast("long"))
+        floor(col("tok_offset") / capacity).cast("long") * lit(numGroups.toLong) +
+          col("pack_group"))
       .withColumn("bin_offset", pmod(col("tok_offset"), lit(capacity.toLong)))
   }
 

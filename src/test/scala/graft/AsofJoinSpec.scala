@@ -89,4 +89,23 @@ class AsofJoinSpec extends AnyFunSuite {
       .select("asof_v").as[String].collect()
     assert(out.toSeq === Seq("b"))
   }
+
+  test("NUMERIC tiebreaks order numerically, not lexicographically") {
+    // ids 9 vs 10: a string-cast tiebreak would order "10" < "9" and
+    // return the wrong winner on both directions
+    val right = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 9L, "nine"),
+      (1L, ts("2024-01-01 00:00:00"), 10L, "ten")
+    ).toDF("k", "t", "rid", "v")
+    val back = AsofJoin.asof(
+        Seq((1L, ts("2024-01-01 00:00:01"))).toDF("k2", "t2"),
+        right, "k2", "k", "t2", "t", Seq("v"), "rid")
+      .select("asof_v").as[String].collect().toSeq
+    assert(back === Seq("ten"), "backward as-of must keep the LARGEST tiebreak")
+    val fwd = AsofJoin.asofForward(
+        Seq((1L, ts("2023-12-31 00:00:00"))).toDF("k2", "t2"),
+        right, "k2", "k", "t2", "t", Seq("v"), "rid")
+      .select("asof_v").as[String].collect().toSeq
+    assert(fwd === Seq("nine"), "forward as-of must keep the SMALLEST tiebreak")
+  }
 }

@@ -879,14 +879,18 @@ class OperatorsSpec extends AnyFunSuite {
           (id, n, g, acc + n)
         }.drop(1).map { case (id, n, grp, cumIncl) =>
           val off = cumIncl - n
-          (id, n, grp, off, grp * 1000000L + off / 10, off % 10)
+          // collision-free encoding: bin-within-group * numGroups + group
+          (id, n, grp, off, (off / 10) * 4L + grp, off % 10)
         }
       }.sorted
     assert(got === expected)
     // physical partitioning must not change the assignment
     assert(run(docs.repartition(13)) === got)
-    // bins never cross pack groups
-    assert(got.forall { case (_, _, g, _, bin, _) => bin / 1000000L === g })
+    // bins never cross pack groups — and the encoding stays collision-free
+    // for ANY bin count (a fixed per-group stride folds groups together
+    // once bins-per-group exceed it)
+    assert(got.forall { case (_, _, g, _, bin, _) => bin % 4L === g })
+    assert(got.map(r => (r._5, r._3)).distinct.groupBy(_._1).forall(_._2.size == 1))
   }
 
   test("multimodal: REAL WAV decode via javax.sound.sampled through the pipeline") {

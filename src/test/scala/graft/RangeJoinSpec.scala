@@ -32,6 +32,22 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(out === Set((10L, 100L), (11L, 100L), (11L, 101L), (20L, 200L), (12L, 101L)))
   }
 
+  test("malformed intervals (end <= start) match nothing and never explode") {
+    // an epoch-zero sentinel end would make sequence(start_bin, end_bin)
+    // DESCEND across ~28M bins if it reached the explode — the guard must
+    // drop empty [s, e) intervals before bin generation
+    val points = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("k", "pid", "t")
+    val intervals = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00"), ts("1970-01-01 00:00:00")), // inverted
+      (1L, 101L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00")), // zero-length
+      (1L, 102L, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00"))  // sane
+    ).toDF("ik", "iid", "s", "e")
+    val out = RangeJoin.pointInInterval(points, intervals,
+        "k", "ik", "t", "s", "e", Seq("iid"), binSeconds = 1800)
+      .select("pid", "ivl_iid").as[(Long, Long)].collect().toSet
+    assert(out === Set((10L, 102L)))
+  }
+
   test("bucketized result equals the naive non-equi join on real data") {
     val ev = graft.sources.Tables.events(spark, SparkTestBase.Sf0001)
     val points = ev.select(col("event_id"), col("user_id"), col("ts"))
