@@ -194,9 +194,15 @@ object MatchPipeline {
     val rows =
       if (!separators) out.orderBy(col("username"), scoreNum.desc, col("emp_id"), col("emp_name"))
       else {
-        val data = out.withColumn("__grp", col("username")).withColumn("__sep", lit(0))
+        // materialize the caller's pipeline ONCE: both union branches (data
+        // + separator rows) otherwise each re-execute the full upstream
+        // lineage — Spark does not de-duplicate a common subplan across
+        // union branches (the measured rankedTopK lesson), so a
+        // presentation-only blank row would double the flagship query
+        val once = out.localCheckpoint()
+        val data = once.withColumn("__grp", col("username")).withColumn("__sep", lit(0))
         val nul = lit(null).cast("string")
-        val seps = out.select(col("username").as("__grp")).distinct()
+        val seps = once.select(col("username").as("__grp")).distinct()
           .select(
             nul.as("username"), nul.as("emp_id"), nul.as("emp_name"),
             nul.as("confidence_score"), nul.as("match_type"),

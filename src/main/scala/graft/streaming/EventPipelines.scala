@@ -163,9 +163,16 @@ object EventPipelines {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     val flagged = events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // gap in exact MICROSECONDS with session_window's closing rule
+      // (next event merges iff it falls INSIDE [prev, prev + gap), so a
+      // session closes at diff >= gap): unix_timestamp truncates each side
+      // to whole seconds, which both loses sub-second gap components (the
+      // events table is µs-precision) and mis-places the boundary the
+      // streaming form decides exactly
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > gapMinutes * 60L, 1)
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) >=
+            gapMinutes * 60L * 1000000L, 1)
           .otherwise(0))
       .withColumn("session_seq",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))

@@ -141,7 +141,11 @@ object StatefulPipelines {
             var st = state.getOption.getOrElse(UserState(0L, 0, alertedSpend = false))
             val out = List.newBuilder[Alert]
             var maxTs = Long.MinValue
-            events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            // µs sort (shared micros helper): the batch replay sorts the
+            // full-precision ts column, so a getTime-ms sort here would
+            // fold same-millisecond events in (event_id) order instead of
+            // true time order and break the bit-equal contract
+            events.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
               if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
               val (next, as) = step(st, e)
               st = next

@@ -50,9 +50,6 @@ object StreamingAttribution {
 
   /** Epoch MICROseconds of a timestamp (getTime is ms and already carries
     * the fraction's millisecond part; add the sub-ms micros only). */
-  private[graft] def micros(ts: java.sql.Timestamp): Long =
-    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
-
   /** Pure transition: fold one event into the last-touch state, emitting
     * the attributed conversion (if this event is one). */
   private[graft] def step(state: Option[TouchState], e: AEvent,

@@ -42,7 +42,10 @@ object StreamingFunnel {
     * contract). */
   case class FEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
                     step_idx: Int)
-  /** Reach times per step, ms epoch; [[Unset]] = not reached. */
+  /** Reach times per step, MICROSECOND epoch ([[Unset]] = not reached):
+    * getTime-ms state would admit sub-millisecond-early step events and
+    * mis-order same-millisecond folds relative to the µs-precision batch
+    * operator (EventAnalytics.funnel compares full timestamps). */
   case class FunnelState(times: Seq[Long])
   case class Reach(user_id: Long, step: Int, step_name: String,
                    reach_ts: java.sql.Timestamp)
@@ -52,22 +55,23 @@ object StreamingFunnel {
   /** Pure transition: fold one event into the reach-times array, emitting
     * the step reached (if any). Mutates `times` in place. */
   private[graft] def step(times: Array[Long], e: FEvent,
-                          windowMs: Long): Option[Int] = {
+                          windowUs: Long): Option[Int] = {
     val i = e.step_idx
+    val t = micros(e.ts)
     if (i < 0 || times(i) != Unset) None
-    else if (i == 0) { times(0) = e.ts.getTime; Some(0) }
-    else if (times(i - 1) != Unset && e.ts.getTime >= times(i - 1) &&
-             e.ts.getTime <= times(0) + windowMs) {
-      times(i) = e.ts.getTime; Some(i)
+    else if (i == 0) { times(0) = t; Some(0) }
+    else if (times(i - 1) != Unset && t >= times(i - 1) &&
+             t <= times(0) + windowUs) {
+      times(i) = t; Some(i)
     } else None
   }
 
   private def foldSorted(userId: Long, events: Iterator[FEvent],
                          times: Array[Long], steps: IndexedSeq[String],
-                         windowMs: Long): Iterator[Reach] = {
+                         windowUs: Long): Iterator[Reach] = {
     val out = List.newBuilder[Reach]
     events.foreach { e =>
-      step(times, e, windowMs).foreach { i =>
+      step(times, e, windowUs).foreach { i =>
         out += Reach(userId, i + 1, steps(i), e.ts)
       }
     }
@@ -94,12 +98,12 @@ object StreamingFunnel {
     implicit val reachEnc = Encoders.product[Reach]
     implicit val longEnc = Encoders.scalaLong
     val stepsIdx = steps.toIndexedSeq
-    val windowMs = windowHours * 3600L * 1000L
+    val windowUs = windowHours * 3600L * 1000000L
     toFEvents(events, steps)
       .groupByKey(_.user_id)
       .flatMapSortedGroups(col("ts").asc, col("step_idx").asc,
         col("event_id").asc) { (uid, it) =>
-        foldSorted(uid, it, Array.fill(stepsIdx.size)(Unset), stepsIdx, windowMs)
+        foldSorted(uid, it, Array.fill(stepsIdx.size)(Unset), stepsIdx, windowUs)
       }
   }
 
@@ -113,7 +117,7 @@ object StreamingFunnel {
     implicit val stateEnc = Encoders.product[FunnelState]
     implicit val longEnc = Encoders.scalaLong
     val stepsIdx = steps.toIndexedSeq
-    val windowMs = windowHours * 3600L * 1000L
+    val windowUs = windowHours * 3600L * 1000000L
     val schema = spark.read.parquet(sourceDir).schema
     val src = spark.readStream.schema(schema).parquet(sourceDir)
       .withWatermark("ts", watermark)
@@ -130,11 +134,14 @@ object StreamingFunnel {
               .map(_.times.toArray)
               .getOrElse(Array.fill(stepsIdx.size)(Unset))
             var maxTs = Long.MinValue
+            // µs sort — getTime would collapse same-millisecond events
+            // onto (step_idx, event_id) order, diverging from the batch
+            // replay's full-timestamp sort
             val sorted = events.toSeq
-              .sortBy(e => (e.ts.getTime, e.step_idx, e.event_id))
+              .sortBy(e => (micros(e.ts), e.step_idx, e.event_id))
             sorted.foreach(e => if (e.ts.getTime > maxTs) maxTs = e.ts.getTime)
             val out = foldSorted(userId, sorted.iterator, times, stepsIdx,
-              windowMs).toList
+              windowUs).toList
             state.update(FunnelState(times.toSeq))
             if (maxTs != Long.MinValue)
               state.setTimeoutTimestamp(maxTs + retentionMs)

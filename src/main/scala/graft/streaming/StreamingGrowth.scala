@@ -27,15 +27,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *
  * ORDER CONTRACT (same as [[StreamingFunnel]]): the fold consumes events
  * in (week, event_id) order; batch replay sorts within groups, streaming
- * sorts each micro-batch's iterator. A cross-batch straggler OLDER than
- * the recorded last week could mislabel a retained week as resurrected —
- * deliver batches in event-time order (AvailableNow over one source pass,
- * or date-partitioned replay) for row-for-row equality.
+ * sorts each micro-batch's iterator. The state tracks the SET of emitted
+ * active weeks (within [[HorizonWeeks]] of the newest), so a cross-batch
+ * straggler for an already-emitted week is a clean no-op (never a
+ * duplicate cell — aggregateCells would double-count the user otherwise)
+ * and a straggler for a NEW week gets the correct retained/resurrected
+ * label from week-1 membership. What out-of-order delivery can still get
+ * wrong is `new` attribution: the first week SEEN is labeled new and
+ * append mode cannot retract it, so a straggler older than every tracked
+ * week reads `resurrected` where an in-order replay says `new`/`retained`
+ * (pinned by StreamingGrowthLtvSpec) — deliver batches in event-time
+ * order for row-for-row equality.
  *
- * STATE & EVICTION: two longs per user. The event-time timeout drops state
- * `retentionMs` after the user's newest event; a returning user then
- * re-enters as `new` — the standard production approximation for unbounded
- * user lifetimes, sized so the analysis horizon ends before eviction.
+ * STATE & EVICTION: two longs + at most [[HorizonWeeks]] week entries per
+ * user. The event-time timeout drops state `retentionMs` after the user's
+ * newest event; a returning user then re-enters as `new` — the standard
+ * production approximation for unbounded user lifetimes, sized so the
+ * analysis horizon ends before eviction.
  */
 object StreamingGrowth {
 
@@ -43,20 +51,36 @@ object StreamingGrowth {
     * week arithmetic, computed in DataFrame-land so both replays share one
     * expression. */
   case class GEvent(event_id: Long, user_id: Long, week: Long)
-  case class GrowthState(first: Long, last: Long)
+  /** `weeks`: the emitted active weeks within [[HorizonWeeks]] of `last`,
+    * ascending — the dedup/label memory that keeps cross-batch stragglers
+    * from double-counting (see class doc). */
+  case class GrowthState(first: Long, last: Long, weeks: Seq[Long])
   case class StatusCell(user_id: Long, week: Long, status: String)
 
-  val EmptyState: GrowthState = GrowthState(Long.MinValue, Long.MinValue)
+  val EmptyState: GrowthState = GrowthState(Long.MinValue, Long.MinValue, Seq.empty)
 
-  /** Pure transition: fold one event into (first, last), emitting the
-    * week's status cell iff this is the first event of a new active week. */
+  /** Active-week memory horizon: stragglers further than this below the
+    * newest active week would re-emit their cell, but the event-time
+    * watermark (hours) plus state eviction make a 120-week-late event
+    * unreachable in any real replay; the bound keeps state at <= ~1 KB
+    * per user for arbitrarily long-lived users. */
+  val HorizonWeeks: Long = 120L
+
+  /** Pure transition: fold one event into the state, emitting the week's
+    * status cell iff this week has not been emitted before. In-order
+    * replay is bit-identical to the old (first, last)-only fold — week-1
+    * membership coincides with week == last + 1 when weeks ascend. */
   private[graft] def step(st: GrowthState, e: GEvent): (GrowthState, Option[StatusCell]) =
     if (st.first == Long.MinValue)
-      (GrowthState(e.week, e.week), Some(StatusCell(e.user_id, e.week, "new")))
-    else if (e.week == st.last) (st, None)
+      (GrowthState(e.week, e.week, Seq(e.week)),
+        Some(StatusCell(e.user_id, e.week, "new")))
+    else if (st.weeks.contains(e.week)) (st, None)
     else {
-      val status = if (e.week == st.last + 1) "retained" else "resurrected"
-      (GrowthState(st.first, e.week), Some(StatusCell(e.user_id, e.week, status)))
+      val status = if (st.weeks.contains(e.week - 1)) "retained" else "resurrected"
+      val mx = math.max(st.last, e.week)
+      val weeks = (st.weeks :+ e.week).filter(_ >= mx - HorizonWeeks).sorted
+      (GrowthState(st.first, mx, weeks),
+        Some(StatusCell(e.user_id, e.week, status)))
     }
 
   private def foldSorted(events: Iterator[GEvent],

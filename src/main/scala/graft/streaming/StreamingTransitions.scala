@@ -35,9 +35,6 @@ object StreamingTransitions {
   case class Transition(user_id: Long, src_type: String, dst_type: String,
                         dst_event_id: Long, dst_ts: java.sql.Timestamp)
 
-  private[graft] def micros(ts: java.sql.Timestamp): Long =
-    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
-
   /** Pure transition: fold one event against the previous-event state,
     * emitting the (src, dst) pair when the gap qualifies. */
   private[graft] def step(state: Option[PrevState], e: TEvent,

@@ -105,6 +105,25 @@ class StreamingGrowthLtvSpec extends AnyFunSuite {
       s"order-contract boundary shifted: got $stream")
   }
 
+  test("growth straggler memory: duplicate weeks suppressed, late new weeks labeled by week-1 membership") {
+    import graft.streaming.StreamingGrowth.{step, EmptyState, GEvent}
+    // in-order: weeks 5 and 7
+    val (s1, c1) = step(EmptyState, GEvent(1, 1, 5))
+    val (s2, c2) = step(s1, GEvent(2, 1, 7))
+    assert(c1.get.status === "new" && c2.get.status === "resurrected")
+    // straggler for the ALREADY-EMITTED week 5: clean no-op — the old
+    // (first, last)-only state emitted a duplicate cell here, which
+    // aggregateCells would double-count
+    val (s3, c3) = step(s2, GEvent(3, 1, 5))
+    assert(c3.isEmpty && s3 === s2)
+    // straggler for the NEW week 6: emitted once, and the week-5
+    // membership labels it retained (the last-week-only state said
+    // resurrected)
+    val (s4, c4) = step(s3, GEvent(4, 1, 6))
+    assert(c4.contains(graft.streaming.StreamingGrowth.StatusCell(1, 6, "retained")))
+    assert(step(s4, GEvent(5, 1, 6))._2.isEmpty, "re-delivery of week 6 must be silent")
+  }
+
   test("ltv: cell emission on a hand-computed history, revenue riders") {
     // purchase on the cohort-opening event -> one cell with both facets;
     // second purchase same offset -> revenue-only cell; non-revenue event
