@@ -77,11 +77,20 @@ object MatchPipeline {
     // pre-adaptive physical plan, so reading it triggers no execution (the
     // adaptive plan's .rdd would run every upstream stage eagerly)
     val planned = usernames.queryExecution.sparkPlan.outputPartitioning.numPartitions
+    // The skip is only trustworthy when `planned` is DATA-driven (scan
+    // splits, an explicit repartition). When it exactly equals the
+    // session's spark.sql.shuffle.partitions it is almost certainly just
+    // the static default of an upstream exchange — which AQE will coalesce
+    // at runtime (a few-KB distinct can collapse to ONE task and serialize
+    // the whole O(U x E) scoring stage under a vanilla 200-partition
+    // session), so that case forces the explicit repartition too (an
+    // explicit numPartitions repartition is never AQE-coalesced).
+    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // 4 waves of fine-grained tasks: with one task per core a single
     // straggler (GC pause, CPU steal) stretches the whole stage; finer
     // slices rebalance.
     val stream =
-      if (planned >= 2 * parallelism) usernames
+      if (planned >= 2 * parallelism && planned != confParts) usernames
       else usernames.repartition(4 * parallelism)
     val u = prepareUsernames(stream)
     val e = prepareEmployees(employees)

@@ -9,6 +9,13 @@ package graft
  * mis-orders / mis-admits sub-millisecond boundaries. The ms-epoch copies
  * that used to live per-file are exactly where two such bugs crept in
  * (StreamingFunnel, StatefulPipelines — fixed r12).
+ *
+ * Known serving-bootstrap limitation: most stream builders infer their
+ * source schema with `spark.read.parquet(sourceDir).schema`, which fails
+ * when the directory is still empty at start time. [[CorpusIngest]] and
+ * [[AnnServing]] take/declare explicit schemas for exactly this reason;
+ * generalizing a `schema: Option[StructType]` parameter across the other
+ * builders is the outstanding serving-hardening item.
  */
 package object streaming {
 
