@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
 import graft.functions.heavy_hitters
 
 /**
@@ -32,9 +33,10 @@ object EventPipelines {
     * in the checkpoint). */
   def tumblingStream(spark: SparkSession, sourceDir: String,
                      width: String = "1 hour",
-                     watermark: String = "2 hours"): DataFrame = {
-    val schema = spark.read.parquet(sourceDir).schema
-    spark.readStream.schema(schema).parquet(sourceDir)
+                     watermark: String = "2 hours",
+                     schema: Option[StructType] = None): DataFrame = {
+    val srcSchema = resolveSourceSchema(spark, sourceDir, schema)
+    spark.readStream.schema(srcSchema).parquet(sourceDir)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -47,8 +49,9 @@ object EventPipelines {
     * bounding state. Returns the started query's result via the memory sink. */
   def tumblingStreaming(spark: SparkSession, sourceDir: String,
                         width: String = "1 hour", watermark: String = "2 hours",
-                        queryName: String = "events_tumbling"): DataFrame = {
-    val q = tumblingStream(spark, sourceDir, width, watermark).writeStream
+                        queryName: String = "events_tumbling",
+                        schema: Option[StructType] = None): DataFrame = {
+    val q = tumblingStream(spark, sourceDir, width, watermark, schema).writeStream
       .outputMode(OutputMode.Complete())
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
@@ -63,9 +66,10 @@ object EventPipelines {
     * that keeps dedup state finite on an unbounded stream). */
   def dedupStreaming(spark: SparkSession, sourceDir: String,
                      idCols: Seq[String], watermark: String = "2 hours",
-                     queryName: String = "events_dedup"): DataFrame = {
-    val schema = spark.read.parquet(sourceDir).schema
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+                     queryName: String = "events_dedup",
+                     schema: Option[StructType] = None): DataFrame = {
+    val srcSchema = resolveSourceSchema(spark, sourceDir, schema)
+    val stream = spark.readStream.schema(srcSchema).parquet(sourceDir)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
     val q = stream.writeStream
@@ -114,12 +118,13 @@ object EventPipelines {
     * (EventPipelinesSpec pins the recovery). */
   def heavyUsersStream(spark: SparkSession, sourceDir: String,
                        width: String = "1 hour", watermark: String = "2 hours",
-                       k: Int = 8, maxFilesPerTrigger: Int = 0): DataFrame = {
-    val schema = spark.read.parquet(sourceDir).schema
+                       k: Int = 8, maxFilesPerTrigger: Int = 0,
+                       schema: Option[StructType] = None): DataFrame = {
+    val srcSchema = resolveSourceSchema(spark, sourceDir, schema)
     // maxFilesPerTrigger > 0 forces MULTIPLE micro-batches even under
     // AvailableNow — the spec uses it so the state-merge path (summary ⊕
     // summary, not just one batch's partials) is genuinely exercised
-    val reader0 = spark.readStream.schema(schema)
+    val reader0 = spark.readStream.schema(srcSchema)
     val reader = if (maxFilesPerTrigger > 0)
       reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
     reader.parquet(sourceDir)
@@ -135,8 +140,10 @@ object EventPipelines {
                           width: String = "1 hour", watermark: String = "2 hours",
                           k: Int = 8,
                           queryName: String = "events_heavy_users",
-                          maxFilesPerTrigger: Int = 0): DataFrame = {
-    val agg = heavyUsersStream(spark, sourceDir, width, watermark, k, maxFilesPerTrigger)
+                          maxFilesPerTrigger: Int = 0,
+                          schema: Option[StructType] = None): DataFrame = {
+    val agg = heavyUsersStream(spark, sourceDir, width, watermark, k,
+      maxFilesPerTrigger, schema)
     val q = agg.writeStream
       .outputMode(OutputMode.Complete())
       .format("memory").queryName(queryName)
@@ -199,12 +206,13 @@ object EventPipelines {
   def intervalJoinStreaming(spark: SparkSession, sourceDir: String,
                             windowSpec: String = "1 hour",
                             watermark: String = "2 hours",
-                            queryName: String = "events_interval_join"): DataFrame = {
-    val schema = spark.read.parquet(sourceDir).schema
-    val points = spark.readStream.schema(schema).parquet(sourceDir)
+                            queryName: String = "events_interval_join",
+                            schema: Option[StructType] = None): DataFrame = {
+    val srcSchema = resolveSourceSchema(spark, sourceDir, schema)
+    val points = spark.readStream.schema(srcSchema).parquet(sourceDir)
       .select(col("event_id"), col("user_id"), col("ts"))
       .withWatermark("ts", watermark)
-    val errors = spark.readStream.schema(schema).parquet(sourceDir)
+    val errors = spark.readStream.schema(srcSchema).parquet(sourceDir)
       .filter(col("event_type") === "error")
       .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
         col("ts").as("e_ts"))
@@ -226,9 +234,10 @@ object EventPipelines {
     * by the watermark). */
   def sessionizeStreaming(spark: SparkSession, sourceDir: String,
                           gap: String = "30 minutes", watermark: String = "2 hours",
-                          queryName: String = "events_sessions"): DataFrame = {
-    val schema = spark.read.parquet(sourceDir).schema
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+                          queryName: String = "events_sessions",
+                          schema: Option[StructType] = None): DataFrame = {
+    val srcSchema = resolveSourceSchema(spark, sourceDir, schema)
+    val stream = spark.readStream.schema(srcSchema).parquet(sourceDir)
     val agg = stream
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /**
  * Custom per-key streaming state via `flatMapGroupsWithState` (SURVEY.md
@@ -115,13 +116,14 @@ object StatefulPipelines {
   def alertsStream(spark: SparkSession, sourceDir: String,
                    watermark: String = "2 hours",
                    retentionMs: Long = 4L * 3600 * 1000,
-                   emitEvictionMarkers: Boolean = false): Dataset[Alert] = {
+                   emitEvictionMarkers: Boolean = false,
+                   schema: Option[StructType] = None): Dataset[Alert] = {
     implicit val eventEnc = Encoders.product[Event]
     implicit val alertEnc = Encoders.product[Alert]
     implicit val stateEnc = Encoders.product[UserState]
     implicit val longEnc = Encoders.scalaLong
-    val schema = spark.read.parquet(sourceDir).schema
-    spark.readStream.schema(schema).parquet(sourceDir)
+    val srcSchema = resolveSourceSchema(spark, sourceDir, schema)
+    spark.readStream.schema(srcSchema).parquet(sourceDir)
       .withWatermark("ts", watermark)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
       .as[Event]
@@ -165,8 +167,10 @@ object StatefulPipelines {
                       watermark: String = "2 hours",
                       retentionMs: Long = 4L * 3600 * 1000,
                       queryName: String = "event_alerts",
-                      emitEvictionMarkers: Boolean = false): DataFrame = {
-    val alerts = alertsStream(spark, sourceDir, watermark, retentionMs, emitEvictionMarkers)
+                      emitEvictionMarkers: Boolean = false,
+                      schema: Option[StructType] = None): DataFrame = {
+    val alerts = alertsStream(spark, sourceDir, watermark, retentionMs,
+      emitEvictionMarkers, schema)
     val q = alerts.toDF().writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)

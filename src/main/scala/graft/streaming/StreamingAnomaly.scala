@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /**
  * Streaming rolling-anomaly detection — the stateful counterpart of
@@ -109,12 +110,13 @@ object StreamingAnomaly {
                 eventType: String = "purchase",
                 lookback: Int = 10, minPrev: Int = 5, zSquared: Long = 4L,
                 watermark: String = "2 hours",
-                retentionMs: Long = 90L * 24 * 3600 * 1000): Dataset[AnomalyRow] = {
+                retentionMs: Long = 90L * 24 * 3600 * 1000,
+                schema: Option[StructType] = None): Dataset[AnomalyRow] = {
     implicit val rowEnc = Encoders.product[AnomalyRow]
     implicit val stateEnc = Encoders.product[RingState]
     implicit val longEnc = Encoders.scalaLong
-    val schema = spark.read.parquet(sourceDir).schema
-    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    val srcSchema = resolveSourceSchema(spark, sourceDir, schema)
+    val src = spark.readStream.schema(srcSchema).parquet(sourceDir)
       .withWatermark("ts", watermark)
     type Row5 = (Long, Long, Long, Long, java.sql.Timestamp)
     val evs = project(src, eventType, withTs = true)
@@ -142,8 +144,9 @@ object StreamingAnomaly {
   /** Streaming form behind a memory sink (one AvailableNow pass). */
   def rowsStreaming(spark: SparkSession, sourceDir: String,
                     eventType: String = "purchase",
-                    queryName: String = "anomaly_rows"): DataFrame = {
-    val q = rowStream(spark, sourceDir, eventType)
+                    queryName: String = "anomaly_rows",
+                    schema: Option[StructType] = None): DataFrame = {
+    val q = rowStream(spark, sourceDir, eventType, schema = schema)
       .toDF().writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /**
  * Streaming last-touch attribution — the stateful counterpart of
@@ -115,15 +116,16 @@ object StreamingAttribution {
                        convertType: String = "purchase",
                        windowHours: Int = 72,
                        watermark: String = "2 hours",
-                       retentionMs: Option[Long] = None): Dataset[Attributed] = {
+                       retentionMs: Option[Long] = None,
+                       schema: Option[StructType] = None): Dataset[Attributed] = {
     require(!touchTypes.contains(convertType), s"$convertType cannot be a touch")
     implicit val outEnc = Encoders.product[Attributed]
     implicit val stateEnc = Encoders.product[TouchState]
     implicit val longEnc = Encoders.scalaLong
     val windowUs = windowHours.toLong * 3600L * 1000000L
     val retMs = retentionMs.getOrElse(windowHours.toLong * 3600L * 1000L)
-    val schema = spark.read.parquet(sourceDir).schema
-    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    val srcSchema = resolveSourceSchema(spark, sourceDir, schema)
+    val src = spark.readStream.schema(srcSchema).parquet(sourceDir)
       .withWatermark("ts", watermark)
     toAEvents(src, touchTypes, convertType)
       .groupByKey(_.user_id)
@@ -154,9 +156,10 @@ object StreamingAttribution {
                           convertType: String = "purchase",
                           windowHours: Int = 72,
                           watermark: String = "2 hours",
-                          queryName: String = "attributed"): DataFrame = {
+                          queryName: String = "attributed",
+                          schema: Option[StructType] = None): DataFrame = {
     val q = attributedStream(spark, sourceDir, touchTypes, convertType,
-        windowHours, watermark)
+        windowHours, watermark, schema = schema)
       .toDF().writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /**
  * Streaming ordered-step funnel — the stateful counterpart of
@@ -111,15 +112,16 @@ object StreamingFunnel {
     * held in GroupState with an event-time timeout (see class doc). */
   def reachStream(spark: SparkSession, sourceDir: String, steps: Seq[String],
                   windowHours: Int = 24, watermark: String = "2 hours",
-                  retentionMs: Long = 48L * 3600 * 1000): Dataset[Reach] = {
+                  retentionMs: Long = 48L * 3600 * 1000,
+                  schema: Option[StructType] = None): Dataset[Reach] = {
     require(steps.size >= 2 && steps.distinct.size == steps.size, s"bad steps $steps")
     implicit val reachEnc = Encoders.product[Reach]
     implicit val stateEnc = Encoders.product[FunnelState]
     implicit val longEnc = Encoders.scalaLong
     val stepsIdx = steps.toIndexedSeq
     val windowUs = windowHours * 3600L * 1000000L
-    val schema = spark.read.parquet(sourceDir).schema
-    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    val srcSchema = resolveSourceSchema(spark, sourceDir, schema)
+    val src = spark.readStream.schema(srcSchema).parquet(sourceDir)
       .withWatermark("ts", watermark)
     toFEvents(src, steps)
       .groupByKey(_.user_id)
@@ -155,9 +157,10 @@ object StreamingFunnel {
                      steps: Seq[String], windowHours: Int = 24,
                      watermark: String = "2 hours",
                      retentionMs: Long = 48L * 3600 * 1000,
-                     queryName: String = "funnel_reach"): DataFrame = {
+                     queryName: String = "funnel_reach",
+                     schema: Option[StructType] = None): DataFrame = {
     val q = reachStream(spark, sourceDir, steps, windowHours, watermark,
-        retentionMs)
+        retentionMs, schema)
       .toDF().writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /**
  * Streaming daily gap-fill — the stateful counterpart of
@@ -125,12 +126,13 @@ object StreamingGapFill {
   def rowStream(spark: SparkSession, sourceDir: String,
                 eventType: String = "purchase",
                 watermark: String = "2 hours",
-                retentionMs: Long = 90L * 24 * 3600 * 1000): Dataset[GapRow] = {
+                retentionMs: Long = 90L * 24 * 3600 * 1000,
+                schema: Option[StructType] = None): Dataset[GapRow] = {
     implicit val rowEnc = Encoders.product[GapRow]
     implicit val stateEnc = Encoders.product[RunState]
     implicit val longEnc = Encoders.scalaLong
-    val schema = spark.read.parquet(sourceDir).schema
-    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    val srcSchema = resolveSourceSchema(spark, sourceDir, schema)
+    val src = spark.readStream.schema(srcSchema).parquet(sourceDir)
       .withWatermark("ts", watermark)
     type Row5 = (Long, Long, Long, Option[Long], java.sql.Timestamp)
     val evs = project(src, eventType, withTs = true)
@@ -164,8 +166,9 @@ object StreamingGapFill {
                     eventType: String = "purchase",
                     watermark: String = "2 hours",
                     retentionMs: Long = 90L * 24 * 3600 * 1000,
-                    queryName: String = "gapfill_rows"): DataFrame = {
-    val q = rowStream(spark, sourceDir, eventType, watermark, retentionMs)
+                    queryName: String = "gapfill_rows",
+                    schema: Option[StructType] = None): DataFrame = {
+    val q = rowStream(spark, sourceDir, eventType, watermark, retentionMs, schema)
       .toDF().writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /**
  * Streaming growth accounting — the stateful counterpart of
@@ -117,12 +118,13 @@ object StreamingGrowth {
   def cellStream(spark: SparkSession, sourceDir: String,
                  watermark: String = "2 hours",
                  retentionMs: Long = 90L * 24 * 3600 * 1000,
-                 maxFilesPerTrigger: Option[Int] = None): Dataset[StatusCell] = {
+                 maxFilesPerTrigger: Option[Int] = None,
+                 schema: Option[StructType] = None): Dataset[StatusCell] = {
     implicit val cellEnc = Encoders.product[StatusCell]
     implicit val stateEnc = Encoders.product[GrowthState]
     implicit val longEnc = Encoders.scalaLong
-    val schema = spark.read.parquet(sourceDir).schema
-    val reader0 = spark.readStream.schema(schema)
+    val srcSchema = resolveSourceSchema(spark, sourceDir, schema)
+    val reader0 = spark.readStream.schema(srcSchema)
     val reader = maxFilesPerTrigger.fold(reader0)(n =>
       reader0.option("maxFilesPerTrigger", n))
     val src = reader.parquet(sourceDir)
@@ -157,8 +159,10 @@ object StreamingGrowth {
                      watermark: String = "2 hours",
                      retentionMs: Long = 90L * 24 * 3600 * 1000,
                      queryName: String = "growth_cells",
-                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val q = cellStream(spark, sourceDir, watermark, retentionMs, maxFilesPerTrigger)
+                     maxFilesPerTrigger: Option[Int] = None,
+                     schema: Option[StructType] = None): DataFrame = {
+    val q = cellStream(spark, sourceDir, watermark, retentionMs,
+      maxFilesPerTrigger, schema)
       .toDF().writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /**
  * Streaming cohort LTV — the stateful counterpart of
@@ -89,12 +90,13 @@ object StreamingLtv {
   def cellStream(spark: SparkSession, sourceDir: String,
                  revenueType: String = "purchase",
                  watermark: String = "2 hours",
-                 retentionMs: Long = 90L * 24 * 3600 * 1000): Dataset[LtvCell] = {
+                 retentionMs: Long = 90L * 24 * 3600 * 1000,
+                 schema: Option[StructType] = None): Dataset[LtvCell] = {
     implicit val cellEnc = Encoders.product[LtvCell]
     implicit val stateEnc = Encoders.product[LtvState]
     implicit val longEnc = Encoders.scalaLong
-    val schema = spark.read.parquet(sourceDir).schema
-    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    val srcSchema = resolveSourceSchema(spark, sourceDir, schema)
+    val src = spark.readStream.schema(srcSchema).parquet(sourceDir)
       .withWatermark("ts", watermark)
     val evs = src.select(col("event_id"), col("user_id"), edCol("ts").as("ed"),
         revCol("event_type", "value", revenueType).as("rev"), col("ts"))
@@ -126,8 +128,9 @@ object StreamingLtv {
                      revenueType: String = "purchase",
                      watermark: String = "2 hours",
                      retentionMs: Long = 90L * 24 * 3600 * 1000,
-                     queryName: String = "ltv_cells"): DataFrame = {
-    val q = cellStream(spark, sourceDir, revenueType, watermark, retentionMs)
+                     queryName: String = "ltv_cells",
+                     schema: Option[StructType] = None): DataFrame = {
+    val q = cellStream(spark, sourceDir, revenueType, watermark, retentionMs, schema)
       .toDF().writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)

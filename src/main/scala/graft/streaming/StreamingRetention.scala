@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /**
  * Streaming cohort retention — the stateful counterpart of
@@ -97,12 +98,13 @@ object StreamingRetention {
     * GroupState with an event-time timeout (see class doc). */
   def cellStream(spark: SparkSession, sourceDir: String,
                  watermark: String = "2 hours",
-                 retentionMs: Long = 90L * 24 * 3600 * 1000): Dataset[Cell] = {
+                 retentionMs: Long = 90L * 24 * 3600 * 1000,
+                 schema: Option[StructType] = None): Dataset[Cell] = {
     implicit val cellEnc = Encoders.product[Cell]
     implicit val stateEnc = Encoders.product[RetentionState]
     implicit val longEnc = Encoders.scalaLong
-    val schema = spark.read.parquet(sourceDir).schema
-    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    val srcSchema = resolveSourceSchema(spark, sourceDir, schema)
+    val src = spark.readStream.schema(srcSchema).parquet(sourceDir)
       .withWatermark("ts", watermark)
     // ts rides along only to drive the timeout clock
     val evs = src.select(col("event_id"), col("user_id"),
@@ -135,8 +137,9 @@ object StreamingRetention {
   def cellsStreaming(spark: SparkSession, sourceDir: String,
                      watermark: String = "2 hours",
                      retentionMs: Long = 90L * 24 * 3600 * 1000,
-                     queryName: String = "retention_cells"): DataFrame = {
-    val q = cellStream(spark, sourceDir, watermark, retentionMs)
+                     queryName: String = "retention_cells",
+                     schema: Option[StructType] = None): DataFrame = {
+    val q = cellStream(spark, sourceDir, watermark, retentionMs, schema)
       .toDF().writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)

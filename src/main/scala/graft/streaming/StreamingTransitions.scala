@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /**
  * Streaming user-journey transitions — the stateful counterpart of
@@ -82,14 +83,15 @@ object StreamingTransitions {
   /** The unterminated streaming Dataset (no sink). */
   def transitionsStream(spark: SparkSession, sourceDir: String,
                         maxGapHours: Int = 24,
-                        watermark: String = "2 hours"): Dataset[Transition] = {
+                        watermark: String = "2 hours",
+                        schema: Option[StructType] = None): Dataset[Transition] = {
     implicit val outEnc = Encoders.product[Transition]
     implicit val stateEnc = Encoders.product[PrevState]
     implicit val longEnc = Encoders.scalaLong
     val gapUs = maxGapHours.toLong * 3600L * 1000000L
     val retMs = maxGapHours.toLong * 3600L * 1000L
-    val schema = spark.read.parquet(sourceDir).schema
-    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    val srcSchema = resolveSourceSchema(spark, sourceDir, schema)
+    val src = spark.readStream.schema(srcSchema).parquet(sourceDir)
       .withWatermark("ts", watermark)
     toTEvents(src)
       .groupByKey(_.user_id)
@@ -116,8 +118,9 @@ object StreamingTransitions {
   def transitionsStreaming(spark: SparkSession, sourceDir: String,
                            maxGapHours: Int = 24,
                            watermark: String = "2 hours",
-                           queryName: String = "transitions"): DataFrame = {
-    val q = transitionsStream(spark, sourceDir, maxGapHours, watermark)
+                           queryName: String = "transitions",
+                           schema: Option[StructType] = None): DataFrame = {
+    val q = transitionsStream(spark, sourceDir, maxGapHours, watermark, schema)
       .toDF().writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)

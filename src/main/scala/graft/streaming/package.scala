@@ -10,16 +10,27 @@ package graft
  * that used to live per-file are exactly where two such bugs crept in
  * (StreamingFunnel, StatefulPipelines — fixed r12).
  *
- * Known serving-bootstrap limitation: most stream builders infer their
- * source schema with `spark.read.parquet(sourceDir).schema`, which fails
- * when the directory is still empty at start time. [[CorpusIngest]] and
- * [[AnnServing]] take/declare explicit schemas for exactly this reason;
- * generalizing a `schema: Option[StructType]` parameter across the other
- * builders is the outstanding serving-hardening item.
+ * Serving bootstrap: every stream builder takes `schema:
+ * Option[StructType]`. Pass the source schema explicitly for always-on
+ * serving — an empty source directory at start time then works (files
+ * picked up as they arrive). When None, the schema is inferred from the
+ * existing parquet footers via [[resolveSourceSchema]], which requires at
+ * least one file to be present — fine for replay/backfill, wrong for a
+ * serving process that boots before its producer.
  */
 package object streaming {
 
   /** Epoch microseconds of a java.sql.Timestamp (getTime ms + sub-ms). */
   private[streaming] def micros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Source schema for a parquet-dir stream: the explicit one when given
+    * (empty-dir-safe serving bootstrap), else inferred from the files
+    * already in `sourceDir` (throws on an empty dir — batch/replay only). */
+  private[streaming] def resolveSourceSchema(
+      spark: org.apache.spark.sql.SparkSession,
+      sourceDir: String,
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.types.StructType =
+    schema.getOrElse(spark.read.parquet(sourceDir).schema)
 }
