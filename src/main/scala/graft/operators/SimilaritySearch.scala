@@ -179,17 +179,25 @@ object SimilaritySearch {
     * (seed-pinned, so the index build is reproducible run-to-run). Same
     * signature and (cid, vector) shape as [[ivfCentroids]] — pass the
     * result to [[ivfKnn]]'s `centroids` parameter. Training is the one-off
-    * index build: at 100 TB it runs on a sample (k-means quality saturates
-    * well below full-corpus scans), and only the k centroid vectors ever
-    * reach the driver. Centroids are NOT corpus rows, so unlike the prefix
-    * quantizer the result is not DuckDB-reproducible — which is why the
-    * deterministic prefix stays the oracle-facing default. */
+    * index build: at 100 TB it runs on a sample — pass `sampleFraction`
+    * (seed-pinned Bernoulli sample, so the build stays reproducible) to
+    * bound each k-means iteration to a fraction of the corpus instead of
+    * maxIter full scans; k-means quality saturates well below full-corpus
+    * scans. Only the k centroid vectors ever reach the driver. Centroids
+    * are NOT corpus rows, so unlike the prefix quantizer the result is not
+    * DuckDB-reproducible — which is why the deterministic prefix stays the
+    * oracle-facing default. */
   def kmeansCentroids(corpus: DataFrame, n: Int,
                       corpusVec: String = "embedding",
-                      seed: Long = 32L, maxIter: Int = 20): Array[(Long, Array[Float])] = {
+                      seed: Long = 32L, maxIter: Int = 20,
+                      sampleFraction: Option[Double] = None): Array[(Long, Array[Float])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val features = corpus
+    require(sampleFraction.forall(f => f > 0.0 && f <= 1.0),
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val base = sampleFraction.fold(corpus)(f =>
+      corpus.sample(withReplacement = false, f, seed))
+    val features = base
       .select(array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
     val model = new KMeans().setK(n).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").fit(features)
@@ -271,16 +279,25 @@ object SimilaritySearch {
     * run-to-run; like the trained IVF quantizer it is NOT corpus-row-
     * derived and hence not DuckDB-replayable, which is why the prefix
     * stays the oracle-gated default. Training is the one-off index build:
-    * at 100 TB it runs on a sample (k-means quality saturates far below
-    * full-corpus scans) and only m x ksub x (dim/m) doubles reach the
-    * driver. PqSpec pins reproducibility and that trained codebooks do
-    * not lose recall@5 to the prefix ones on the embeddings fixture. */
+    * at 100 TB it runs on a sample — pass `sampleFraction` (seed-pinned,
+    * applied once before the persist, so all m subspace fits train on the
+    * SAME sampled rows) to bound the m x maxIter k-means passes to a
+    * fraction of the corpus; k-means quality saturates far below
+    * full-corpus scans. Only m x ksub x (dim/m) doubles reach the driver.
+    * PqSpec pins reproducibility, that trained codebooks do not lose
+    * recall@5 to the prefix ones, and that a sampled build keeps that same
+    * recall floor on the embeddings fixture. */
   def pqCodebooksTrained(corpus: DataFrame, m: Int, ksub: Int,
                          corpusVec: String = "embedding",
-                         seed: Long = 32L, maxIter: Int = 20): Array[Array[Array[Double]]] = {
+                         seed: Long = 32L, maxIter: Int = 20,
+                         sampleFraction: Option[Double] = None): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     codebookBuilds.incrementAndGet()
+    require(sampleFraction.forall(f => f > 0.0 && f <= 1.0),
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val base = sampleFraction.fold(corpus)(f =>
+      corpus.sample(withReplacement = false, f, seed))
     val normSq = expr(
       s"aggregate($corpusVec, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
     // norm as a COLUMN, referenced from inside the lambda: embedding the
@@ -288,7 +305,7 @@ object SimilaritySearch {
     // every element (Catalyst does not hoist subtrees out of HOF lambdas
     // — the documented PQ-kernel pathology), turning an O(dim) normalize
     // into O(dim^2) per row
-    val nv = corpus.filter(col(corpusVec).isNotNull).filter(normSq > 0.0)
+    val nv = base.filter(col(corpusVec).isNotNull).filter(normSq > 0.0)
       .select(col(corpusVec).as("__v"), sqrt(normSq).as("__n"))
       .selectExpr("transform(__v, x -> CAST(x AS DOUBLE) / __n) AS nv")
       .persist()

@@ -50,16 +50,25 @@ object AnnServing {
 
   /** `books0` lets a serving run reuse a pre-trained index (e.g.
     * [[SimilaritySearch.pqCodebooksTrained]]); the default builds the
-    * deterministic prefix codebooks from the corpus. */
+    * deterministic prefix codebooks from the corpus.
+    *
+    * Returns THIS run's codebook-build tally (0 with pre-trained books,
+    * 1 otherwise) — the per-run observability hook AnnServingSpec pins,
+    * so the one-build contract is checkable without assuming the global
+    * [[SimilaritySearch.codebookBuilds]] counter is otherwise quiescent. */
   def annStreaming(spark: SparkSession, sourceDir: String,
                    corpus: DataFrame, outDir: String,
                    checkpointDir: String,
                    k: Int = 5, maxFilesPerTrigger: Int = 1,
                    m: Int = 8, ksub: Int = 16, rerank: Int = 32,
-                   books0: Option[Array[Array[Array[Double]]]] = None): Unit = {
+                   books0: Option[Array[Array[Array[Double]]]] = None): Long = {
     // index build, ONCE, before the stream starts: one codebook collect +
     // one encode pass, materialized so foreachBatch reads codes from cache
-    val books = books0.getOrElse(SimilaritySearch.pqCodebooks(corpus, m, ksub))
+    var built = 0L
+    val books = books0.getOrElse {
+      built += 1
+      SimilaritySearch.pqCodebooks(corpus, m, ksub)
+    }
     val codedCorpus = SimilaritySearch.pqEncodeCorpus(corpus, books).persist()
     codedCorpus.count()
     try {
@@ -76,5 +85,6 @@ object AnnServing {
         .start()
       q.awaitTermination()
     } finally codedCorpus.unpersist()
+    built
   }
 }

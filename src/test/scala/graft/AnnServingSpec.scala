@@ -21,15 +21,21 @@ class AnnServingSpec extends AnyFunSuite {
     try {
       queries.repartition(3).write.parquet(s"$base/src")
       val builds0 = SimilaritySearch.codebookBuilds.get()
-      AnnServing.annStreaming(spark, s"$base/src", corpus, s"$base/out", s"$base/ckpt")
+      val tally = AnnServing.annStreaming(spark, s"$base/src", corpus,
+        s"$base/out", s"$base/ckpt")
 
       val streamed = spark.read.parquet(s"$base/out")
       assert(streamed.select("batch_id").distinct().count() > 1,
         "expected multiple micro-batches")
       // THE serving contract: the PQ index is built once per run, never per
-      // micro-batch — multiple batches, exactly one codebook collect
+      // micro-batch — multiple batches, exactly one codebook collect.
+      // Primary evidence is the run's OWN tally (no global-quiescence
+      // assumption); the global-counter delta stays as a regression tripwire
+      // for a rebuild sneaking into foreachBatch (suites run sequentially
+      // in the forked test JVM, so the delta is stable here).
+      assert(tally === 1L, "PQ index must be built exactly once per serving run")
       assert(SimilaritySearch.codebookBuilds.get() - builds0 === 1L,
-        "PQ index must be built exactly once per serving run")
+        "no codebook build may happen inside the micro-batch loop")
       def key(df: org.apache.spark.sql.DataFrame) = df
         .select(col("query_id"), col("vec_id"), round(col("cosine"), 9), col("rn"))
         .as[(Long, Long, Double, Int)].collect().sorted.toSeq
@@ -52,6 +58,39 @@ class AnnServingSpec extends AnyFunSuite {
       val served = AnnServing.readServed(spark, s"$base/out")
       assert(served.schema("batch_id").dataType ===
         org.apache.spark.sql.types.LongType)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  test("serving on PRE-TRAINED codebooks: zero in-run builds, union == batch") {
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
+    val queries = corpus.filter(pmod(col("vec_id"), lit(50)) === 1)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_trained").toString
+    try {
+      queries.repartition(3).write.parquet(s"$base/src")
+      // train ONCE, offline — the index artifact a deployment would ship
+      val books = SimilaritySearch.pqCodebooksTrained(corpus, m = 8, ksub = 16,
+        sampleFraction = Some(0.5))
+      val builds0 = SimilaritySearch.codebookBuilds.get()
+      val tally = AnnServing.annStreaming(spark, s"$base/src", corpus,
+        s"$base/out", s"$base/ckpt", books0 = Some(books))
+      assert(tally === 0L, "pre-trained serving run must not build an index")
+      assert(SimilaritySearch.codebookBuilds.get() === builds0,
+        "no codebook build may happen anywhere inside the serving run")
+
+      val streamed = spark.read.parquet(s"$base/out")
+      assert(streamed.select("batch_id").distinct().count() > 1,
+        "expected multiple micro-batches")
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 9), col("rn"))
+        .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+      val want = key(SimilaritySearch.pqKnn(corpus, queries, 5, books = Some(books)))
+      assert(want.nonEmpty)
+      assert(key(streamed) === want,
+        "trained-books serving must equal batch pqKnn on the same books")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
