@@ -827,6 +827,46 @@ object Dedup {
   }
 
   /**
+   * [[corpusDedup]] with QUALITY-AWARE representative selection: a training
+   * pipeline should keep the BEST document of each near-dup cluster, not
+   * the smallest-id one (min-id is the cheapest deterministic choice; near
+   * duplicates differ precisely in the damage — truncation, boilerplate
+   * injection, encoding noise — so the kept copy should be the one the
+   * quality signal scores highest). `quality` is any deterministic
+   * per-document score over `df`'s columns (the driver gate composes
+   * [[TextAnalysis.withQualityFeatures]]' quality_score); representative =
+   * max quality, min id tiebreak.
+   *
+   * Scale shape: clustering is [[corpusDedup]] unchanged; selection adds
+   * ONE window over narrow (id, cluster, quality) rows — a single hash
+   * exchange on the cluster label, payloads never move (quality is
+   * computed scan-side, before the exchange).
+   *
+   * Output: (id, cluster, quality, is_kept) — one row per input document.
+   */
+  def corpusDedupQuality(df: DataFrame, textCol: String, idCol: String,
+                         quality: Column,
+                         shingleW: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                         jaccardThreshold: Double = 0.8,
+                         maxBucketSize: Int = 10000,
+                         maxIters: Int = 20,
+                         failOnNonConvergence: Boolean = false,
+                         checkpoint: Boolean = true): DataFrame = {
+    val pairs = minhashLsh(df, textCol, idCol, shingleW, numHashes, bands,
+      jaccardThreshold, maxBucketSize, metricTag = "corpus_dedup_quality")
+    val labels = clusters(df.select(col(idCol)), pairs, idCol,
+      maxIters = maxIters, failOnNonConvergence = failOnNonConvergence,
+      checkpoint = checkpoint)
+    val scored = df.select(col(idCol).as("id"), quality.as("quality"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("quality").desc, col("id").asc)
+    labels.join(scored, "id")
+      .withColumn("__rn", row_number().over(w))
+      .select(col("id").as(idCol), col("cluster"), col("quality"),
+        (col("__rn") === 1).as("is_kept"))
+  }
+
+  /**
    * Embedding-cosine near-duplicates above `threshold`, bucketed by random
    * hyperplane signs (LSH) so the pairwise check happens only inside
    * buckets. `planes` sign bits -> 2^planes buckets.

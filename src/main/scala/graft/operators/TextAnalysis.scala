@@ -151,9 +151,24 @@ object TextAnalysis {
           length(regexp_replace(t, "[^\\p{Punct}]", "")).cast("double") / length(t))
           .otherwise(lit(0.0)))
       .withColumn("stopword_ratio_q", stopword_ratio(t))
-      .withColumn("quality_score",
-        when(toks >= 5 && col("avg_token_len").between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0)) *
-          (lit(1.0) - least(col("punct_ratio") * 4, lit(1.0))))
+      .withColumn("quality_score", qualityScore(t))
+  }
+
+  /** The composite quality score as ONE scan-side Column over the raw
+    * text — the same formula [[withQualityFeatures]] appends (single
+    * definition, no drift), usable standalone where only the score is
+    * needed (e.g. [[Dedup.corpusDedupQuality]]'s representative choice). */
+  def qualityScore(t: Column): Column = {
+    val toks = tokenCount(t)
+    val avgLen =
+      when(toks > 0, length(regexp_replace(t, "\\s+", "")).cast("double") / toks)
+        .otherwise(lit(0.0))
+    val punct =
+      when(length(t) > 0,
+        length(regexp_replace(t, "[^\\p{Punct}]", "")).cast("double") / length(t))
+        .otherwise(lit(0.0))
+    when(toks >= 5 && avgLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0)) *
+      (lit(1.0) - least(punct * 4, lit(1.0)))
   }
 
   private def stopword_ratio(t: Column): Column = {

@@ -1213,6 +1213,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality-aware corpus dedup keeps the best-quality representative, id tiebreak") {
+    // family A (ids 1,2): same prose, but doc 1 is punctuation-damaged ->
+    // doc 2 must be kept even though doc 1 has the smaller id.
+    // family B (ids 11,12): identical text -> identical quality -> min-id
+    // tiebreak keeps 11. id 21: singleton keeps itself.
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, base + " !!!! #### $$$$ %%%% &&&& !!!! #### $$$$"),
+      (2L, base),
+      (11L, "an entirely different second family sentence with many plain words inside"),
+      (12L, "an entirely different second family sentence with many plain words inside"),
+      (21L, "a lone document that matches nothing else in this tiny corpus at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.corpusDedupQuality(docs, "text", "doc_id",
+        graft.operators.TextAnalysis.qualityScore(col("text")),
+        jaccardThreshold = 0.5)
+      .select("doc_id", "cluster", "quality", "is_kept")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.length === 5, "one row per input document")
+    // exactly one kept doc per cluster
+    out.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.count(_._4) === 1, s"cluster $cl kept != 1")
+    }
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 === 1L && byId(2L)._2 === 1L, "family A must cluster")
+    assert(byId(2L)._3 > byId(1L)._3, "fixture must give doc 2 higher quality")
+    assert(!byId(1L)._4 && byId(2L)._4,
+      "cluster A must keep the higher-quality doc 2, not min-id doc 1")
+    assert(byId(11L)._4 && !byId(12L)._4, "equal quality -> min-id tiebreak")
+    assert(byId(21L)._4, "singleton keeps itself")
+  }
+
   test("dedup clustering warns/throws on non-convergence (diameter > maxIters)") {
     // a 30-node chain has diameter 29: min-label propagation cannot finish
     // in 3 rounds, so the strict flag must throw instead of silently
