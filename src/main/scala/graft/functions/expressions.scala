@@ -370,6 +370,65 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Residual PQ code assignment ([[VectorMath.pqEncodeResidual]]) fused
+  * into one kernel pass — FAISS's `by_residual=true` encode: the codes
+  * quantize (normalized vector − normalized assigned centroid), so the
+  * codebooks only have to cover the within-cell spread, not the whole
+  * sphere. Inputs: (vector, assigned cell id); centroids and codebooks
+  * ride as codegen reference objects (driver-sized). Null contract as
+  * [[PqEncode]], plus null for a cell id not in the quantizer. */
+case class PqEncodeResidual(vec: Expression, cell: Expression,
+                            cids: Array[Long], cvecs: Array[Array[Float]],
+                            books: Array[Array[Array[Double]]])
+    extends BinaryExpression with ExpectsInputTypes {
+  override def left: Expression = vec
+  override def right: Expression = cell
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), LongType)
+  override def dataType: DataType = ArrayType(IntegerType)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any, c: Any): Any =
+    VectorMath.pqEncodeResidual(v.asInstanceOf[ArrayData].toFloatArray(),
+      c.asInstanceOf[Long], cids, cvecs, books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", cids, "long[]")
+    val vecsRef = ctx.addReferenceObj("centVecs", cvecs, "float[][]")
+    val b = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (v, c) => s"""
+      ${ev.value} = graft.functions.VectorMath.pqEncodeResidual($v.toFloatArray(), $c, $idsRef, $vecsRef, $b);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+  override def prettyName: String = "pq_encode_res"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, cell = r)
+}
+
+/** cosine(vector, centroid(cell)) as a kernel ([[VectorMath.centroidDot]])
+  * — the per-(query, probe-cell) constant of the residual-ADC sum. */
+case class CentroidDot(vec: Expression, cell: Expression,
+                       cids: Array[Long], cvecs: Array[Array[Float]])
+    extends BinaryExpression with ExpectsInputTypes {
+  override def left: Expression = vec
+  override def right: Expression = cell
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), LongType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any, c: Any): Any =
+    VectorMath.centroidDot(v.asInstanceOf[ArrayData].toFloatArray(),
+      c.asInstanceOf[Long], cids, cvecs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", cids, "long[]")
+    val vecsRef = ctx.addReferenceObj("centVecs", cvecs, "float[][]")
+    val tmp = ctx.freshName("cdot")
+    nullSafeCodeGen(ctx, ev, (v, c) => s"""
+      java.lang.Double $tmp = graft.functions.VectorMath.centroidDot($v.toFloatArray(), $c, $idsRef, $vecsRef);
+      ${ev.isNull} = $tmp == null;
+      ${ev.value} = ${ev.isNull} ? -1.0 : $tmp.doubleValue();""")
+  }
+  override def prettyName: String = "centroid_dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, cell = r)
+}
+
 /** Per-query ADC lookup tables fused into one kernel: L2-normalize, then
   * tables[j][code] = dot(query subvector j, codebook entry) — the
   * asymmetric-distance preparation computed once per query row. Same
@@ -567,6 +626,13 @@ object VectorMath {
   def pqEncode(a: Array[Float], books: Array[Array[Array[Double]]]): ArrayData = {
     val nv = normalized(a)
     if (nv == null) return null
+    encodeCodes(nv, books)
+  }
+
+  /** The per-subspace argmin tail shared by [[pqEncode]] (codes of the
+    * normalized vector) and [[pqEncodeResidual]] (codes of the residual). */
+  private def encodeCodes(nv: Array[Double],
+                          books: Array[Array[Array[Double]]]): ArrayData = {
     val m = books.length
     val sub = books(0)(0).length
     val codes = new Array[Int](m)
@@ -588,6 +654,39 @@ object VectorMath {
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  /** Residual PQ codes (FAISS `by_residual=true`): L2-normalize, subtract
+    * the NORMALIZED centroid of the row's assigned `cell`, then the same
+    * per-subspace argmin as [[pqEncode]]. Null for null / zero-norm input,
+    * an unknown cell id, or a zero-norm centroid. */
+  def pqEncodeResidual(a: Array[Float], cell: Long, cids: Array[Long],
+                       cvecs: Array[Array[Float]],
+                       books: Array[Array[Array[Double]]]): ArrayData = {
+    val nv = normalized(a)
+    if (nv == null) return null
+    var ci = -1
+    var i = 0
+    while (i < cids.length && ci < 0) { if (cids(i) == cell) ci = i; i += 1 }
+    if (ci < 0) return null
+    val cnv = normalized(cvecs(ci))
+    if (cnv == null || cnv.length != nv.length) return null
+    i = 0
+    while (i < nv.length) { nv(i) -= cnv(i); i += 1 }
+    encodeCodes(nv, books)
+  }
+
+  /** cosine(vector, centroid(cell)) — the per-(query, cell) constant term
+    * of the residual-ADC decomposition q·x ~= q·c + q·r. Null (boxed) for
+    * an unknown cell id; sequential index-order accumulation as
+    * [[cosine]]. */
+  def centroidDot(a: Array[Float], cell: Long, cids: Array[Long],
+                  cvecs: Array[Array[Float]]): java.lang.Double = {
+    var ci = -1
+    var i = 0
+    while (i < cids.length && ci < 0) { if (cids(i) == cell) ci = i; i += 1 }
+    if (ci < 0) return null
+    cosine(a, cvecs(ci))
   }
 
   /** ADC lookup tables: tables[j][code] = dot(normalized subvector j,

@@ -54,6 +54,13 @@ package object functions {
     c(NearestCentroids(e(v), cents.map(_._1), cents.map(_._2), n))
   def pq_encode(v: Column, books: Array[Array[Array[Double]]]): Column =
     c(PqEncode(e(v), books))
+  /** Residual (by_residual=true) PQ codes of (v − centroid(cell)). */
+  def pq_encode_res(v: Column, cell: Column, cents: Array[(Long, Array[Float])],
+                    books: Array[Array[Array[Double]]]): Column =
+    c(PqEncodeResidual(e(v), e(cell), cents.map(_._1), cents.map(_._2), books))
+  /** cosine(v, centroid(cell)) — the residual-ADC constant term. */
+  def centroid_dot(v: Column, cell: Column, cents: Array[(Long, Array[Float])]): Column =
+    c(CentroidDot(e(v), e(cell), cents.map(_._1), cents.map(_._2)))
   def pq_adc_tables(v: Column, books: Array[Array[Array[Double]]]): Column =
     c(PqAdcTables(e(v), books))
   def pq_adc(tables: Column, codes: Column): Column = c(PqAdc(e(tables), e(codes)))

@@ -369,11 +369,12 @@ object SimilaritySearch {
   private def adcRerank(candidates0: DataFrame, corpus: DataFrame,
                         queries: DataFrame, rerank: Int, k: Int,
                         queryId: String, corpusId: String,
-                        corpusVec: String, queryVec: String): DataFrame = {
+                        corpusVec: String, queryVec: String,
+                        adc: Column = pq_adc(col("__tables"), col("__codes"))): DataFrame = {
     val wAdc = Window.partitionBy(col(queryId))
       .orderBy(col("__adc").desc, col(corpusId).asc)
     val pruned = candidates0
-      .withColumn("__adc", pq_adc(col("__tables"), col("__codes")))
+      .withColumn("__adc", adc)
       .filter(col("__adc").isNotNull)
       .select(col(queryId), col(corpusId), col("__adc"))
       .withColumn("__arn", row_number().over(wAdc))
@@ -427,12 +428,14 @@ object SimilaritySearch {
    * the coarse quantizer prunes the corpus to `nprobe` of `nCentroids`
    * cells per query and PQ's ADC tables score only the surviving cells'
    * code rows, so a query touches ~(nprobe/nCentroids) of the corpus AND
-   * reads only m bytes per touched vector. Encoding is by raw vector, not
-   * residual (FAISS's `by_residual=false` variant): residual encoding
-   * would break the normalize-then-slice trick that makes ADC approximate
-   * cosine, and — with codebooks shared across cells — the raw-vector
-   * variant keeps the whole index one deterministic expression per side.
-   * Exact re-rank of the top `rerank` ADC survivors, as [[pqKnn]].
+   * reads only m bytes per touched vector. Encoding here is by raw vector
+   * (FAISS's `by_residual=false`): one deterministic expression per side,
+   * and the stronger variant on data without cluster structure.
+   * [[ivfPqKnnResidual]] is the `by_residual=true` counterpart — it
+   * decomposes q·x ~= q·c + q·r so normalization still holds, and wins
+   * when cells are genuinely tighter than the sphere (PqSpec pins both
+   * regimes). Exact re-rank of the top `rerank` ADC survivors, as
+   * [[pqKnn]].
    */
   def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                nCentroids: Int = 16, nprobe: Int = 4,
@@ -457,6 +460,92 @@ object SimilaritySearch {
       c.select(col(corpusId), col("cell"), col("__codes"))
         .join(broadcast(q), Seq("cell")),
       corpus, queries, rerank, k, queryId, corpusId, corpusVec, queryVec)
+  }
+
+  /** Deterministic RESIDUAL codebooks for [[ivfPqKnnResidual]]: subspace
+    * `j`'s codewords are the j-th slices of the residuals (normalized
+    * vector − normalized assigned centroid) of `ksub` valid corpus vectors
+    * by id, SKIPPING the first `skip` — the quantizer's own prototype rows
+    * have ZERO residual (each is its own nearest centroid), so reusing
+    * [[pqCodebooks]]' first-ksub prefix would collapse every codeword to
+    * ~0 and destroy the quantizer. Defaults skip = nlist. Same
+    * deterministic / DuckDB-replayable trade as [[pqCodebooks]]; the
+    * centroid lookup runs the exact [[graft.functions.VectorMath
+    * .nearestCentroids]] executor kernel on the driver so assignment
+    * tiebreaks cannot drift between build and encode. */
+  def pqResidualCodebooks(corpus: DataFrame, cents: Array[(Long, Array[Float])],
+                          m: Int, ksub: Int, skip: Int = -1,
+                          corpusId: String = "vec_id",
+                          corpusVec: String = "embedding"): Array[Array[Array[Double]]] = {
+    codebookBuilds.incrementAndGet()
+    val off = if (skip >= 0) skip else cents.length
+    val cids = cents.map(_._1)
+    val cvecs = cents.map(_._2)
+    val normSq = expr(
+      s"aggregate($corpusVec, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    val protos = corpus.filter(col(corpusVec).isNotNull).filter(normSq > 0.0)
+      .orderBy(col(corpusId)).offset(off).limit(ksub)
+      .select(col(corpusVec)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(protos.length == ksub,
+      s"residual PQ codebooks need $ksub prototype vectors after skipping " +
+        s"$off, corpus has ${protos.length}")
+    val residuals = protos.map { v =>
+      val cell = graft.functions.VectorMath
+        .nearestCentroids(v, cids, cvecs, 1).getLong(0)
+      val ci = cids.indexOf(cell)
+      val nv = v.map(_.toDouble)
+      val n = math.sqrt(nv.map(x => x * x).sum)
+      val cnv = cvecs(ci).map(_.toDouble)
+      val cn = math.sqrt(cnv.map(x => x * x).sum)
+      Array.tabulate(nv.length)(i => nv(i) / n - cnv(i) / cn)
+    }
+    require(residuals.head.length % m == 0,
+      s"PQ needs dim divisible by m, got dim=${residuals.head.length} m=$m")
+    val sub = residuals.head.length / m
+    Array.tabulate(m)(j => residuals.map(_.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /**
+   * IVF-PQ with RESIDUAL encoding — FAISS's `by_residual=true`, its
+   * default and the variant that preserves recall at production nlist:
+   * each corpus vector stores PQ codes of (normalized vector − normalized
+   * assigned centroid), so the shared codebooks only span the WITHIN-CELL
+   * spread (diameter shrinks as nlist grows) instead of the whole unit
+   * sphere. Scoring decomposes q·x ~= q·c + q·r: the per-(query, probe
+   * cell) constant comes from the [[graft.functions.CentroidDot]] kernel
+   * and the residual term from the same ADC tables/codes machinery as
+   * [[ivfPqKnn]] — tables are built against the RESIDUAL codebooks and do
+   * not depend on the cell, so a query still computes them once.
+   *
+   * Scale shape: identical to [[ivfPqKnn]] — cell equi-join against the
+   * broadcast probe side, ADC stage projected to (queryId, corpusId,
+   * __adc) before its window (no array column in any hash shuffle), exact
+   * re-rank of the top `rerank` survivors via broadcast joins.
+   */
+  def ivfPqKnnResidual(corpus: DataFrame, queries: DataFrame, k: Int,
+                       nCentroids: Int = 16, nprobe: Int = 4,
+                       m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+                       corpusId: String = "vec_id", corpusVec: String = "embedding",
+                       queryId: String = "query_id", queryVec: String = "query_vec",
+                       centroids: Option[Array[(Long, Array[Float])]] = None,
+                       books0: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(corpus, nCentroids, corpusId, corpusVec))
+    val books = books0.getOrElse(
+      pqResidualCodebooks(corpus, cents, m, ksub, corpusId = corpusId, corpusVec = corpusVec))
+    val c = corpus
+      .withColumn("cell", cellExpr(col(corpusVec), cents))
+      .withColumn("__codes", pq_encode_res(col(corpusVec), col("cell"), cents, books))
+    val q = queries
+      .withColumn("cell", probeExpr(col(queryVec), cents, nprobe))
+      .select(col(queryId), col("cell"),
+        pq_adc_tables(col(queryVec), books).as("__tables"),
+        centroid_dot(col(queryVec), col("cell"), cents).as("__cdot"))
+    adcRerank(
+      c.select(col(corpusId), col("cell"), col("__codes"))
+        .join(broadcast(q), Seq("cell")),
+      corpus, queries, rerank, k, queryId, corpusId, corpusVec, queryVec,
+      adc = col("__cdot") + pq_adc(col("__tables"), col("__codes")))
   }
 
   /**

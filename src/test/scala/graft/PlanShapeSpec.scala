@@ -248,6 +248,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assertNoVectorShuffle(df)
   }
 
+  test("residual IVF-PQ keeps the same shuffle shape as the raw-vector variant") {
+    val df = SparkEntry.queries("ss_knn_ivfpq_res")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // residual encode + cell assignment stay scan-local: no exchange below
+    // the cell equi-join's corpus side
+    val joins = preparedPlan(SparkEntry.queries("ss_knn_ivfpq_res")(spark, sf)).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("cell")) => j
+    }
+    assert(joins.nonEmpty, p)
+    val exchangesBelow = joins.head.left.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchangesBelow.isEmpty,
+      s"corpus shuffled before the residual IVF-PQ cell join:\n${joins.head.left}")
+    // THE r13 contract: residual tables/cdot ride the broadcast side only —
+    // still no array column in any hash shuffle
+    assertNoVectorShuffle(df)
+  }
+
   test("boilerplate n-grams: distinct-count aggregates partially before the exchange") {
     val df = SparkEntry.queries("tx_boilerplate_ngrams")(spark, sf)
     val p = plan(df)

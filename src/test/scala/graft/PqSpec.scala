@@ -57,6 +57,51 @@ class PqSpec extends AnyFunSuite {
     assert(allCells === plain, "probing every cell must reduce IVF-PQ to plain PQ")
   }
 
+  test("residual IVF-PQ: beats raw encoding on clustered data, floor on uniform") {
+    // WHERE by_residual=true earns its keep: residual codes quantize the
+    // WITHIN-CELL spread, so they win exactly when cells are genuinely
+    // tighter than the whole sphere. The uniform-random fixture is the
+    // adversarial NON-clustered case — residuals there have norm ~sqrt(2)
+    // (larger than the unit raw vectors), so quantization error grows and
+    // residual recall measures BELOW raw (0.44 vs 0.52 at sf0.01; FAISS
+    // documents the same regime-dependence). Pin both regimes honestly:
+    // a floor on uniform, superiority on a clustered fixture.
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
+    val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = pairs(SimilaritySearch.bruteForceKnn(corpus, queries, 5))
+    val resU = pairs(SimilaritySearch.ivfPqKnnResidual(corpus, queries, 5))
+    val uniformRecall = (exact & resU).size.toDouble / exact.size
+    info(f"residual IVF-PQ recall@5 on the uniform fixture: $uniformRecall%.3f")
+    assert(uniformRecall >= 0.40,
+      f"residual recall $uniformRecall%.3f below the uniform-fixture floor")
+
+    // clustered fixture, derived deterministically from the corpus: 16
+    // anchor rows + 0.5x noise — cells ARE the clusters, cell diameter
+    // << sphere diameter, the production-embedding regime
+    val anchors = corpus.orderBy("vec_id").limit(16).collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    val bcast = spark.sparkContext.broadcast(anchors)
+    val clustered = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val a = bcast.value((id % 16).toInt)
+        (id, Array.tabulate(a.length)(i => a(i) + 0.5f * v(i)))
+      }.toDF("vec_id", "embedding").cache()
+    try {
+      val cq = clustered.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val ex = pairs(SimilaritySearch.bruteForceKnn(clustered, cq, 5))
+      def rc(p: Set[(Long, Long)]) = (ex & p).size.toDouble / ex.size
+      val raw = rc(pairs(SimilaritySearch.ivfPqKnn(clustered, cq, 5, rerank = 16)))
+      val res = rc(pairs(SimilaritySearch.ivfPqKnnResidual(clustered, cq, 5, rerank = 16)))
+      info(f"clustered fixture recall@5: residual $res%.3f vs raw $raw%.3f")
+      assert(res >= raw,
+        f"residual encoding ($res%.3f) must not lose to raw ($raw%.3f) on clustered data")
+      assert(res >= 0.70, f"residual recall $res%.3f below the clustered floor")
+    } finally clustered.unpersist()
+  }
+
   test("trained PQ codebooks: seed-pinned reproducible; recall does not lose to prefix") {
     val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
     val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
