@@ -67,30 +67,41 @@ object MatchPipeline {
     * SMALL input. A 100 TB username table arriving already spread over
     * thousands of scan/shuffle partitions needs no rebalancing, so the
     * exchange is SIZE-AWARE: it is skipped when the input's planned (pre-
-    * AQE) partition count is already >= 2x defaultParallelism (both shapes
-    * pinned in PlanShapeSpec). An explicit numPartitions repartition is
-    * never AQE-coalesced, so the small-input fix cannot regress. */
+    * AQE) partition count is already >= 2x defaultParallelism AND that
+    * count cannot shrink under AQE (scan splits or an explicit
+    * numPartitions repartition — shapes pinned in PlanShapeSpec). An
+    * explicit numPartitions repartition is never AQE-coalesced, so the
+    * small-input fix cannot regress. */
   def scoredPairs(usernames: DataFrame, employees: DataFrame): DataFrame = {
     val spark = usernames.sparkSession
     val parallelism = spark.sparkContext.defaultParallelism
     // static planned partition count: queryExecution.sparkPlan is the
     // pre-adaptive physical plan, so reading it triggers no execution (the
     // adaptive plan's .rdd would run every upstream stage eagerly)
-    val planned = usernames.queryExecution.sparkPlan.outputPartitioning.numPartitions
-    // The skip is only trustworthy when `planned` is DATA-driven (scan
-    // splits, an explicit repartition). When it exactly equals the
-    // session's spark.sql.shuffle.partitions it is almost certainly just
-    // the static default of an upstream exchange — which AQE will coalesce
-    // at runtime (a few-KB distinct can collapse to ONE task and serialize
-    // the whole O(U x E) scoring stage under a vanilla 200-partition
-    // session), so that case forces the explicit repartition too (an
-    // explicit numPartitions repartition is never AQE-coalesced).
-    val confParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val plannedPlan = usernames.queryExecution.sparkPlan
+    val planned = plannedPlan.outputPartitioning.numPartitions
+    // The skip is only trustworthy when `planned` cannot shrink under AQE
+    // at runtime: scan-derived splits (no exchange supplies the count) or
+    // an explicit numPartitions repartition (REPARTITION_BY_NUM — never
+    // AQE-coalesced). An optimizer-inserted or column-only exchange plans
+    // at the static spark.sql.shuffle.partitions default and CAN coalesce
+    // to one task on a small input — serializing the whole O(U x E)
+    // scoring stage under a vanilla 200-partition session — so those force
+    // the explicit repartition whatever count they print. Inspecting the
+    // exchange's shuffleOrigin (not comparing counts, the r12 form) means
+    // a genuinely data-driven input whose count happens to EQUAL the conf
+    // value is no longer force-shuffled — at 100 TB that was a full extra
+    // exchange of the big side.
+    val aqeCollapsible = {
+      import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeExec}
+      plannedPlan.collectFirst { case e: ShuffleExchangeExec => e }
+        .exists(_.shuffleOrigin != REPARTITION_BY_NUM)
+    }
     // 4 waves of fine-grained tasks: with one task per core a single
     // straggler (GC pause, CPU steal) stretches the whole stage; finer
     // slices rebalance.
     val stream =
-      if (planned >= 2 * parallelism && planned != confParts) usernames
+      if (planned >= 2 * parallelism && !aqeCollapsible) usernames
       else usernames.repartition(4 * parallelism)
     val u = prepareUsernames(stream)
     val e = prepareEmployees(employees)

@@ -75,6 +75,27 @@ class PlanShapeSpec extends AnyFunSuite {
     val pWide = plan(graft.pipeline.MatchPipeline.scoredPairs(wide, employees))
     assert(!pWide.contains("RoundRobinPartitioning"),
       s"wide input paid a forced round-robin exchange:\n$pWide")
+
+    // guard refinement (r13): a DATA-DRIVEN input whose pinned partition
+    // count coincidentally EQUALS spark.sql.shuffle.partitions must NOT be
+    // force-shuffled (the r12 count-comparison form misfired here — a full
+    // extra exchange of the big side at 100 TB)...
+    val prevConf = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val n = 2 * spark.sparkContext.defaultParallelism
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      val pinnedAtConf = narrow.repartition(n, col("username"))
+      val pPinned = plan(graft.pipeline.MatchPipeline.scoredPairs(pinnedAtConf, employees))
+      assert(!pPinned.contains("RoundRobinPartitioning"),
+        s"numPartitions-pinned input at exactly confParts was force-shuffled:\n$pPinned")
+      // ...while an AQE-COALESCIBLE exchange at the same width (column-only
+      // repartition plans at the conf default and may collapse to one task
+      // on a small input) still forces the explicit repartition
+      val collapsible = narrow.repartition(col("username"))
+      val pColl = plan(graft.pipeline.MatchPipeline.scoredPairs(collapsible, employees))
+      assert(pColl.contains("RoundRobinPartitioning"),
+        s"AQE-collapsible exchange skipped the serialize-proof repartition:\n$pColl")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevConf)
   }
 
   test("per-group top-k installs the pre-shuffle WindowGroupLimit") {
