@@ -124,6 +124,38 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zN.toDouble / zTot <= 0.5, s"$zN/$zTot")
   }
 
+  test("sf0.1 events 3-dim layout: the src_zorder_scan3 box prunes where linear cannot") {
+    // the end-to-end pin behind the src_zorder_scan3 driver query: same
+    // (ux, dy, hz) dims and box, real data, file-level min-max evidence
+    val dims = graft.SparkEntry.zorderScanDims3(spark, SparkTestBase.Sf01)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder3_sf01").toString
+    val numFiles = 16
+    ZOrderLayout.writeZOrdered(dims, s"$dir/z", Seq("ux", "dy", "hz"),
+      numFiles, bits = 8)
+    dims.repartitionByRange(numFiles, col("ux"), col("dy"), col("hz"))
+      .sortWithinPartitions("ux", "dy", "hz")
+      .write.mode("overwrite").parquet(s"$dir/linear")
+    val zDf = spark.read.parquet(s"$dir/z")
+    val lDf = spark.read.parquet(s"$dir/linear")
+    // the driver query's 3-d box
+    val box = Seq(("ux", 4.0, 11.0), ("dy", 18.0, 25.0), ("hz", 6.0, 17.0))
+    val (zAdm, zTot) = ZOrderLayout.admittedFilesN(zDf, box)
+    val (lAdm, lTot) = ZOrderLayout.admittedFilesN(lDf, box)
+    info(s"sf0.1 events 3-d box admits $zAdm/$zTot z files vs $lAdm/$lTot linear")
+    assert(zAdm.toDouble / zTot <= 0.5, s"$zAdm/$zTot")
+    // the strict pin: constrain only the SECOND+THIRD dims — a linear
+    // (ux, dy, hz) sort leads on ux, so every file spans the full dy/hz
+    // ranges and admits; the 3-dim Morton key bounds all three per file
+    val tail = Seq(("ux", 0.0, 255.0), ("dy", 18.0, 25.0), ("hz", 6.0, 17.0))
+    val (zB, _) = ZOrderLayout.admittedFilesN(zDf, tail)
+    val (lB, _) = ZOrderLayout.admittedFilesN(lDf, tail)
+    info(s"sf0.1 events dy/hz-slice admits $zB/$zTot z files vs $lB/$lTot linear")
+    assert(lB === lTot, "linear layout cannot prune secondary/tertiary-dim predicates")
+    assert(zB < lB, s"3-dim z-order must admit strictly fewer files ($zB vs $lB)")
+    // layout invariance: a reordering changes no rows
+    assert(zDf.count() === dims.count())
+  }
+
   test("quantile normalization keeps the key skew-robust") {
     // heavily skewed A (zipf-ish): equal-width bucketing would starve most
     // buckets; quantile cuts keep every z-cell populated, so the range
