@@ -158,20 +158,24 @@ object Bpe {
     }
   }
 
-  /** Full tokenization: per document, the BPE token STRINGS in order
-    * (joined on '|' so the column is scalar and engine-comparable) plus
-    * the token count — what sequence building actually consumes, where
-    * [[applyTokenCount]] only audits budget. Same one-projection shape:
-    * the surviving marker-wrapped symbols ARE the tokens, extracted with
-    * one regexp pass over the folded string. Null text tokenizes to the
-    * empty sequence (0 tokens), not NULL — an absent document contributes
-    * nothing to a sequence, the same convention as the oracle's COALESCE. */
+  /** Full tokenization: per document, the BPE token STRINGS in order as an
+    * array<string> column plus the token count — what sequence building
+    * actually consumes, where [[applyTokenCount]] only audits budget. An
+    * array (not a joined scalar) because document text can contain any
+    * separator a consumer might split on — '|' included — which would make
+    * token boundaries ambiguous downstream; the driver's oracle projection
+    * joins the array only for engine comparison. Same one-projection
+    * shape: the surviving marker-wrapped symbols ARE the tokens, extracted
+    * with one regexp pass over the folded string. Null text tokenizes to
+    * the empty sequence (0 tokens), not NULL — an absent document
+    * contributes nothing to a sequence, the same convention as the
+    * oracle's COALESCE. */
   def applyTokens(docs: DataFrame, merges: Seq[(Int, String, String)],
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sN = coalesce(foldedSymbols(textCol, merges), lit(""))
     val toks = regexp_extract_all(sN, lit(s"$S([^$S$E]+)$E"), lit(1))
     docs.select(col(idCol),
-      array_join(toks, "|").as("tokens"),
+      toks.as("tokens"),
       size(toks).cast("long").as("n_tokens_bpe"))
   }
 

@@ -82,12 +82,13 @@ class BpeSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val merges = Seq((1, "l", "o"), (2, "lo", "w"))
     val toks = Bpe.applyTokens(docs, merges).collect()
-      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      .map(r => r.getLong(0) -> ((r.getSeq[String](1).toList, r.getLong(2)))).toMap
     // doc1: "low"->[low], "lower"->[low,e,r]; doc2 untouched chars;
-    // doc3 (null text): empty sequence, never NULL
-    assert(toks(1L) === (("low|low|e|r", 4L)))
-    assert(toks(2L) === (("w|e|s|t", 4L)))
-    assert(toks(3L) === (("", 0L)))
+    // doc3 (null text): empty sequence, never NULL. The column is an
+    // ARRAY: document text may itself contain any scalar join separator
+    assert(toks(1L) === ((List("low", "low", "e", "r"), 4L)))
+    assert(toks(2L) === ((List("w", "e", "s", "t"), 4L)))
+    assert(toks(3L) === ((Nil, 0L)))
     // count parity with the count-only path on a non-null corpus
     val corpus = Seq((1L, "low lower"), (2L, "west")).toDF("doc_id", "text")
     val a = Bpe.applyTokens(corpus, merges).select("doc_id", "n_tokens_bpe")
