@@ -596,6 +596,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), s"must be a full-outer id join:\n$p")
   }
 
+  test("quality-aware corpus dedup: quality computed scan-side, text never shuffles") {
+    // the representative-selection window partitions by cluster over
+    // narrow (id, cluster, quality) rows; the quality score must be
+    // computed BELOW every exchange — if `text` appears in any Exchange
+    // input schema the payload is crossing the wire and the selection is
+    // wrong at 100 TB. (The clustering core's own checkpointed exchanges
+    // are narrow (id, label) by construction — pinned via dd_corpus_dedup.)
+    val df = SparkEntry.queries("dd_corpus_dedup_quality")(spark, sf)
+    val p = plan(df)
+    val exchangeInputs = preparedPlan(
+      SparkEntry.queries("dd_corpus_dedup_quality")(spark, sf))
+      .collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.child.output.map(_.name)
+      }
+    assert(exchangeInputs.nonEmpty, p)
+    exchangeInputs.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"document text crosses an exchange: $cols\n$p")
+    }
+  }
+
   test("attribution: joinless, ONE scan, windows share one user exchange") {
     val p = plan(SparkEntry.queries("ev_attribution")(spark, sf))
     assert(!p.contains("Join"), s"attribution must be joinless:\n$p")
