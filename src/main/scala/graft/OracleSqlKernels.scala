@@ -54,6 +54,29 @@ object OracleSqlKernels {
   def toUnsigned(s: String): String =
     s"CAST(CASE WHEN $s < 0 THEN CAST($s AS HUGEINT) + $U64 ELSE CAST($s AS HUGEINT) END AS UBIGINT)"
 
+  /** Recursive-CTE pair replaying the exact fixed-point log2 lattice
+    * (graft.functions.FpMath.log2fp — the 30-step mantissa-squaring
+    * recurrence, truncating BIGINT ops only) over the values of
+    * `srcSelect`, a SELECT yielding one BIGINT column `v` with v >= 1.
+    * Emits two CTE definitions `${name}_r` (the recursion) and `$name`
+    * (v, lfp); the enclosing query must open with WITH RECURSIVE. */
+  def log2fpCte(name: String, srcSelect: String): String =
+    s"""${name}_r AS (
+         SELECT v, CAST(length(bin(v)) - 1 AS BIGINT) AS n,
+                CASE WHEN length(bin(v)) - 1 <= 30
+                     THEN v * (CAST(1 AS BIGINT) << (30 - (length(bin(v)) - 1)))
+                     ELSE v // (CAST(1 AS BIGINT) << ((length(bin(v)) - 1) - 30)) END AS m,
+                CAST(0 AS BIGINT) AS frac, 0 AS i
+         FROM ($srcSelect)
+         UNION ALL
+         SELECT v, n,
+                CASE WHEN ((m * m) >> 30) >= 2147483648
+                     THEN (m * m) >> 31 ELSE (m * m) >> 30 END,
+                frac * 2 + CASE WHEN ((m * m) >> 30) >= 2147483648 THEN 1 ELSE 0 END,
+                i + 1
+         FROM ${name}_r WHERE i < 30),
+       $name AS (SELECT v, n * 1073741824 + frac AS lfp FROM ${name}_r WHERE i = 30)"""
+
   /** Lowercased whitespace tokens of `textExpr` (TextAlgos.tokens). */
   def tokensSql(textExpr: String): String =
     s"""list_filter(regexp_split_to_array(lower($textExpr), '\\s+'), x -> len(x) > 0)"""

@@ -21,7 +21,7 @@ object TextAlgos {
     h
   }
 
-  private def mix64(z0: Long): Long = {
+  def mix64(z0: Long): Long = {
     var z = z0
     z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
     z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L

@@ -44,6 +44,10 @@ package object functions {
   def shingle_set(a: Column, w: Column): Column = c(ShingleSet(e(a), e(w)))
   def word_shingles(a: Column, w: Column): Column = c(WordShingles(e(a), e(w)))
 
+  // ---- exact fixed-point math ----
+  def log2fp(a: Column): Column = c(Log2Fp(e(a)))
+  def mix64(a: Column): Column = c(Mix64(e(a)))
+
   // ---- vectors / embeddings ----
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
   def hyperplane_bucket(v: Column, planes: Column, seed: Column): Column =
@@ -108,6 +112,8 @@ package object functions {
     reg2("hyperplane_bucket", a => HyperplaneBucket(a(0), a(1), a(2)))
     reg2("zorder_key", a => ZOrderKey(a(0), a(1), a(2)))
     reg2("zorder_key_n", a => ZOrderKeyN(a(0), a(1)))
+    reg2("log2fp", a => Log2Fp(a(0)))
+    reg2("mix64", a => Mix64(a(0)))
     reg2("topk_by", a => TopKByOrd(a(0), a(1), a(2)).toAggregateExpression())
     reg2("heavy_hitters", a => HeavyHittersAgg(a(0), a(1)).toAggregateExpression())
   }

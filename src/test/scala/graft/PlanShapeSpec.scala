@@ -618,6 +618,29 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir: text never crosses an exchange, LLR and threshold joins broadcast") {
+    // checkpoint=false exposes the full pipeline as ONE plan: every
+    // shuffle must carry (id, bucket) / census rows, never the document
+    // text; the 4096-row LLR table and the one-row threshold must both
+    // arrive via broadcast, not hash shuffles
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val prepared = preparedPlan(
+      graft.operators.Dsir.importanceWeights(docs, "text", "doc_id",
+        isTarget = col("lang") === "en", buckets = 4096, topK = 100,
+        checkpoint = false))
+    val exchanges = prepared.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name)
+    }
+    exchanges.foreach { cols =>
+      assert(!cols.contains("text"), s"document text crosses an exchange: $cols")
+    }
+    val p = prepared.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"LLR/threshold joins must broadcast:\n$p")
+  }
+
   test("attribution: joinless, ONE scan, windows share one user exchange") {
     val p = plan(SparkEntry.queries("ev_attribution")(spark, sf))
     assert(!p.contains("Join"), s"attribution must be joinless:\n$p")
