@@ -48,6 +48,12 @@ package object functions {
   def log2fp(a: Column): Column = c(Log2Fp(e(a)))
   def mix64(a: Column): Column = c(Mix64(e(a)))
 
+  // ---- bloom sketch ----
+  def bloom_agg(h: Column, numBits: Column, numHashes: Column): Column =
+    c(BloomAgg(e(h), e(numBits), e(numHashes)).toAggregateExpression())
+  def bloom_might_contain(h: Column, bloom: Array[Byte]): Column =
+    c(BloomMightContain(e(h), bloom))
+
   // ---- vectors / embeddings ----
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
   def hyperplane_bucket(v: Column, planes: Column, seed: Column): Column =

@@ -340,6 +340,46 @@ object TextAnalysis {
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
 
   /**
+   * [[contamination]] for the regime where the eval/benchmark gram set is
+   * too large to broadcast EXACTLY (a full benchmark-suite
+   * decontamination pass is easily 10^9 distinct n-grams — tens of GB of
+   * strings, but ~1 GB of Bloom bits at 8 bits/element): build a
+   * mergeable Bloom sketch of the eval grams ([[graft.functions.BloomAgg]]
+   * — one scan, partials OR in the reduce), prefilter the training grams
+   * AT THE SCAN with the sketch as a codegen reference object, and run
+   * the exact confirmation join only over the bloom-positive survivors.
+   *
+   * Sound and exact end-to-end: a Bloom filter has NO false negatives, so
+   * the prefilter only discards grams that are definitely not shared; the
+   * confirmation equi-join removes the false positives. The result is
+   * row-identical to [[contamination]] (same oracle), but the gram-keyed
+   * exchange carries only survivors — at the default 2^20 bits / 5 probes
+   * the non-shared traffic drops by the sketch's false-positive rate
+   * (sub-1% when sized at ~10 bits/element) instead of shuffling or
+   * broadcasting the full training gram set.
+   *
+   * The sketch collect is the bounded-driver-state class (numBits/8
+   * bytes, independent of data size), NOT a data-sized collect.
+   */
+  def contaminationBloom(train: DataFrame, eval_ : DataFrame, textCol: String,
+                         idCol: String, n: Int = 3, numBits: Int = 1 << 20,
+                         numHashes: Int = 5): DataFrame = {
+    val evalGrams = ngramRows(eval_, textCol, idCol, "eval_id", n)
+      .select("gram").distinct()
+    val sketch = evalGrams
+      .agg(bloom_agg(xxhash64(col("gram")), lit(numBits), lit(numHashes)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // scan-side prefilter, then the exact confirm join: shuffle-keyed (not
+    // broadcast) deliberately — this operator exists for eval sets past
+    // the broadcast threshold, and its exchange carries survivors only
+    ngramRows(train, textCol, idCol, "doc_id", n).distinct()
+      .where(bloom_might_contain(xxhash64(col("gram")), sketch))
+      .join(evalGrams.hint("shuffle_hash"), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+  }
+
+  /**
    * Leakage-safe train/val/test assignment by CONTENT hash: a document
    * lands in the same split in every dataset version, regardless of row
    * ids or ordering, because the split key is md5 of the text itself —

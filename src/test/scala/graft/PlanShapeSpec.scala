@@ -641,6 +641,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"LLR/threshold joins must broadcast:\n$p")
   }
 
+  test("bloom decontamination: scan-side prefilter, shuffle-keyed confirm, no text in exchanges") {
+    val p = plan(SparkEntry.queries("tx_contamination_bloom")(spark, sf))
+    // the membership probe must run as a Filter (scan side), not inside
+    // the join — survivors only reach the exchange
+    assert(p.contains("bloom_might_contain"),
+      s"bloom prefilter missing from the plan:\n$p")
+    // the confirm join is the deliberate shuffle-keyed form (this
+    // operator exists for eval sets past the broadcast threshold)
+    assert(p.contains("ShuffledHashJoin"), s"confirm join must shuffle-hash:\n$p")
+    val prepared = preparedPlan(SparkEntry.queries("tx_contamination_bloom")(spark, sf))
+    prepared.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name)
+    }.foreach { cols =>
+      assert(!cols.contains("text"), s"document text crosses an exchange: $cols")
+    }
+  }
+
   test("attribution: joinless, ONE scan, windows share one user exchange") {
     val p = plan(SparkEntry.queries("ev_attribution")(spark, sf))
     assert(!p.contains("Join"), s"attribution must be joinless:\n$p")
