@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /**
  * Exact fixed-point math shared by the data-selection operators
@@ -39,6 +40,16 @@ object FpMath {
     }
     (n.toLong << FracBits) + frac
   }
+
+  /** Sum of per-bucket lattice LLR terms over a document's feature
+    * buckets — the row-local DSIR score. Called from generated code
+    * (static forwarder); `llr` is the dense `buckets`-sized table. */
+  def dsirScore(bs: Array[Int], llr: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < bs.length) { s += llr(bs(i)); i += 1 }
+    s
+  }
 }
 
 /** Column form of [[FpMath.log2fp]] — null-intolerant, codegen'd as one
@@ -67,4 +78,26 @@ case class Mix64(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgos.mix64($c)")
   override def prettyName: String = "mix64"
   override protected def withNewChildInternal(nc: Expression): Expression = copy(nc)
+}
+
+/** Row-local DSIR scoring against a DRIVER-HELD dense LLR table (the
+  * trained importance model, ≤ `buckets` longs): the table rides into
+  * every task as a codegen reference object (the PqEncode pattern), so
+  * per-document scoring is one array pass in the scan projection — no
+  * (id, bucket) explode, no census join, no shuffle. This is both the
+  * batch scoring plan after the one census pass and the entire per-batch
+  * work of streaming DSIR serving. */
+case class DsirScore(child: Expression, llr: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    FpMath.dsirScore(v.asInstanceOf[ArrayData].toIntArray(), llr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("dsirLlr", llr, "long[]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = graft.functions.FpMath.dsirScore($v.toIntArray(), $t);""")
+  }
+  override def prettyName: String = "dsir_score"
+  override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
 }

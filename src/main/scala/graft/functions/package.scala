@@ -47,6 +47,7 @@ package object functions {
   // ---- exact fixed-point math ----
   def log2fp(a: Column): Column = c(Log2Fp(e(a)))
   def mix64(a: Column): Column = c(Mix64(e(a)))
+  def dsir_score(a: Column, llr: Array[Long]): Column = c(DsirScore(e(a), llr))
 
   // ---- bloom sketch ----
   def bloom_agg(h: Column, numBits: Column, numHashes: Column): Column =

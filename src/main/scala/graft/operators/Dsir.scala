@@ -41,18 +41,19 @@ import graft.functions.word_shingles
  * same top-k. We keep the ranking deterministic so the whole operator
  * is oracle-able end to end.
  *
- * Scale shape (the 100 TB plan):
- *  - one row-local explode to narrow (id, bucket:int) rows — the text
- *    payload never leaves the scan projection;
- *  - both bucket censuses are map-side-combined counts on a FIXED
- *    domain of `buckets` keys (the shuffle carries at most
- *    partitions x buckets rows);
- *  - the LLR table is a bounded driver fold (<= `buckets` rows — the
- *    same cap-bounded collect class as the k-means centroids and the
- *    BPE dictionary) broadcast back into a narrow equi-join;
- *  - per-document scores re-aggregate on the dense id; the top-k
- *    threshold is TakeOrdered(k) + a one-row broadcast comparison — no
- *    global sort, no single-partition window.
+ * Scale shape (the 100 TB plan) — train once, score row-locally:
+ *  - TRAIN ([[trainModel]]): one corpus pass; the bucket censuses are
+ *    map-side-combined counts on a FIXED domain of `buckets` keys (the
+ *    only shuffle, carrying at most partitions x buckets rows), folded
+ *    into a dense `buckets`-long LLR table on the driver (the same
+ *    cap-bounded collect class as the k-means centroids and the BPE
+ *    dictionary);
+ *  - SCORE ([[scoreWithModel]]): the table rides into every task as a
+ *    codegen reference object, so per-document scoring is one pass over
+ *    the feature-bucket array INSIDE the scan projection — no explode,
+ *    no join, no shuffle; the text payload never leaves the scan;
+ *  - SELECT: the top-k threshold is TakeOrdered(k) + a one-row
+ *    broadcast comparison — no global sort, no single-partition window.
  */
 object Dsir {
 
@@ -146,22 +147,30 @@ object Dsir {
     lit(30L << FracBits) - graft.functions.log2fp(negLog2U)
   }
 
-  /** Shared scoring leg: hashed-feature censuses -> driver LLR fold ->
-    * narrow (id, n_feats, llr_fp) rows (see [[importanceWeights]] for the
-    * scale contract). */
-  private def scoredWeights(df: DataFrame, textCol: String, idCol: String,
-                            isTarget: Column, buckets: Int,
-                            checkpoint: Boolean): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  /**
+   * The trained importance model: the DENSE per-bucket lattice LLR table
+   * (`buckets` longs — a few KB of driver state, the same bounded class
+   * as the k-means centroids). Buckets never seen in the raw-corpus
+   * census carry the add-one default (lZr − lZt, i.e. cr = ct = 0), so
+   * scoring a NEW document that hashes into an unseen bucket — the
+   * serving case — follows the same smoothed multinomials.
+   */
+  final case class LlrModel(buckets: Int, llr: Array[Long]) {
+    require(llr.length == buckets, s"dense table: ${llr.length} != $buckets")
+  }
 
-    val feats = df
-      .select(col(idCol).as("__id"), isTarget.as("__tgt"),
+  /**
+   * One corpus pass -> the trained [[LlrModel]]: the bucket census is a
+   * fixed-domain map-side-combined count (the shuffle carries at most
+   * partitions x buckets rows), folded into the dense table on the
+   * driver. TRAIN ONCE, score anywhere — the batch operators below and
+   * [[graft.streaming.DsirServing]] both score against this table.
+   */
+  def trainModel(df: DataFrame, textCol: String, isTarget: Column,
+                 buckets: Int): LlrModel = {
+    val census = df
+      .select(isTarget.as("__tgt"),
         explode(featureBuckets(col(textCol), buckets)).as("__b"))
-
-    // fixed-domain censuses: <= `buckets` rows each after the map-side
-    // combine; a single bounded collect feeds the driver LLR fold
-    val census = feats
       .groupBy("__b")
       .agg(count(lit(1)).as("cr"),
            sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
@@ -172,26 +181,45 @@ object Dsir {
     val nTgt = census.map(_._3).sum
     val lZt = log2fp(nTgt + buckets) // log2 target normalizer
     val lZr = log2fp(nRaw + buckets)
-    val llr = census.map { case (b, cr, ct) =>
-      (b, (log2fp(ct + 1) - lZt) - (log2fp(cr + 1) - lZr))
-    }.toSeq.toDF("__b", "__llr")
+    // add-one default for unseen buckets: log2fp(1) = 0 on both sides
+    val dense = Array.fill(buckets)(lZr - lZt)
+    census.foreach { case (b, cr, ct) =>
+      dense(b) = (log2fp(ct + 1) - lZt) - (log2fp(cr + 1) - lZr)
+    }
+    LlrModel(buckets, dense)
+  }
 
-    val perDoc = feats
-      .groupBy("__id", "__b").agg(count(lit(1)).as("cb"))
-      .join(broadcast(llr), "__b")
-      .groupBy("__id")
-      .agg(sum("cb").as("n_feats"), sum(col("cb") * col("__llr")).as("llr_fp"))
+  /**
+   * ROW-LOCAL scoring against a trained model: the dense LLR table rides
+   * as a codegen reference object ([[graft.functions.DsirScore]]), so a
+   * document's score is one pass over its feature-bucket array inside
+   * the scan projection — no explode, no census join, NO SHUFFLE. At
+   * 100 TB the scoring leg reads the corpus exactly once and writes
+   * narrow (id, n_feats, llr_fp) rows; this is also the entire per-batch
+   * work of streaming serving. Null/empty documents score (0, 0), the
+   * absent-from-explode contract of the census-join formulation.
+   */
+  def scoreWithModel(df: DataFrame, textCol: String, idCol: String,
+                     model: LlrModel): DataFrame =
+    df.select(col(idCol).as("__id"),
+        featureBuckets(col(textCol), model.buckets).as("__bs"))
+      .select(col("__id"),
+        coalesce(size(col("__bs")), lit(0)).cast("long").as("n_feats"),
+        coalesce(graft.functions.dsir_score(col("__bs"), model.llr), lit(0L))
+          .as("llr_fp"))
 
+  /** Shared scoring leg of the batch queries: train ([[trainModel]], one
+    * census pass) then score row-locally ([[scoreWithModel]]). */
+  private def scoredWeights(df: DataFrame, textCol: String, idCol: String,
+                            isTarget: Column, buckets: Int,
+                            checkpoint: Boolean): DataFrame = {
+    val model = trainModel(df, textCol, isTarget, buckets)
     // narrow (id, n_feats, llr_fp) rows, materialized once: three
     // consumers downstream (the output join and the two threshold
-    // aggregates) would otherwise each re-run the explode + census join;
+    // aggregates) would otherwise each re-run the scan + scoring;
     // checkpoint=false keeps the whole pipeline in one inspectable plan
     // (PlanShapeSpec pins the exchanges)
-    val scoredRaw = df.select(col(idCol).as("__id"))
-      .join(perDoc, Seq("__id"), "left")
-      .select(col("__id"),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("llr_fp"), lit(0L)).as("llr_fp"))
+    val scoredRaw = scoreWithModel(df, textCol, idCol, model)
     if (checkpoint) scoredRaw.localCheckpoint() else scoredRaw
   }
 
