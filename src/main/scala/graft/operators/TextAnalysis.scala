@@ -632,6 +632,62 @@ object TextAnalysis {
   }
 
   /**
+   * UniMax mixture allocation (Chung et al., ICLR 2023): distribute a
+   * training-token budget across strata (domains/languages/sources) as
+   * UNIFORMLY as possible subject to a per-stratum repeat cap — the
+   * published fix for both proportional sampling (head domains drown the
+   * tail) and plain uniform sampling (tail domains get epoched into
+   * memorization). Stratum d with n_d corpus tokens may contribute at
+   * most cap_d = maxEpochs * n_d; the budget B = budgetFrac * Σ n_d is
+   * water-filled: strata whose cap sits below the uniform share are
+   * SATURATED at their cap, and the leftover is split evenly across the
+   * rest. Exact closed form over the cap-ascending order (c_1 ≤ … ≤ c_D):
+   * stratum i saturates iff c_i * (D - i + 1) + Σ_{j<i} c_j ≤ B, and the
+   * unsaturated share is (B − Σ_sat c_j) / #unsat — one window pass, no
+   * iteration.
+   *
+   * Determinism: censuses are exact integers; the only doubles are B and
+   * the final share/epochs divisions — identical IEEE ops in any engine
+   * (the oracle replays the same window + CASE). Ties in the cap order
+   * break by stratum name.
+   *
+   * Scale shape: the per-stratum census is ONE map-side-combined
+   * aggregation (narrow (stratum, count) rows); everything after runs on
+   * D rows — strata counts are small by definition (languages, sources),
+   * so the single-partition window is driver-sized, the same contract as
+   * [[Bm25.search]]'s final top-k.
+   */
+  def unimaxAllocation(df: DataFrame, textCol: String, stratum: Column,
+                       budgetFrac: Double = 1.5, maxEpochs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetFrac > 0, "budgetFrac must be positive")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    val per = df.groupBy(stratum.as("stratum"))
+      .agg(sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+    val totals = per.agg(sum("n_tokens").as("total"), count(lit(1)).as("d"))
+    val w = Window.orderBy(col("cap").asc, col("stratum").asc)
+    val ranked = per.crossJoin(broadcast(totals))
+      .withColumn("budget", lit(budgetFrac) * col("total").cast("double"))
+      .withColumn("i", row_number().over(w))
+      .withColumn("prefix",
+        coalesce(sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("saturated",
+        (col("cap") * (col("d") - col("i") + 1) + col("prefix")).cast("double")
+          <= col("budget"))
+    val satTotals = ranked.agg(
+      coalesce(sum(when(col("saturated"), col("cap"))), lit(0L)).as("sum_sat"),
+      sum(when(!col("saturated"), 1L).otherwise(0L)).as("n_unsat"))
+    ranked.crossJoin(broadcast(satTotals))
+      .withColumn("alloc_tokens",
+        when(col("saturated"), col("cap").cast("double"))
+          .otherwise((col("budget") - col("sum_sat").cast("double"))
+            / col("n_unsat").cast("double")))
+      .withColumn("epochs", col("alloc_tokens") / col("n_tokens").cast("double"))
+      .select("stratum", "n_tokens", "cap", "saturated", "alloc_tokens", "epochs")
+  }
+
+  /**
    * Token-budget fill: admit each stratum's best documents (by `scoreCol`,
    * ties to `idCol`) until the stratum's token budget is exhausted — the
    * final corpus-sizing step ("2B tokens of English, 500M of code") that

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+class UnimaxSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  import SparkTestBase.Sf0001
+
+  /** Reference waterfill: iterate "give everyone the uniform share of the
+    * remaining budget; freeze anyone whose cap is below it" to a fixed
+    * point — the textbook algorithm the closed form must reproduce. */
+  private def referenceWaterfill(caps: Seq[Long], budget: Double): Seq[Double] = {
+    val alloc = Array.fill(caps.size)(Double.NaN)
+    var remaining = budget
+    var open = caps.indices.toSet
+    var changed = true
+    while (changed && open.nonEmpty) {
+      changed = false
+      val share = remaining / open.size
+      val sat = open.filter(i => caps(i) <= share)
+      if (sat.nonEmpty) {
+        sat.foreach { i => alloc(i) = caps(i).toDouble; remaining -= caps(i) }
+        open = open -- sat
+        changed = true
+      }
+    }
+    if (open.nonEmpty) {
+      val share = remaining / open.size
+      open.foreach(alloc(_) = share)
+    }
+    alloc.toSeq
+  }
+
+  private def docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+
+  test("closed-form allocation equals the iterative waterfill on real sources") {
+    val out = TextAnalysis.unimaxAllocation(docs, "text", col("source"),
+        budgetFrac = 1.5, maxEpochs = 2)
+      .select("stratum", "n_tokens", "cap", "alloc_tokens")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val total = out.map(_._2).sum
+    val want = referenceWaterfill(out.map(_._3), 1.5 * total.toDouble)
+    out.zip(want).foreach { case ((s, _, cap, got), ref) =>
+      assert(math.abs(got - ref) < 1e-6, s"stratum $s: $got vs reference $ref")
+      assert(got <= cap.toDouble + 1e-6, s"stratum $s exceeds its cap")
+    }
+    // conservation: every allocated token is accounted for (no stratum
+    // saturation pattern loses budget) unless everything saturated
+    val spent = out.map(_._4).sum
+    val capsTotal = out.map(_._3.toDouble).sum
+    assert(math.abs(spent - math.min(1.5 * total.toDouble, capsTotal)) < 1e-6)
+  }
+
+  test("budget >= all caps: every stratum saturates at exactly maxEpochs") {
+    val out = TextAnalysis.unimaxAllocation(docs, "text", col("source"),
+        budgetFrac = 5.0, maxEpochs = 2)
+      .select("saturated", "alloc_tokens", "epochs", "cap")
+      .as[(Boolean, Double, Double, Long)].collect()
+    assert(out.forall(_._1), "all strata must saturate")
+    out.foreach { case (_, alloc, epochs, cap) =>
+      assert(alloc === cap.toDouble)
+      assert(math.abs(epochs - 2.0) < 1e-12)
+    }
+  }
+
+  test("unreachable caps: pure uniform split, budget/D each") {
+    val out = TextAnalysis.unimaxAllocation(docs, "text", col("source"),
+        budgetFrac = 0.5, maxEpochs = 1000)
+      .select("n_tokens", "saturated", "alloc_tokens")
+      .as[(Long, Boolean, Double)].collect()
+    val total = out.map(_._1).sum
+    val share = 0.5 * total.toDouble / out.length
+    // per-source tokens are near-uniform in the fixture, so no cap can sit
+    // below the 0.5x share at 1000 epochs
+    assert(out.forall(!_._2))
+    out.foreach(r => assert(math.abs(r._3 - share) < 1e-9))
+  }
+
+  test("skewed synthetic strata: tiny stratum saturates, leftovers stay even") {
+    val df = (Seq.fill(50)("src_big") ++ Seq.fill(2)("src_tiny")).zipWithIndex
+      .map { case (s, i) => (i.toLong, "w1 w2 w3 w4 w5", s) }
+      .toDF("doc_id", "text", "source")
+    // tokens: big = 250, tiny = 10; caps x2 = 500 / 20; budget = 1.5x260 = 390
+    // tiny saturates (20 <= 390/2=195); big gets 370
+    val rows = TextAnalysis.unimaxAllocation(df, "text", col("source"),
+        budgetFrac = 1.5, maxEpochs = 2)
+      .select("stratum", "saturated", "alloc_tokens", "epochs")
+      .as[(String, Boolean, Double, Double)].collect().sortBy(_._1)
+    assert(rows(0)._1 === "src_big" && !rows(0)._2 && rows(0)._3 === 370.0)
+    assert(rows(1)._1 === "src_tiny" && rows(1)._2 && rows(1)._3 === 20.0)
+    assert(math.abs(rows(1)._4 - 2.0) < 1e-12)
+  }
+}
