@@ -223,6 +223,63 @@ object Dsir {
     if (checkpoint) scoredRaw.localCheckpoint() else scoredRaw
   }
 
+  /**
+   * Per-stratum KL divergence from the corpus mixture, on the exact
+   * lattice — the domain-drift / distinctiveness monitor of a mixture
+   * pipeline: for each stratum s (source, language, snapshot), how far
+   * its hashed-n-gram distribution sits from the corpus-wide one,
+   *
+   *   KL(P_s ‖ Q) = Σ_b p_b (log2 p_b − log2 q_b)
+   *
+   * with the same add-one multinomials as [[importanceWeights]]
+   * (p_b = (c_sb + 1)/(n_s + B), q_b = (c_b + 1)/(N + B), B = `buckets`).
+   * A rising KL for a source between crawls is the standard drift alarm;
+   * a near-zero KL marks a source indistinguishable from the mixture.
+   *
+   * EXACT: the lattice-integer output is the divergence scaled by the
+   * per-stratum normalizer, kl_fp = (n_s + B) · KL in 2^-30 units —
+   * every log2 is [[log2fp]] and every sum is 64-bit integer arithmetic,
+   * so the DuckDB oracle replays it bit-for-bit; the float `kl_bits`
+   * view divides out the normalizer at the very end. Σ runs over the
+   * FULL fixed bucket domain (absent buckets contribute their add-one
+   * terms — dropping them would bias KL low for small strata).
+   *
+   * Scale shape: two fixed-domain censuses (the (stratum, bucket) and
+   * (bucket) counts — map-side-combined, ≤ strata × buckets rows in any
+   * exchange), the bucket census broadcast, and the full domain built by
+   * crossing the (small) strata frame with a `range(buckets)` — sized by
+   * strata × buckets, INDEPENDENT of corpus size. Text never leaves the
+   * scan.
+   */
+  def domainDivergence(df: DataFrame, textCol: String, stratum: Column,
+                       buckets: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    val feats = df.select(stratum.as("stratum"),
+      explode(featureBuckets(col(textCol), buckets)).as("__b"))
+    val perSb = feats.groupBy("stratum", "__b").agg(count(lit(1)).as("csb"))
+    val perB = feats.groupBy("__b").agg(count(lit(1)).as("cb"))
+    val perS = perSb.groupBy("stratum").agg(sum("csb").as("ns"))
+    val totals = perB.agg(sum("cb").as("n"))
+    val lgB = lit(buckets.toLong)
+    val domain = perS
+      .crossJoin(broadcast(spark.range(buckets).select(col("id").cast("int").as("__b"))))
+    val cells = domain
+      .join(perSb, Seq("stratum", "__b"), "left")
+      .join(broadcast(perB), Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("stratum"), col("ns"), col("n"),
+        coalesce(col("csb"), lit(0L)).as("csb"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val term = (col("csb") + 1L) *
+      ((graft.functions.log2fp(col("csb") + 1L) - graft.functions.log2fp(col("ns") + lgB))
+        - (graft.functions.log2fp(col("cb") + 1L) - graft.functions.log2fp(col("n") + lgB)))
+    cells.groupBy("stratum")
+      .agg(first("ns").as("n_feats"), sum(term).as("kl_fp"))
+      .withColumn("kl_bits",
+        col("kl_fp").cast("double")
+          / ((col("n_feats") + lgB).cast("double") * lit(One.toDouble)))
+  }
+
   /** Deterministic top-k flag on `keyCol` (desc, id asc tiebreak) without
     * a global sort: TakeOrdered(k) -> the k-th row is (min key, then max
     * id) within the prefix; selection is a one-row broadcast comparison. */

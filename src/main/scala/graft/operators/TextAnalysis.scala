@@ -195,19 +195,26 @@ object TextAnalysis {
    * narrower shuffle at 100 TB; kept as strings here so the output is
    * directly actionable (and SQL-oracle-able).
    */
-  /** Narrow (id, gram) rows: every word `n`-gram of every document — the
-    * shared explode under [[frequentNgrams]] and [[contamination]], so the
-    * gram semantics (tokenizer, window bounds, join separator) can never
-    * drift between the two passes. */
-  private def ngramRows(df: DataFrame, textCol: String, idCol: String,
-                        outId: String, n: Int): DataFrame = {
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
-    df.select(col(idCol).as(outId), toks.as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col(outId), explode(expr(
-        s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))"))
-        .as("gram"))
+  /** All word `n`-grams of a text column as `array<string>` (empty when
+    * the document has fewer than `n` tokens) — THE gram constructor:
+    * every consumer (the exact and Bloom decontamination passes, the
+    * boilerplate census, the streaming gate) derives from this one
+    * column expression, so tokenizer/window/separator semantics can
+    * never drift between passes. */
+  private[operators] def gramArray(text: Column, n: Int): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
+
+  /** Narrow (id, gram) rows: [[gramArray]] exploded — the shared shape
+    * under [[frequentNgrams]] and [[contamination]]. */
+  private def ngramRows(df: DataFrame, textCol: String, idCol: String,
+                        outId: String, n: Int): DataFrame =
+    df.select(col(idCol).as(outId),
+      explode(gramArray(col(textCol), n)).as("gram"))
 
   /**
    * Corpus-relative rarity profile: for each document, the fraction of its
@@ -366,9 +373,7 @@ object TextAnalysis {
                          numHashes: Int = 5): DataFrame = {
     val evalGrams = ngramRows(eval_, textCol, idCol, "eval_id", n)
       .select("gram").distinct()
-    val sketch = evalGrams
-      .agg(bloom_agg(xxhash64(col("gram")), lit(numBits), lit(numHashes)).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val sketch = evalGramSketch(eval_, textCol, idCol, n, numBits, numHashes)
     // scan-side prefilter, then the exact confirm join: shuffle-keyed (not
     // broadcast) deliberately — this operator exists for eval sets past
     // the broadcast threshold, and its exchange carries survivors only
@@ -378,6 +383,29 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
   }
+
+  /** The serialized Bloom sketch of an eval set's distinct `n`-grams —
+    * the broadcastable decontamination artifact (numBits/8 bytes of
+    * driver state regardless of eval-set size); built by ONE scan +
+    * mergeable partial OR ([[graft.functions.BloomAgg]]). */
+  def evalGramSketch(eval_ : DataFrame, textCol: String, idCol: String,
+                     n: Int = 3, numBits: Int = 1 << 20,
+                     numHashes: Int = 5): Array[Byte] =
+    ngramRows(eval_, textCol, idCol, "eval_id", n)
+      .select("gram").distinct()
+      .agg(bloom_agg(xxhash64(col("gram")), lit(numBits), lit(numHashes)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+  /** ROW-LOCAL contamination screen against a pre-built eval sketch: per
+    * document, the count of DISTINCT `n`-grams the Bloom filter cannot
+    * rule out. Zero means PROVABLY CLEAN (no false negatives); positive
+    * means quarantine-for-review (false positives possible at the
+    * sketch's fpp). One pass inside the scan projection — no explode, no
+    * join, no shuffle — which is what makes it the streaming ingest
+    * gate's per-batch work ([[graft.streaming.ContaminationGate]]). */
+  def suspectGramCount(text: Column, sketch: Array[Byte], n: Int = 3): Column =
+    coalesce(size(filter(array_distinct(gramArray(text, n)),
+      g => bloom_might_contain(xxhash64(g), sketch))), lit(0)).cast("long")
 
   /**
    * Leakage-safe train/val/test assignment by CONTENT hash: a document

@@ -97,4 +97,48 @@ class DsirSpec extends AnyFunSuite {
         .sortBy(_._1).toSeq
     assert(run(docs) === run(docs.repartition(13, col("doc_id"))))
   }
+
+  test("domain KL matches an exact driver replay over the full bucket domain") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val got = Dsir.domainDivergence(docs, "text", col("source"), buckets = 4096)
+      .select("stratum", "n_feats", "kl_fp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+    // independent replay: collect the raw (stratum, bucket) stream once,
+    // then fold the SAME integer lattice arithmetic on the driver
+    val feats = docs.select(col("source"),
+        explode(Dsir.featureBuckets(col("text"), 4096)).as("b"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val csb = feats.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val cb = feats.groupBy(_._2).map { case (b, v) => (b, v.length.toLong) }
+    val ns = feats.groupBy(_._1).map { case (s, v) => (s, v.length.toLong) }
+    val n = feats.length.toLong
+    val want = ns.toSeq.sortBy(_._1).map { case (s, nS) =>
+      val kl = (0 until 4096).map { b =>
+        val cSb = csb.getOrElse((s, b), 0L)
+        val cB = cb.getOrElse(b, 0L)
+        (cSb + 1) * ((Dsir.log2fp(cSb + 1) - Dsir.log2fp(nS + 4096))
+          - (Dsir.log2fp(cB + 1) - Dsir.log2fp(n + 4096)))
+      }.sum
+      (s, nS, kl)
+    }
+    assert(got === want)
+    // Gibbs: true KL >= 0; the lattice truncation can shave at most a few
+    // ulps per term, so kl_bits must not go meaningfully negative — and
+    // real sources must separate from the mixture
+    val bits = Dsir.domainDivergence(docs, "text", col("source"), 4096)
+      .select("kl_bits").collect().map(_.getDouble(0))
+    assert(bits.forall(_ > -1e-6), s"KL went negative: ${bits.min}")
+    assert(bits.exists(_ > 1e-3), "no source separates from the mixture at all")
+  }
+
+  test("domain KL is partitioning-invariant (exact integer lattice)") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dsir.domainDivergence(df, "text", col("source"), 4096)
+        .select("stratum", "kl_fp").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(run(docs) === run(docs.repartition(17, col("doc_id"))))
+  }
 }
