@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.{Dsir, TextAnalysis}
+
+/**
+ * One-pass streaming corpus curation: the full ingest decision for each
+ * incoming document — decontamination gate, DSIR importance score,
+ * selection verdict — computed in a SINGLE row-local projection per
+ * micro-batch. Composes the two serving artifacts the engine already
+ * trains once per run:
+ *
+ *  - the eval-gram Bloom sketch ([[TextAnalysis.evalGramSketch]]) probed
+ *    by [[TextAnalysis.suspectGramCount]] (fail-closed gate), and
+ *  - the DSIR LLR table ([[Dsir.trainModel]]) applied by the
+ *    [[graft.functions.DsirScore]] kernel with a fixed lattice
+ *    threshold,
+ *
+ * both riding as codegen reference objects. Per-batch work is therefore
+ * ONE scan projection — no explode, no join, no shuffle, no state
+ * store; verdict semantics:
+ *
+ *   quarantined  — some n-gram might be in the eval set (gate fails
+ *                  closed; exact confirm runs downstream in batch)
+ *   selected     — clean and llr_fp ≥ thresholdFp (target-like)
+ *   rejected     — clean but below the importance threshold
+ *
+ * Verdicts depend only on (document, sketch, model, threshold), so
+ * micro-batch boundaries cannot change them (union == batch and
+ * == the composition of [[ContaminationGate]] + [[DsirServing]], both
+ * pinned in CurationPipelineSpec); per-batch `batch_id=` overwrite
+ * partitions absorb at-least-once replay; the explicit schema boots on
+ * an empty source dir. At 100 TB/day this is the crawl-frontier loop:
+ * every executor curates its split at scan speed against a few KB of
+ * broadcast state.
+ */
+object CurationPipeline {
+
+  /** Returns (modelTrainTally, sketchBuildTally) for this run — each 0
+    * when the artifact was passed in pre-built, 1 when built here. */
+  def curateStreaming(spark: SparkSession, sourceDir: String,
+                      corpus: => DataFrame, isTarget: => Column,
+                      evalDocs: => DataFrame,
+                      outDir: String, checkpointDir: String,
+                      thresholdFp: Long, buckets: Int = 4096, n: Int = 3,
+                      numBits: Int = 1 << 20, numHashes: Int = 5,
+                      maxFilesPerTrigger: Int = 1,
+                      model0: Option[Dsir.LlrModel] = None,
+                      sketch0: Option[Array[Byte]] = None,
+                      schema: StructType = DsirServing.DocSchema): (Long, Long) = {
+    var trained = 0L
+    val model = model0.getOrElse {
+      trained += 1
+      Dsir.trainModel(corpus, "text", isTarget, buckets)
+    }
+    var sketched = 0L
+    val sketch = sketch0.getOrElse {
+      sketched += 1
+      TextAnalysis.evalGramSketch(evalDocs, "text", "doc_id", n, numBits, numHashes)
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = Dsir.featureBuckets(col("text"), model.buckets)
+        batch.select(col("doc_id"),
+            TextAnalysis.suspectGramCount(col("text"), sketch, n)
+              .as("n_suspect_grams"),
+            coalesce(size(bs), lit(0)).cast("long").as("n_feats"),
+            coalesce(graft.functions.dsir_score(bs, model.llr), lit(0L))
+              .as("llr_fp"))
+          .withColumn("verdict",
+            when(col("n_suspect_grams") > 0L, "quarantined")
+              .when(col("llr_fp") >= thresholdFp, "selected")
+              .otherwise("rejected"))
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (trained, sketched)
+  }
+}

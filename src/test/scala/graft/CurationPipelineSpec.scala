@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dsir, TextAnalysis}
+import graft.streaming.{ContaminationGate, CurationPipeline, DsirServing}
+
+/** The one-pass curation stream must equal the composition of its two
+  * constituent serving operators (gate ∘ score), train/build each
+  * artifact at most once, and keep verdicts invariant to micro-batch
+  * boundaries. */
+class CurationPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  import SparkTestBase.Sf0001
+
+  test("one-pass verdicts == gate ∘ score composition; artifacts build once") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val probe = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select("doc_id", "text")
+    val model = Dsir.trainModel(docs, "text", col("lang") === "en", 4096)
+    val sketch = TextAnalysis.evalGramSketch(probe, "text", "doc_id")
+    // threshold = the 100th-best LLR among CLEAN incoming docs, so the
+    // fixture is guaranteed to exercise selected AND rejected alongside
+    // the quarantined class
+    val thr = incoming
+      .select(TextAnalysis.suspectGramCount(col("text"), sketch, 3).as("susp"),
+        coalesce(graft.functions.dsir_score(
+          Dsir.featureBuckets(col("text"), model.buckets), model.llr), lit(0L)).as("llr"))
+      .where(col("susp") === 0L)
+      .orderBy(col("llr").desc).limit(100)
+      .agg(min("llr")).head().getLong(0)
+
+    val base = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    try {
+      incoming.repartition(3).write.parquet(s"$base/src")
+      val (trained, sketched) = CurationPipeline.curateStreaming(spark,
+        s"$base/src", docs, col("lang") === "en", probe,
+        s"$base/out", s"$base/ckpt", thresholdFp = thr)
+      assert(trained === 1L && sketched === 1L,
+        "each artifact must build exactly once per run")
+
+      val curated = spark.read.parquet(s"$base/out")
+      assert(curated.select("batch_id").distinct().count() > 1)
+      assert(curated.count() === incoming.count(), "every incoming doc gets a verdict")
+
+      // composition reference: run the two serving operators separately
+      // (pre-built artifacts) and stitch their outputs
+      ContaminationGate.gateStreaming(spark, s"$base/src", probe,
+        s"$base/gate_out", s"$base/gate_ckpt", sketch0 = Some(sketch))
+      DsirServing.dsirStreaming(spark, s"$base/src", docs,
+        col("lang") === "en", s"$base/score_out", s"$base/score_ckpt",
+        thresholdFp = thr, model0 = Some(model))
+      val gate = spark.read.parquet(s"$base/gate_out")
+        .select("doc_id", "n_suspect_grams", "quarantined")
+      val score = spark.read.parquet(s"$base/score_out")
+        .select("doc_id", "n_feats", "llr_fp", "selected")
+      val composed = gate.join(score, "doc_id")
+        .select(col("doc_id"), col("n_suspect_grams"), col("n_feats"), col("llr_fp"),
+          when(col("quarantined"), "quarantined")
+            .when(col("selected"), "selected")
+            .otherwise("rejected").as("verdict"))
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "n_suspect_grams", "n_feats", "llr_fp", "verdict")
+        .as[(Long, Long, Long, Long, String)].collect().sorted.toSeq
+      assert(key(curated) === key(composed),
+        "one-pass curation diverged from the operator composition")
+
+      // the stream actually exercises all three verdict classes
+      val classes = curated.select("verdict").distinct().as[String].collect().toSet
+      assert(classes === Set("quarantined", "selected", "rejected"),
+        s"fixture must exercise every verdict, got $classes")
+
+      // pre-built artifacts: zero builds, identical verdicts
+      val (t2, s2) = CurationPipeline.curateStreaming(spark, s"$base/src",
+        docs, col("lang") === "en", probe, s"$base/out2", s"$base/ckpt2",
+        thresholdFp = thr, model0 = Some(model), sketch0 = Some(sketch))
+      assert(t2 === 0L && s2 === 0L)
+      assert(key(spark.read.parquet(s"$base/out2")) === key(curated))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+}

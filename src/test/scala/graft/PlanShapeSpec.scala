@@ -659,6 +659,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("domain KL: fixed-domain censuses, broadcast joins, no text in exchanges") {
+    val p = plan(SparkEntry.queries("tx_domain_kl")(spark, sf))
+    // the bucket census and totals must arrive via broadcast, never a
+    // hash shuffle of the domain frame
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"census joins must broadcast:\n$p")
+    val prepared = preparedPlan(SparkEntry.queries("tx_domain_kl")(spark, sf))
+    prepared.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name)
+    }.foreach { cols =>
+      assert(!cols.contains("text"), s"document text crosses an exchange: $cols")
+    }
+  }
+
   test("attribution: joinless, ONE scan, windows share one user exchange") {
     val p = plan(SparkEntry.queries("ev_attribution")(spark, sf))
     assert(!p.contains("Join"), s"attribution must be joinless:\n$p")
