@@ -867,6 +867,47 @@ object Dedup {
   }
 
   /**
+   * Soft deduplication: instead of DROPPING near-duplicates, keep every
+   * document and down-weight its sampling mass by its duplication degree
+   * — weight 1/|cluster| — so each near-dup cluster contributes one
+   * document-equivalent of training mass in expectation while the tail
+   * content a hard dedup would delete along with its cluster survives
+   * (the reweight-don't-remove strategy of SoftDedup, He et al. 2024,
+   * arXiv:2401.00588).
+   *
+   * Weights are emitted as exact dyadic fixed-point numerators
+   * (`weight_fp = floor(2^scaleBits / |cluster|)`,
+   * `eff_tokens_fp = floor(tokens * 2^scaleBits / |cluster|)`) — the
+   * engine's DSIR-lattice convention — so any downstream rollup
+   * (effective token mass per source, corpus-wide effective size) is
+   * integer arithmetic: exact, associative, engine-independent.
+   *
+   * Scale shape: [[clusters]]' logarithmic pointer-doubling over the
+   * candidate edge set; cluster sizes are one narrow (cluster, count)
+   * aggregate joined back on the cluster key; the only contact with the
+   * full corpus is a (id, tokens) projection joined by id. No exchange
+   * ever carries document text.
+   *
+   * Output: one row per document —
+   * (idCol, cluster, csize, weight_fp, eff_tokens_fp).
+   */
+  def softDedupWeights(docs: DataFrame, edges: DataFrame, idCol: String,
+                       tokens: Column, scaleBits: Int = 20,
+                       maxIters: Int = 20,
+                       checkpoint: Boolean = true): DataFrame = {
+    require(scaleBits > 0 && scaleBits < 40, s"scaleBits out of range: $scaleBits")
+    val scale = 1L << scaleBits
+    val labels = clusters(docs.select(col(idCol)), edges, idCol,
+      maxIters = maxIters, checkpoint = checkpoint)
+    val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "cluster")
+      .join(docs.select(col(idCol).as("id"), tokens.cast("long").as("__tok")), "id")
+      .select(col("id").as(idCol), col("cluster"), col("csize"),
+        expr(s"div($scale, csize)").as("weight_fp"),
+        expr(s"div(__tok * $scale, csize)").as("eff_tokens_fp"))
+  }
+
+  /**
    * Embedding-cosine near-duplicates above `threshold`, bucketed by random
    * hyperplane signs (LSH) so the pairwise check happens only inside
    * buckets. `planes` sign bits -> 2^planes buckets.

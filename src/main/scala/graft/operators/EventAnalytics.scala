@@ -509,4 +509,43 @@ object EventAnalytics {
           .as("var_scaled"))
       .filter(col("dev_sq") > col("var_scaled"))
   }
+
+  /**
+   * Type-2 slowly-changing-dimension build from a change-event stream:
+   * per key, collapse consecutive equal attribute readings into versions
+   * and emit each version's validity interval
+   * `[valid_from, valid_to)` (`valid_to` NULL on the open current
+   * version), a 1-based `version` sequence, and an `is_current` flag —
+   * the standard warehouse dimension a CDC feed materializes into.
+   *
+   * Change detection is null-safe (`<=>`): a key's FIRST reading always
+   * opens version 1, and a genuine NULL attribute following a non-NULL
+   * one (or vice versa) is a change. Ties on the event timestamp break
+   * on the unique event id, so versioning is deterministic for any
+   * input order.
+   *
+   * Scale shape: ONE hash exchange on the key. Both windows (the
+   * change-detect lag and the interval lead / version number) use the
+   * same `PARTITION BY key ORDER BY (ts, id)`, and the filter between
+   * them preserves partitioning and order, so Catalyst plans a single
+   * exchange + sort with no re-shuffle. Rows carry (key, attr, ts, id)
+   * only; output is |versions| rows, bounded by the number of actual
+   * attribute changes, not |events|.
+   */
+  def scd2(events: DataFrame, eventType: String,
+           keyCol: String = "user_id", attrCol: String = "value",
+           tsCol: String = "ts", idCol: String = "event_id",
+           typeCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    events.filter(col(typeCol) === eventType)
+      .select(col(keyCol), col(attrCol), col(tsCol), col(idCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .withColumn("__first", row_number().over(w) === 1)
+      .filter(col("__first") || !(col(attrCol) <=> col("__prev")))
+      .select(col(keyCol), col(attrCol).as("attr"),
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(w).as("valid_to"),
+        row_number().over(w).cast("long").as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

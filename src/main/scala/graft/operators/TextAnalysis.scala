@@ -716,6 +716,51 @@ object TextAnalysis {
   }
 
   /**
+   * Temperature-based mixture allocation (the multilingual alpha-sampling
+   * of mBERT/XLM-R/mT5): sample stratum i with probability proportional to
+   * p_i^alpha at alpha = 0.5, flattening the natural distribution so
+   * low-resource strata are upsampled without UniMax's hard epoch cap —
+   * the OTHER standard answer to head-language dominance
+   * (vs [[unimaxAllocation]]).
+   *
+   * Exactness: with alpha = 1/2, p_i^alpha ∝ sqrt(n_tokens_i), and IEEE
+   * sqrt is correctly rounded — so `w_fp = floor(sqrt(n_tokens))` is the
+   * same integer in any engine, and every downstream step is integer
+   * floor-division on the 2^20 lattice (exact, engine-independent; a
+   * general-alpha variant would ride [[graft.functions.FpMath]]'s log2
+   * lattice instead, since `pow` carries no correct-rounding guarantee).
+   *
+   * Scale shape: one partial-aggregated groupBy to |strata| rows; the
+   * weight total comes from a global window over that ALREADY-AGGREGATED
+   * k-row frame (the ev_growth convention — rows = strata, bounded by the
+   * number of sources/languages), so the corpus is scanned exactly ONCE
+   * and no exchange is data-sized. (A `per.agg(...)` + crossJoin total
+   * would plan a second full scan: the totals side prunes the partial
+   * aggregate differently, defeating exchange reuse.)
+   *
+   * Output per stratum: (stratum, n_docs, n_tokens, w_fp,
+   * alloc_tokens = floor(budget * w_fp / sum w_fp),
+   * epochs_fp = floor(alloc_tokens * 2^20 / n_tokens), NULL for an
+   * empty-token stratum).
+   */
+  def temperatureMix(df: DataFrame, textCol: String, stratum: Column,
+                     budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val wGlobal = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("w_fp", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("w_total", sum("w_fp").over(wGlobal))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"), col("w_fp"),
+        expr(s"div($budgetTokens * w_fp, w_total)").as("alloc_tokens"))
+      .withColumn("epochs_fp",
+        expr("div(alloc_tokens * 1048576, nullif(n_tokens, 0))"))
+  }
+
+  /**
    * Token-budget fill: admit each stratum's best documents (by `scoreCol`,
    * ties to `idCol`) until the stratum's token budget is exhausted — the
    * final corpus-sizing step ("2B tokens of English, 500M of code") that

@@ -367,4 +367,52 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(2818L)._1 + got(2818L)._2 + got(2818L)._3 === 2L)
     assert(got(2820L)._1 + got(2820L)._2 + got(2820L)._3 === 2L)
   }
+
+  test("scd2: run-collapsing versions, abutting intervals, one open current row") {
+    import org.apache.spark.sql.functions.lit
+    val events = Seq(
+      // u1: 10,10,20,20,10 -> three versions (10, 20, 10)
+      (1L, ts("2024-01-01 00:00:00"), Some(10L), 1L),
+      (1L, ts("2024-01-02 00:00:00"), Some(10L), 2L),
+      (1L, ts("2024-01-03 00:00:00"), Some(20L), 3L),
+      (1L, ts("2024-01-04 00:00:00"), Some(20L), 4L),
+      (1L, ts("2024-01-05 00:00:00"), Some(10L), 5L),
+      // u2: a single reading -> one open version
+      (2L, ts("2024-01-01 00:00:00"), Some(7L), 6L),
+      // u3: NULL-first, value, NULL again -> three versions (null-safe detect)
+      (3L, ts("2024-01-01 00:00:00"), None, 7L),
+      (3L, ts("2024-01-02 00:00:00"), Some(5L), 8L),
+      (3L, ts("2024-01-03 00:00:00"), None, 9L),
+      // u4: ts tie broken by event_id -> versions ordered (1 then 2)
+      (4L, ts("2024-01-01 00:00:00"), Some(1L), 11L),
+      (4L, ts("2024-01-01 00:00:00"), Some(2L), 12L))
+      .toDF("user_id", "ts", "tier", "event_id")
+      .withColumn("event_type", lit("purchase"))
+
+    val dim = EventAnalytics.scd2(events, "purchase", attrCol = "tier")
+      .select("user_id", "attr", "valid_from", "valid_to", "version", "is_current")
+      .as[(Long, Option[Long], Timestamp, Option[Timestamp], Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._5))
+
+    val u1 = dim.filter(_._1 == 1L)
+    assert(u1.map(_._2) === Seq(Some(10L), Some(20L), Some(10L)))
+    assert(u1.map(_._5) === Seq(1L, 2L, 3L), "versions are a dense 1-based sequence")
+    // intervals abut: valid_to(i) == valid_from(i+1); only the last is open
+    assert(u1.init.zip(u1.tail).forall { case (a, b) => a._4.contains(b._3) })
+    assert(u1.map(_._6) === Seq(false, false, true))
+    assert(u1.head._3 === ts("2024-01-01 00:00:00"), "version 1 opens at the FIRST reading of the run")
+
+    val u2 = dim.filter(_._1 == 2L)
+    assert(u2.map(r => (r._2, r._4, r._5, r._6)) === Seq((Some(7L), None, 1L, true)))
+
+    val u3 = dim.filter(_._1 == 3L)
+    assert(u3.map(_._2) === Seq(None, Some(5L), None),
+      "NULL attr readings open/close versions null-safely")
+
+    val u4 = dim.filter(_._1 == 4L)
+    assert(u4.map(_._2) === Seq(Some(1L), Some(2L)), "ts ties order by event_id")
+
+    // exactly one current version per key
+    assert(dim.groupBy(_._1).forall { case (_, rs) => rs.count(_._6) == 1 })
+  }
 }

@@ -342,6 +342,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
   }
 
+  test("soft dedup: exact 1/|cluster| lattice weights, tail content kept") {
+    val docs5 = Seq(
+      (1L, 30L), (2L, 12L), (3L, 6L),   // cluster {1,2,3}
+      (4L, 9L),                         // singleton
+      (5L, 0L)                          // singleton, empty doc
+    ).toDF("doc_id", "ntok")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.softDedupWeights(docs5, edges, "doc_id", col("ntok"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // every document survives — soft dedup never drops rows
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    val scale = 1L << 20
+    // cluster {1,2,3}: weight floor(2^20/3); effective tokens floor(t*2^20/3)
+    for (id <- Seq(1L, 2L, 3L)) {
+      val (_, cluster, csize, w, _) = got(id)
+      assert(cluster === 1L && csize === 3L && w === scale / 3)
+    }
+    assert(got(1L)._5 === 30L * scale / 3)
+    assert(got(3L)._5 === 6L * scale / 3)
+    // singletons keep full weight; the empty doc keeps zero effective mass
+    assert(got(4L) === ((4L, 4L, 1L, scale, 9L * scale)))
+    assert(got(5L) === ((5L, 5L, 1L, scale, 0L)))
+    // conservation: a cluster's total weight never exceeds one doc-equivalent
+    val clusterMass = got.values.filter(_._3 == 3L).map(_._4).sum
+    assert(clusterMass <= scale && clusterMass > scale - 3)
+  }
+
   test("dedup clustering converges on a long chain (diameter > 2)") {
     val n = 12
     val ids = (1L to n).toDF("doc_id")

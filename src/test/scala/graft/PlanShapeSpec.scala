@@ -674,6 +674,45 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2: ONE key exchange shared by both windows, type filter pushed") {
+    val prepared = preparedPlan(SparkEntry.queries("ev_scd2")(spark, sf))
+    val scans = prepared.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.map(_.metadata("PushedFilters")).exists(_.contains("event_type")),
+      "the event-type filter must reach the parquet scan")
+    val exchanges = prepared.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length === 1,
+      s"scd2 is ONE key exchange; change detect, versioning and intervals share it:\n$prepared")
+    val windows = prepared.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.length === 2, "lag-detect and lead/version windows both present")
+  }
+
+  test("temperature mix: corpus scanned exactly once, totals via k-row window") {
+    val prepared = preparedPlan(SparkEntry.queries("tx_temperature_mix")(spark, sf))
+    val scans = prepared.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length === 1,
+      s"the agg + totals must share ONE documents scan (no recompute branch):\n$prepared")
+    assert(scans.head.schema.fieldNames.toSet === Set("text", "source"),
+      "scan pruned to the two needed columns")
+  }
+
+  test("soft dedup: no exchange carries document text") {
+    val prepared = preparedPlan(SparkEntry.queries("dd_soft_dedup")(spark, sf))
+    prepared.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name)
+    }.foreach { cols =>
+      assert(!cols.contains("text"), s"document text crosses an exchange: $cols")
+    }
+  }
+
   test("attribution: joinless, ONE scan, windows share one user exchange") {
     val p = plan(SparkEntry.queries("ev_attribution")(spark, sf))
     assert(!p.contains("Join"), s"attribution must be joinless:\n$p")

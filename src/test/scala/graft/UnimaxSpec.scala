@@ -94,4 +94,37 @@ class UnimaxSpec extends AnyFunSuite {
     assert(rows(1)._1 === "src_tiny" && rows(1)._2 && rows(1)._3 === 20.0)
     assert(math.abs(rows(1)._4 - 2.0) < 1e-12)
   }
+
+  test("temperature mix: exact sqrt weights and hand-computed allocation") {
+    // big = 10000 tokens across 100 docs, small = 100 tokens in 10 docs
+    val df = ((1 to 100).map(i => (i.toLong, Seq.fill(100)("w").mkString(" "), "big"))
+        ++ (101 to 110).map(i => (i.toLong, Seq.fill(10)("w").mkString(" "), "small")))
+      .toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.temperatureMix(df, "text", col("source"),
+        budgetTokens = 1100L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // w = floor(sqrt(10000)) = 100, floor(sqrt(100)) = 10; total 110
+    assert(rows("big") === (("big", 100L, 10000L, 100L, 1000L, 1000L * 1048576 / 10000)))
+    assert(rows("small") === (("small", 10L, 100L, 10L, 100L, 100L * 1048576 / 100)))
+  }
+
+  test("temperature mix flattens: low-resource share rises, head share falls") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val budget = 1000000L
+    val rows = TextAnalysis.temperatureMix(docs, "text", col("source"), budget)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._5).sum <= budget, "floor-division allocation never overshoots")
+    val total = rows.map(_._3).sum.toDouble
+    val smallest = rows.minBy(_._3)
+    val largest = rows.maxBy(_._3)
+    assert(smallest._5.toDouble / budget >= smallest._3 / total - 1e-9,
+      "alpha=0.5 upsamples the lowest-resource stratum")
+    assert(largest._5.toDouble / budget <= largest._3 / total + 1e-9,
+      "alpha=0.5 downsamples the head stratum")
+    // epochs_fp is the per-stratum repeat factor on the 2^20 lattice:
+    // upsampling shows as epochs above the corpus-wide budget/total rate
+    val globalEpochsFp = budget * (1L << 20) / rows.map(_._3).sum
+    assert(smallest._6 >= globalEpochsFp && largest._6 <= globalEpochsFp)
+  }
 }
