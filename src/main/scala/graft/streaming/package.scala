@@ -24,6 +24,14 @@ package object streaming {
   private[streaming] def micros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
+  /** Inverse of [[micros]]: µs-exact Timestamp (floorDiv/floorMod so
+    * pre-epoch instants round toward -inf consistently). */
+  private[streaming] def tsFromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Source schema for a parquet-dir stream: the explicit one when given
     * (empty-dir-safe serving bootstrap), else inferred from the files
     * already in `sourceDir` (throws on an empty dir — batch/replay only). */
