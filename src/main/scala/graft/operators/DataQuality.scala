@@ -86,4 +86,31 @@ object DataQuality {
         col("m").as(metricCol), col("med"), col("mad"),
         (col("dev") > lit(nMads) * col("mad")).as("is_outlier"))
   }
+
+  /**
+   * k-anonymity audit: group the table by its quasi-identifier columns
+   * and flag every cell whose distinct-subject count is below `k` — the
+   * re-identification risk check a privacy review runs before releasing
+   * event data or training on user-derived text (Sweeney 2002; a cell
+   * with < k subjects pins its members down to a small candidate set).
+   *
+   * Exact distinct counts (no sketch): an at_risk verdict must not be
+   * probabilistic. Scale shape: Catalyst plans exact count-distinct as
+   * the two-phase Expand aggregate — partial per (cell, subject), final
+   * per cell — so the only shuffle carries (quasi..., subject) narrow
+   * rows, and the output is |cells| rows, bounded by the quasi-identifier
+   * domain, never by |rows|.
+   *
+   * Output: one row per cell — (quasi columns..., n_subjects, n_rows,
+   * at_risk = 0 < n_subjects < k).
+   */
+  def kAnonymityAudit(df: DataFrame, quasi: Seq[(String, org.apache.spark.sql.Column)],
+                      subject: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    require(quasi.nonEmpty, "at least one quasi-identifier column")
+    df.groupBy(quasi.map { case (n, c) => c.as(n) }: _*)
+      .agg(count_distinct(subject).as("n_subjects"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("at_risk", col("n_subjects") < k)
+  }
 }

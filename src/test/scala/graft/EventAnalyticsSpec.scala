@@ -415,4 +415,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // exactly one current version per key
     assert(dim.groupBy(_._1).forall { case (_, rs) => rs.count(_._6) == 1 })
   }
+
+  test("scd2 + as-of lookup: facts pick the version in force, boundaries inclusive") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Some(10L), 1L),
+      (1L, ts("2024-01-03 00:00:00"), Some(20L), 2L))
+      .toDF("user_id", "ts", "tier", "event_id")
+      .withColumn("event_type", lit("purchase"))
+    val dim = EventAnalytics.scd2(changes, "purchase", attrCol = "tier")
+    val facts = Seq(
+      (100L, 1L, ts("2023-12-31 00:00:00")), // before any version -> NULLs
+      (101L, 1L, ts("2024-01-01 00:00:00")), // exactly at v1 open -> v1 (inclusive)
+      (102L, 1L, ts("2024-01-02 00:00:00")), // inside v1
+      (103L, 1L, ts("2024-01-03 00:00:00")), // exactly at the change -> v2
+      (104L, 1L, ts("2024-01-09 00:00:00"))  // in the open current version
+    ).toDF("event_id", "user_id", "ts")
+    val got = graft.operators.AsofJoin.asof(facts,
+        dim.select(col("user_id").as("d_user"), col("valid_from"),
+          col("attr"), col("version")),
+        "user_id", "d_user", "ts", "valid_from",
+        Seq("attr", "version"), "version")
+      .select("event_id", "asof_attr", "asof_version")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(100L) === ((None, None)))
+    assert(got(101L) === ((Some(10L), Some(1L))))
+    assert(got(102L) === ((Some(10L), Some(1L))))
+    assert(got(103L) === ((Some(20L), Some(2L))))
+    assert(got(104L) === ((Some(20L), Some(2L))))
+  }
 }

@@ -342,6 +342,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
   }
 
+  test("k-anonymity: exact distinct-subject cells, risk strictly below k") {
+    val rows = Seq(
+      // cell A: 5 distinct users over 6 rows -> safe at k=5
+      (1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"), (5L, "A"), (5L, "A"),
+      // cell B: 4 distinct users -> at risk
+      (1L, "B"), (2L, "B"), (3L, "B"), (4L, "B")
+    ).toDF("user_id", "cell")
+    val got = graft.operators.DataQuality.kAnonymityAudit(rows,
+        Seq("cell" -> col("cell")), col("user_id"), k = 5)
+      .as[(String, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got("A") === (("A", 5L, 6L, false)), "k subjects exactly is safe")
+    assert(got("B") === (("B", 4L, 4L, true)))
+  }
+
   test("soft dedup: exact 1/|cluster| lattice weights, tail content kept") {
     val docs5 = Seq(
       (1L, 30L), (2L, 12L), (3L, 6L),   // cluster {1,2,3}
