@@ -575,4 +575,82 @@ object SimilaritySearch {
       .withColumn("cosine", cosine_sim(col(corpusVec), col(queryVec)))
     topKPerQuery(scored, k, queryId, corpusId)
   }
+
+  /**
+   * MMR-diversified top-k (Maximal Marginal Relevance, Carbonell &
+   * Goldstein 1998): greedily select k results maximizing
+   * `lambda * rel(d) - (1 - lambda) * max_{s in selected} sim(d, s)` —
+   * relevance traded against redundancy, so the result page is not k
+   * near-copies of the best hit. THE re-ranking pass of a diversified
+   * retrieval / RAG-context stack.
+   *
+   * Two stages: (1) candidate generation — [[bruteForceKnn]]'s broadcast
+   * top-`topN` (swap in the LSH/IVF variants upstream at larger query
+   * sets); (2) per-query greedy selection in `flatMapGroups` — genuinely
+   * iterative semantics (each pick depends on all previous picks), which
+   * no window/join composition expresses; the group is at most `topN`
+   * rows, so per-group work is O(topN * k * dim) with bounded memory.
+   * The candidate exchange carries `|Q| * topN` embedding rows — bounded
+   * by the QUERY set, never corpus-sized, the one place an embedding may
+   * legitimately cross a shuffle.
+   *
+   * Determinism: candidates fold in (rel DESC, vec_id ASC) order, and a
+   * score tie picks the smallest vec_id — the exact (score DESC, vec_id
+   * ASC) argmax the oracle SQL replays. Pairwise sims use
+   * [[VectorMath.cosine]], the same kernel that scored relevance.
+   *
+   * Output: (queryId, corpusId, mmr_score, rank) — rank is the 1-based
+   * selection order; `mmr_score` is the objective value at selection
+   * (step 1 has no penalty term: `lambda * rel`).
+   */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+                topN: Int, lambda: Double,
+                corpusId: String = "vec_id", corpusVec: String = "embedding",
+                queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    require(k >= 1 && topN >= k, s"need topN >= k >= 1, got k=$k topN=$topN")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cands = bruteForceKnn(corpus, queries, topN, corpusId, corpusVec,
+        queryId, queryVec)
+      .join(corpus.select(col(corpusId), col(corpusVec).as("__v")), corpusId)
+      .select(col(queryId), col(corpusId), col("cosine"), col("__v"))
+      .as[(Long, Long, Double, Array[Float])]
+    cands.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        val pool = scala.collection.mutable.ArrayBuffer.from(
+          it.map(c => (c._2, c._3, c._4)).toSeq.sortBy(c => (-c._2, c._1)))
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+        while (sel.length < k && pool.nonEmpty) {
+          var bestIdx = 0
+          var bestScore = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var i = 0
+          while (i < pool.length) {
+            val (id, rel, vec) = pool(i)
+            // true max-sim penalty (GREATEST in the oracle — may be
+            // negative); step 1 (sel empty) has no penalty term
+            var pen = 0.0
+            if (sel.nonEmpty) {
+              pen = Double.NegativeInfinity
+              sel.foreach { s =>
+                val sim = VectorMath.cosine(vec, s)
+                if (sim > pen) pen = sim
+              }
+            }
+            val score = lambda * rel - (1.0 - lambda) * pen
+            if (score > bestScore || (score == bestScore && id < bestId)) {
+              bestScore = score; bestIdx = i; bestId = id
+            }
+            i += 1
+          }
+          val (id, _, vec) = pool.remove(bestIdx)
+          sel += vec
+          out += ((qid, id, bestScore, sel.length.toLong))
+        }
+        out.iterator
+      }
+      .toDF(queryId, corpusId, "mmr_score", "rank")
+  }
 }

@@ -413,6 +413,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("mmr rerank: duplicates demoted, lambda=1 reduces to relevance order") {
+    // query along e1; c1/c2 are near-identical top hits, c3 is orthogonal-ish
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (1L, v(1.0, 0.0, 0.0)),
+      (2L, v(0.999, 0.01, 0.0)),   // near-copy of 1, slightly worse rel
+      (3L, v(0.6, 0.8, 0.0)),      // diverse, lower rel
+      (4L, v(0.5, -0.85, 0.0))     // diverse the other way
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, v(1.0, 0.0, 0.0))).toDF("query_id", "query_vec")
+
+    // lambda 0.3 favors diversity: the near-copy's huge sim-to-selected
+    // penalty (~1.0) must push it out of the top 3 entirely
+    // (hand-computed: rank2 = c4 at -0.2028.., rank3 = c3 at -0.24)
+    val diversified = SimilaritySearch.mmrRerank(corpus, queries,
+        k = 3, topN = 4, lambda = 0.3)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect()
+    assert(diversified.head._2 === 1L, "rank 1 is always the max-relevance hit")
+    assert(diversified.map(_._2).toSeq === Seq(1L, 4L, 3L),
+      s"the near-copy (2) must fall out of the diversified page: ${diversified.toSeq}")
+    assert(diversified.map(_._4).toSeq === Seq(1L, 2L, 3L))
+
+    val relevanceOnly = SimilaritySearch.mmrRerank(corpus, queries,
+        k = 3, topN = 4, lambda = 1.0)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect()
+    assert(relevanceOnly.map(_._2).toSeq === Seq(1L, 2L, 3L),
+      "lambda = 1 is plain top-k by relevance")
+  }
+
   test("brute-force kNN: self-match ranks first at cosine 1") {
     val corpus = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
     val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
