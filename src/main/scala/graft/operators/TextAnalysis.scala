@@ -530,6 +530,45 @@ object TextAnalysis {
   }
 
   /**
+   * Curriculum shard assignment: within each stratum, order documents by
+   * a caller-supplied score (DESC, doc-id tiebreak) and greedy-pack them
+   * IN THAT ORDER into fixed-token training shards — the data-ORDERING
+   * step of curriculum schedules (Bengio et al. 2009; for the modern
+   * "anneal on the best data last" recipe pass the negated score). Shard
+   * 0 is the first-served mass; `shard_offset` is the document's token
+   * offset inside its shard, so a downstream writer can emit shards
+   * without re-sorting.
+   *
+   * Same fill-then-cut semantics as [[packSequences]]: a document is
+   * assigned to the shard its PRECEDING cumulative mass falls in, so the
+   * last document of a shard may straddle the boundary (cut downstream).
+   *
+   * Scale shape: one narrow (stratum, score, id, n_tokens) exchange and a
+   * per-stratum ordered running sum — parallel across strata, like
+   * [[tokenBudgetFill]]; no global sort, no driver state.
+   *
+   * Output: (idCol, stratum, score, n_tokens, shard_id, shard_offset).
+   */
+  def curriculumShards(df: DataFrame, textCol: String, idCol: String,
+                       score: Column, stratum: Column,
+                       shardTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardTokens > 0, "shardTokens must be positive")
+    // __-prefixed internals: evaluate the caller's expressions against the
+    // ORIGINAL columns, never a clobbered one (the mixtureSample rule)
+    val w = Window.partitionBy(col("__stratum"))
+      .orderBy(col("__score").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        score.as("__score"), stratum.as("__stratum"))
+      .withColumn("__off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("__stratum").as("stratum"),
+        col("__score").as("score"), col("n_tokens"),
+        floor(col("__off") / shardTokens).cast("long").as("shard_id"),
+        pmod(col("__off"), lit(shardTokens)).as("shard_offset"))
+  }
+
+  /**
    * Context-window chunking: split each document into `chunkTokens`-token
    * chunks whose starts advance by `stride` tokens (stride < chunkTokens
    * gives overlapping chunks, the RAG/pretraining windowing shape). Emits

@@ -342,6 +342,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
   }
 
+  test("curriculum shards: score-ordered fill, stratum isolation, straddle semantics") {
+    import graft.operators.TextAnalysis
+    // en: scores 1.0 (a,b) then 0.0 (c); tokens 6/5/4 with 8-token shards:
+    // a at off 0 (shard 0), b at off 6 (shard 0, straddles), c at off 11 (shard 1)
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6", "en"),              // clean 6 tokens, score 1.0
+      (2L, "v1 v2 v3 v4 v5", "en"),                 // clean 5 tokens, score 1.0
+      (3L, "!! ?? ;; :: ,,", "en"),                 // pure punct -> score 0.0
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8 x9", "fr")      // other stratum restarts at 0
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.curriculumShards(docs, "text", "doc_id",
+        TextAnalysis.qualityScore(col("text")), col("lang"), shardTokens = 8L)
+      .as[(Long, String, Double, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "en", 1.0, 6L, 0L, 0L)))
+    assert(got(2L) === ((2L, "en", 1.0, 5L, 0L, 6L)), "straddling doc stays in the shard its offset opens")
+    assert(got(3L)._3 === 0.0 && got(3L)._5 === 1L, "low-score doc packs last, next shard")
+    assert(got(4L)._5 === 0L && got(4L)._6 === 0L, "each stratum fills independently from offset 0")
+  }
+
   test("k-anonymity: exact distinct-subject cells, risk strictly below k") {
     val rows = Seq(
       // cell A: 5 distinct users over 6 rows -> safe at k=5
