@@ -543,25 +543,56 @@ object TextAnalysis {
    * assigned to the shard its PRECEDING cumulative mass falls in, so the
    * last document of a shard may straddle the boundary (cut downstream).
    *
-   * Scale shape: one narrow (stratum, score, id, n_tokens) exchange and a
-   * per-stratum ordered running sum — parallel across strata, like
-   * [[tokenBudgetFill]]; no global sort, no driver state.
+   * Scale shape — two-level banded packing, NOT one window per stratum
+   * (a per-stratum ordered window is one task sorting the whole stratum:
+   * at 100 TB "the English partition" is the corpus). `floor(score *
+   * scoreBands)` is monotone in score, so ordering by (band DESC, score
+   * DESC, id) IS ordering by (score DESC, id) — the running sum
+   * parallelizes across (stratum, band) tasks, and each document's global
+   * offset is its within-band offset plus the exact prefix of
+   * higher-band token totals (a strata x bands frame: census-sized,
+   * cumulated per stratum, broadcast back). Output is bit-identical to
+   * the single-window form at any banding. The narrow
+   * (id, stratum, score, tokens) projection is localCheckpointed once —
+   * ~1e-3 of corpus bytes (no text) — so the offsets window and the band
+   * census share one text scan.
    *
    * Output: (idCol, stratum, score, n_tokens, shard_id, shard_offset).
    */
   def curriculumShards(df: DataFrame, textCol: String, idCol: String,
                        score: Column, stratum: Column,
-                       shardTokens: Long): DataFrame = {
+                       shardTokens: Long, scoreBands: Int = 1024,
+                       checkpoint: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shardTokens > 0, "shardTokens must be positive")
+    require(scoreBands >= 1, "scoreBands must be >= 1")
     // __-prefixed internals: evaluate the caller's expressions against the
     // ORIGINAL columns, never a clobbered one (the mixtureSample rule)
-    val w = Window.partitionBy(col("__stratum"))
+    val base0 = df.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        score.as("__score"), stratum.as("__stratum"))
+      // NULL scores band together at the bottom (both engines sort DESC
+      // nulls-last) instead of null-keying out of the prefix join
+      .withColumn("__band",
+        when(col("__score").isNull, lit(Long.MinValue))
+          .otherwise(floor(col("__score") * scoreBands).cast("long")))
+    val base = if (checkpoint) base0.localCheckpoint() else base0
+    val wBand = Window.partitionBy(col("__stratum"), col("__band"))
       .orderBy(col("__score").desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"),
-        score.as("__score"), stratum.as("__stratum"))
-      .withColumn("__off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val withOff = base
+      .withColumn("__boff", coalesce(sum(col("n_tokens")).over(wBand), lit(0L)))
+    // exact prefix of HIGHER bands' token mass, per stratum: a census-sized
+    // frame (strata x occupied bands), cumulated band-descending, broadcast
+    val wPrefix = Window.partitionBy(col("__stratum"))
+      .orderBy(col("__band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = base.groupBy(col("__stratum"), col("__band"))
+      .agg(sum(col("n_tokens")).as("__btot"))
+      .withColumn("__bprefix", coalesce(sum(col("__btot")).over(wPrefix), lit(0L)))
+      .drop("__btot")
+    withOff.join(broadcast(prefixes), Seq("__stratum", "__band"))
+      .withColumn("__off", col("__bprefix") + col("__boff"))
       .select(col(idCol), col("__stratum").as("stratum"),
         col("__score").as("score"), col("n_tokens"),
         floor(col("__off") / shardTokens).cast("long").as("shard_id"),
