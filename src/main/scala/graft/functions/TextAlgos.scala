@@ -33,6 +33,47 @@ object TextAlgos {
     if (text == null || text.isEmpty) Array.empty
     else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
 
+  /** Word n-grams as STRINGS — the exact kernel twin of the
+    * `lower → \s+ split → n-windows joined by ' '` Column form
+    * (TextAnalysis.gramArray): fewer than n tokens → empty (no partial
+    * gram), duplicates preserved in order. One pass, one StringBuilder —
+    * replaces a transform/slice/array_join HOF chain whose per-element
+    * Catalyst overhead dominated the contamination/boilerplate scans. */
+  def ngrams(text: String, n: Int): Array[String] = {
+    val ts = tokens(text)
+    if (ts.length < n) Array.empty
+    else {
+      val out = new Array[String](ts.length - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= ts.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ts(i + j))
+          j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** [[ngrams]] pre-wrapped as UTF8String elements for ArrayData (the
+    * codegen bridge for the NgramArray expression). */
+  def ngramsUtf8(text: String, n: Int): Array[AnyRef] = {
+    val gs = ngrams(text, n)
+    val out = new Array[AnyRef](gs.length)
+    var i = 0
+    while (i < gs.length) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(gs(i))
+      i += 1
+    }
+    out
+  }
+
   /** Word-level w-shingles as stable 64-bit hashes. */
   def shingles(text: String, w: Int): Array[Long] = {
     val ts = tokens(text)

@@ -180,6 +180,29 @@ case class LshBands(left: Expression, right: Expression)
 
 /** Distinct word-w-shingle hashes of a text, ascending (TextAlgos.shingleSet).
   * The narrow-row feed of prefix-filter set-similarity dedup. */
+/** Word n-gram STRINGS as one fused kernel ([[TextAlgos.ngrams]]) — the
+  * scan-side producer for the contamination / boilerplate family. The
+  * equivalent HOF Column tree (`transform(sequence, i ->
+  * array_join(slice(toks, i, n)))`) is excluded from subexpression
+  * elimination and pays per-element Catalyst dispatch on every gram
+  * (the r11 PQ lesson, measured again on tx_contamination); the kernel is
+  * one pass with one StringBuilder. */
+case class NgramArray(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def nullSafeEval(a: Any, n: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextAlgos.ngramsUtf8(a.asInstanceOf[UTF8String].toString, n.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, n) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextAlgos.ngramsUtf8($a.toString(), $n))")
+  override def prettyName: String = "ngram_array"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 case class ShingleSet(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)

@@ -42,6 +42,7 @@ package object functions {
   def lsh_bands(sig: Column, rowsPerBand: Column): Column = c(LshBands(e(sig), e(rowsPerBand)))
   def ngram_jaccard(a: Column, b: Column, w: Column): Column = c(NGramJaccard(e(a), e(b), e(w)))
   def shingle_set(a: Column, w: Column): Column = c(ShingleSet(e(a), e(w)))
+  def ngram_array(a: Column, n: Column): Column = c(NgramArray(e(a), e(n)))
   def word_shingles(a: Column, w: Column): Column = c(WordShingles(e(a), e(w)))
 
   // ---- exact fixed-point math ----

@@ -201,7 +201,18 @@ object TextAnalysis {
     * boilerplate census, the streaming gate) derives from this one
     * column expression, so tokenizer/window/separator semantics can
     * never drift between passes. */
-  private[operators] def gramArray(text: Column, n: Int): Column = {
+  /** Word n-gram strings via the fused [[graft.functions.NgramArray]]
+    * kernel. The original HOF form (`transform(sequence, i ->
+    * array_join(slice(toks, i, n)))`) computes the same grams but pays
+    * per-element Catalyst dispatch outside subexpression elimination —
+    * measured ~3x the scan CPU on the contamination/boilerplate family;
+    * KernelPropsSpec pins kernel == HOF on randomized inputs. */
+  private[graft] def gramArray(text: Column, n: Int): Column =
+    graft.functions.ngram_array(text, lit(n))
+
+  /** The HOF Column form of [[gramArray]] — kept as the property-test
+    * reference the kernel is pinned against. */
+  private[graft] def gramArrayHof(text: Column, n: Int): Column = {
     val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),

@@ -342,6 +342,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
   }
 
+  test("ngram kernel == the HOF Column form it replaced (fixture + edges)") {
+    import graft.operators.TextAnalysis
+    val edges = Seq(
+      (9001L, ""), (9002L, "   "), (9003L, "one"), (9004L, "one two"),
+      (9005L, "one two three"), (9006L, "  a\tb c  d  "),
+      (9007L, "Mixed CASE Tokens here"), (9008L, "x " * 50)
+    ).toDF("doc_id", "text")
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf0001}/documents.parquet")
+      .select("doc_id", "text").unionByName(edges)
+    for (n <- Seq(2, 3)) {
+      val both = corpus.select(col("doc_id"),
+        TextAnalysis.gramArray(col("text"), n).as("k"),
+        TextAnalysis.gramArrayHof(col("text"), n).as("h"))
+      val diff = both.filter(not(col("k") <=> col("h"))).count()
+      assert(diff === 0L, s"kernel diverged from the HOF reference at n=$n")
+    }
+    // null text: kernel is null (nullSafeEval), HOF was empty — both drop
+    // under explode and coalesce-guarded counts (the two consumer shapes)
+    val nulls = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    assert(nulls.select(explode(TextAnalysis.gramArray(col("text"), 3))).count() === 0L)
+  }
+
   test("curriculum shards: score-ordered fill, stratum isolation, straddle semantics") {
     import graft.operators.TextAnalysis
     // en: scores 1.0 (a,b) then 0.0 (c); tokens 6/5/4 with 8-token shards:
