@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{StructField, StructType, StringType}
 
-import graft.pipeline.MatchPipeline
+import graft.pipeline.{MatchBlocking, MatchPipeline}
 
 /**
  * Streaming form of the flagship match pipeline — the engine's equivalent
@@ -60,16 +60,33 @@ object MatchServing {
     spark.read.parquet(outDir).withColumn("batch_id", col("batch_id").cast("long"))
   }
 
+  /**
+   * @param blocked route each micro-batch through
+   *   [[MatchBlocking.matchOutput]] (key-blocked candidate generation —
+   *   the scale plan for big rosters, where the broadcast-NLJ cross
+   *   product is the cost) instead of the exact
+   *   [[MatchPipeline.matchOutput]]. Same output contract either way;
+   *   per-batch results equal the same-mode batch run (spec-pinned).
+   *   NOTE (MatchBlocking scaladoc): the blocked path localCheckpoints
+   *   its roster key table and candidate pairs PER CALL, i.e. per
+   *   micro-batch here — blocks are bounded and GC-reclaimed, but a
+   *   memory-tight long-lived serving driver should prefer larger
+   *   `maxFilesPerTrigger` batches to amortize them.
+   */
   def matchStreaming(spark: SparkSession, sourceDir: String,
                      employees: DataFrame, outDir: String,
                      checkpointDir: String,
-                     maxFilesPerTrigger: Int = 1): Unit = {
+                     maxFilesPerTrigger: Int = 1,
+                     blocked: Boolean = false): Unit = {
     val stream = spark.readStream.schema(UsernameSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
+    val matchBatch: DataFrame => DataFrame =
+      if (blocked) MatchBlocking.matchOutput(_, employees)
+      else MatchPipeline.matchOutput(_, employees)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        MatchPipeline.matchOutput(batch, employees)
+        matchBatch(batch)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .option("checkpointLocation", checkpointDir)

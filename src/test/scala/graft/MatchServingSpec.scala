@@ -79,4 +79,61 @@ class MatchServingSpec extends AnyFunSuite {
       rm(new java.io.File(base))
     }
   }
+
+  test("blocked serving path: stream == batch, and blocked == unblocked on the fixture") {
+    val employees = EmployeeNormalizer.normalize(
+      spark.read.option("header", "true").csv("/root/reference/employee.csv"))
+    val usernames = spark.read.option("header", "true")
+      .csv("/root/reference/usernames.csv")
+      .select(col("Username").as("username"))
+
+    val base = java.nio.file.Files.createTempDirectory("graft_serve_blk").toString
+    try {
+      usernames.repartition(4).write.parquet(s"$base/src")
+      MatchServing.matchStreaming(spark, s"$base/src", employees,
+        s"$base/out", s"$base/ckpt", blocked = true)
+
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("username", "emp_id", "emp_name", "confidence_score", "match_type")
+        .as[(String, String, String, String, String)].collect().sorted.toSeq
+
+      val streamed = spark.read.parquet(s"$base/out")
+      assert(streamed.select("batch_id").distinct().count() > 1,
+        "expected multiple micro-batches")
+      // stream == batch on the SAME mode: a username's blocked verdict
+      // depends only on (username, roster) — candidate keys are row-local
+      // and the roster-side frequency cap is probe-independent, so
+      // micro-batch boundaries cannot change it
+      val got = key(streamed)
+      val wantBlocked = key(graft.pipeline.MatchBlocking.matchOutput(usernames, employees))
+      assert(got === wantBlocked,
+        "micro-batch boundaries changed blocked-path results")
+      // blocked vs unblocked on the reference fixture: blocking is allowed
+      // to miss purely-fuzzy matches (the MatchBlockingSpec contract), so
+      // the serving parity pin is the SAME >= 90% recall floor plus exact
+      // agreement on every (username, emp_id) pair both paths surface
+      def found(rows: Seq[(String, String, String, String, String)]) =
+        rows.filter(_._5 != "USER NOT FOUND").map(r => (r._1, r._2)).toSet
+      val wantExact = key(MatchPipeline.matchOutput(usernames, employees))
+      val recall = found(got).intersect(found(wantExact)).size.toDouble /
+        found(wantExact).size
+      info(f"blocked serving recall vs exact: $recall%.4f")
+      assert(recall >= 0.90, f"recall $recall%.4f below 0.90")
+      // scores are candidate-set independent and must agree bit-for-bit;
+      // the rank LABEL may legitimately differ (dense_rank runs over the
+      // surviving candidates, so a dropped higher-ranked fuzzy candidate
+      // shifts labels below it)
+      val exactByPair = wantExact.map(r => (r._1, r._2) -> r).toMap
+      got.filter(r => exactByPair.contains((r._1, r._2))).foreach { r =>
+        val e = exactByPair((r._1, r._2))
+        assert((r._3, r._4) === ((e._3, e._4)),
+          s"blocked serving name/score differs on a pair both paths found: $r vs $e")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
 }
