@@ -609,6 +609,82 @@ object Dedup {
   }
 
   /**
+   * Duplicated-span REMOVAL — the transform [[dupSpans]] only measures:
+   * excise every cross-document-duplicated span from the corpus, keeping
+   * ONE canonical occurrence (Lee et al. 2022's ExactSubstr dedup acts,
+   * not just reports: training-data spans duplicated across documents are
+   * cut so the corpus carries each verbatim passage once).
+   *
+   * Canonical-occurrence rule, per POSITION: the gram starting at token
+   * `pos` of doc `d` is removable iff `d` is not the MINIMUM doc id among
+   * the >= `minDocs` documents containing that gram — so the min-id doc
+   * of every duplicated gram run keeps its text verbatim, and every other
+   * occurrence is cut. Removable positions merge into maximal spans by
+   * the same gaps-and-islands rule as [[dupSpans]] (gap > `k` breaks; a
+   * span covers [min_pos, max_pos + k - 1]), and the covered TOKENS are
+   * excised row-locally from the document's own token list.
+   *
+   * Token-level surgery: `cleaned_text` is the document's surviving
+   * original-case whitespace tokens joined by single spaces (original
+   * inter-token whitespace is not preserved — the corpus is re-tokenized
+   * downstream anyway). Gram positions index the lowercased token list,
+   * which aligns 1:1 with the original-case list because lowercasing
+   * never changes whitespace.
+   *
+   * Scale shape: the census and position join shuffle narrow
+   * (id, pos, gram-hash) rows — the duplicated-vocabulary build side has
+   * ONE row per gram, so a boilerplate gram in millions of documents
+   * marks, never multiplies, its positions; span merging is one window
+   * over removable positions only; and the final surgery is a row-local
+   * nested-HOF projection after the (narrow) span frame joins back by id
+   * (with an id-bucketed corpus layout that last exchange disappears).
+   * Text never enters a shuffle except as the output itself.
+   *
+   * Output: (idCol, n_tokens, n_removed_tokens, cleaned_text).
+   */
+  def removeDupSpans(df: DataFrame, textCol: String, idCol: String,
+                     k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2, s"need k >= 1 (got $k), minDocs >= 2 (got $minDocs)")
+    val base = df
+      .select(col(idCol).as("id"),
+        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("toks"),
+        col(textCol).as("__text"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val grams = base.filter(col("n_tokens") >= k)
+      .select(col("id"), posexplode(word_shingles(col("__text"), lit(k))))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
+    val dupVocab = grams.select("gram", "id").distinct()
+      .groupBy("gram")
+      .agg(count(lit(1)).as("ndocs"), min(col("id")).as("canon"))
+      .filter(col("ndocs") >= minDocs)
+      .select("gram", "canon")
+    val removable = grams.join(dupVocab, "gram").filter(col("id") =!= col("canon"))
+    val wOrd = Window.partitionBy("id").orderBy("pos")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = removable
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(wOrd).isNull
+          .or(col("pos") - lag(col("pos"), 1).over(wOrd) > k), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy("id", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(k.toLong) - 1L).as("e"))
+    val perDoc = spans.groupBy("id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"),
+        sum(col("e") - col("s") + 1L).as("n_removed"))
+    base.join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed_tokens"),
+        when(col("spans").isNull, array_join(col("toks"), " "))
+          .otherwise(array_join(
+            filter(col("toks"), (_, i) =>
+              !exists(col("spans"), sp =>
+                i.cast("long") >= sp.getField("s") &&
+                  i.cast("long") <= sp.getField("e"))),
+            " "))
+          .as("cleaned_text"))
+  }
+
+  /**
    * Incremental near-dup admission: dedup a NEW batch against an EXISTING
    * corpus without re-pairing the corpus with itself — the form a 100 TB
    * pipeline actually runs on every ingest (the corpus's minhash band index

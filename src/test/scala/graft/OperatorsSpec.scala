@@ -136,6 +136,37 @@ class OperatorsSpec extends AnyFunSuite {
       (8L, 4L, 4L, 1L, 1.0)))
   }
 
+  test("span removal: min-id doc keeps its text verbatim, every other occurrence is cut") {
+    val df = Seq(
+      (1L, "THE QUICK brown fox jumps"),                    // canonical (min id)
+      (2L, "intro words the quick brown fox jumps outro"),  // quotes doc 1
+      (3L, "unique content here only"),                     // untouched
+      (4L, "the quick brown fox jumps"),                    // verbatim dup of doc 1
+      (5L, ""),                                             // empty
+      (6L, "xy")                                            // under-length: no grams
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.removeDupSpans(df, "text", "doc_id", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got === Set(
+      // canonical occurrence survives with ORIGINAL case — positions index
+      // the lowercased gram tokens but surgery runs on the raw tokens
+      (1L, 5L, 0L, "THE QUICK brown fox jumps"),
+      // doc 2's removable positions 2,3,4 merge into one island covering
+      // tokens [2, 6] — the 5-token verbatim quote goes, the frame stays
+      (2L, 8L, 5L, "intro words outro"),
+      (3L, 4L, 0L, "unique content here only"),
+      (4L, 5L, 5L, ""),
+      (5L, 0L, 0L, ""),
+      (6L, 1L, 0L, "xy")))
+    // surviving-token arithmetic: cleaned token count == n_tokens - removed
+    got.foreach { case (_, n, rm, txt) =>
+      val kept = txt.split("\\s+").count(_.nonEmpty)
+      assert(kept === n - rm, s"token arithmetic broken: $n - $rm != $kept")
+    }
+  }
+
   test("lsh eval: identical pair caught, empty docs excluded from both sides") {
     val df = Seq(
       // identical pair: J = 1 -> in truth; identical minhash sigs -> the
