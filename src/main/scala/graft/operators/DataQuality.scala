@@ -113,4 +113,89 @@ object DataQuality {
         count(lit(1)).as("n_rows"))
       .withColumn("at_risk", col("n_subjects") < k)
   }
+
+  /**
+   * k-anonymity ENFORCEMENT — the act [[kAnonymityAudit]] only measures:
+   * publish every row at the LOWEST generalization-ladder level whose
+   * (generalized) cell reaches `k` distinct subjects, suppressing the
+   * remainder (global-recoding-on-the-residual, the standard ladder form
+   * of Sweeney 2002 / Samarati 2001 generalization).
+   *
+   * `ladder` is an ordered list of generalization LEVELS, each a full set
+   * of quasi-identifier expressions sharing the same column names —
+   * level 0 the exact values, each later level coarser (day -> month ->
+   * '*'). Semantics, level by level over the RESIDUAL:
+   *
+   *   1. census the residual's level-`i` cells; cells with
+   *      >= k distinct subjects PUBLISH their rows at level `i`
+   *      (`gen_level = i`, quasi columns carry the level-`i` values);
+   *   2. the rest continue to level `i+1`;
+   *   3. rows surviving every level are SUPPRESSED:
+   *      `gen_level = ladder.size`, every quasi value `'*'`.
+   *
+   * Published cells can never collide across levels (a level's value
+   * format differs from its coarsenings — '2024-01-05' vs '2024-01' vs
+   * '*'), so the UNION of published rows re-audits clean: every
+   * (quasi...) cell in the output has >= k distinct subjects
+   * (spec-pinned). Suppression is minimal FOR THE LADDER: a row is
+   * suppressed only when no level's residual cell reached k.
+   *
+   * NULL quasi values are canonicalized to the string `'<NULL>'` before
+   * anything groups or joins (a NULL key would silently fall out of the
+   * publish equi-joins and over-suppress); quasi outputs are strings for
+   * the same reason the audit formats its day column — one stable dtype
+   * across engines and levels.
+   *
+   * Scale shape: one narrow projection of (id, subject, per-level quasi
+   * strings), localCheckpointed once; then `ladder.size` passes, each a
+   * census-sized aggregate (bounded by the quasi domain, never |rows|)
+   * broadcast back as a publish/continue split. The residual is
+   * re-checkpointed per level so the census+publish+anti consumers share
+   * one materialization instead of recomputing a 3-way-branching lineage.
+   * Row payloads shuffle ZERO times — both joins are broadcast.
+   *
+   * Output: (idName, subjectName, gen_level, quasi columns...).
+   */
+  def kAnonymityEnforce(df: DataFrame,
+                        id: (String, org.apache.spark.sql.Column),
+                        subject: (String, org.apache.spark.sql.Column),
+                        k: Int,
+                        ladder: Seq[Seq[(String, org.apache.spark.sql.Column)]],
+                        checkpoint: Boolean = true): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2, got $k")
+    require(ladder.nonEmpty, "at least one generalization level")
+    val names = ladder.head.map(_._1)
+    require(ladder.forall(_.map(_._1) == names),
+      s"every ladder level must generalize the same quasi columns $names")
+    val proj0 = df.select(
+      Seq(id._2.as("__id"), subject._2.as("__subj")) ++
+        ladder.zipWithIndex.flatMap { case (lvl, i) =>
+          lvl.map { case (n, c) =>
+            coalesce(c.cast("string"), lit("<NULL>")).as(s"__q${i}_$n")
+          }
+        }: _*)
+    val proj = if (checkpoint) proj0.localCheckpoint() else proj0
+    var residual = proj
+    val published = ladder.indices.map { i =>
+      val keys = names.map(n => s"__q${i}_$n")
+      val cells = residual.groupBy(keys.map(col): _*)
+        .agg(count_distinct(col("__subj")).as("__ns"))
+        .filter(col("__ns") >= k)
+        .drop("__ns")
+      val pub = residual.join(broadcast(cells), keys)
+        .select(Seq(col("__id"), col("__subj"),
+          lit(i.toLong).as("gen_level")) ++
+          names.map(n => col(s"__q${i}_$n").as(n)): _*)
+      val residual0 = residual.join(broadcast(cells), keys, "left_anti")
+      residual = if (checkpoint) residual0.localCheckpoint() else residual0
+      pub
+    }
+    val suppressed = residual
+      .select(Seq(col("__id"), col("__subj"),
+        lit(ladder.size.toLong).as("gen_level")) ++
+        names.map(n => lit("*").as(n)): _*)
+    (published :+ suppressed).reduce(_.unionByName(_))
+      .withColumnRenamed("__id", id._1)
+      .withColumnRenamed("__subj", subject._1)
+  }
 }

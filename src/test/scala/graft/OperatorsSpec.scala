@@ -429,6 +429,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("B") === (("B", 4L, 4L, true)))
   }
 
+  test("k-anonymity enforcement: ladder publishes at the first passing level; output re-audits clean") {
+    import org.apache.spark.sql.functions.{lit => flit}
+    // quasi = (city, band); ladder: exact -> city generalized to region -> '*'
+    // k=2 on distinct subjects
+    val rows = Seq(
+      // (id, subject, city, region, band)
+      (1L, 10L, "nyc", "east", "a"), (2L, 11L, "nyc", "east", "a"), // L0 cell passes
+      (3L, 12L, "bos", "east", "b"), (4L, 13L, "pvd", "east", "b"), // L0 cells of 1 -> pass at L1 (east,b)
+      (5L, 14L, "sfo", "west", "c"),                                // alone at every level w/ band c until '*'
+      (6L, 14L, "lax", "west", "d")                                 // same SUBJECT as 5 -> ('*') cell has
+                                                                    // only subjects {14} -> suppressed? see below
+    ).toDF("id", "subj", "city", "region", "band")
+    val got = graft.operators.DataQuality.kAnonymityEnforce(rows,
+        "id" -> col("id"), "subj" -> col("subj"), k = 2,
+        ladder = Seq(
+          Seq("q1" -> col("city"), "q2" -> col("band")),
+          Seq("q1" -> col("region"), "q2" -> col("band")),
+          Seq("q1" -> flit("*"), "q2" -> col("band"))))
+      .as[(Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 10L, 0L, "nyc", "a")))
+    assert(got(2L) === ((2L, 11L, 0L, "nyc", "a")))
+    assert(got(3L) === ((3L, 12L, 1L, "east", "b")), "1-subject L0 cells must coarsen, not suppress")
+    assert(got(4L) === ((4L, 13L, 1L, "east", "b")))
+    // rows 5 and 6 share ONE subject: no level's cell ever reaches 2
+    // distinct subjects (distinct-subject counting, not row counting)
+    assert(got(5L) === ((5L, 14L, 3L, "*", "*")))
+    assert(got(6L) === ((6L, 14L, 3L, "*", "*")))
+
+    // re-audit the sf0.001 events enforcement: every published cell >= k
+    val ev = graft.sources.Tables.events(spark, SparkTestBase.Sf0001)
+    val enforced = graft.operators.DataQuality.kAnonymityEnforce(ev,
+      "event_id" -> col("event_id"), "user_id" -> col("user_id"), k = 5,
+      ladder = Seq(
+        Seq("event_type" -> col("event_type"),
+          "day" -> date_format(col("ts"), "yyyy-MM-dd")),
+        Seq("event_type" -> col("event_type"),
+          "day" -> date_format(col("ts"), "yyyy-MM")),
+        Seq("event_type" -> col("event_type"), "day" -> flit("*"))))
+      .localCheckpoint()
+    assert(enforced.count() === ev.count(), "enforcement must keep every row")
+    val published = enforced.filter(col("gen_level") < 3)
+    val reaudit = graft.operators.DataQuality.kAnonymityAudit(published,
+      Seq("event_type" -> col("event_type"), "day" -> col("day")),
+      col("user_id"), k = 5)
+    assert(reaudit.filter(col("at_risk")).count() === 0L,
+      "published output re-audits with zero under-k cells")
+    assert(published.count() > 0L)
+  }
+
   test("soft dedup: exact 1/|cluster| lattice weights, tail content kept") {
     val docs5 = Seq(
       (1L, 30L), (2L, 12L), (3L, 6L),   // cluster {1,2,3}
