@@ -611,6 +611,110 @@ object TextAnalysis {
   }
 
   /**
+   * Token-exact shard SLICES — the materialization step
+   * [[curriculumShards]] only assigns: every document becomes one slice
+   * row per training shard it touches, with boundary-straddling documents
+   * SPLIT at the exact token where the shard fills (the "cut downstream"
+   * the assignment's fill-then-cut semantics promises). Concatenating a
+   * shard's slices in `slice_offset` order reproduces the single-window
+   * oracle fold bit-for-bit: sort each stratum by (score DESC, id), lay
+   * tokens end to end, cut every `shardTokens` (spec-pinned).
+   *
+   * Scale shape: the assignment frame is narrow (no text); text joins
+   * back by id ONCE (gone with an id-bucketed corpus layout), and the
+   * straddle split is a row-local explode over the 1–2+ shards a document
+   * spans (a document spans > 2 only when longer than a whole shard) with
+   * [[chunkDocuments]]' slice machinery cutting the token window. No
+   * exchange carries text except the id join; shard assembly downstream
+   * groups by (stratum, shard_id) — each group is one shard's content,
+   * bounded by `shardTokens`.
+   *
+   * Tokens are `split(trim(text), "\s+")` — the [[tokenCount]] kernel the
+   * assignment counted with, so slice arithmetic is exact by construction.
+   * Zero-token documents contribute no slices.
+   *
+   * Output: (idCol, stratum, shard_id, slice_offset, slice_tokens,
+   * slice_text) — `slice_offset` the slice's token offset INSIDE its
+   * shard, `slice_tokens` its length.
+   */
+  def curriculumShardSlices(df: DataFrame, textCol: String, idCol: String,
+                            score: Column, stratum: Column,
+                            shardTokens: Long, scoreBands: Int = 1024,
+                            checkpoint: Boolean = true): DataFrame = {
+    val assign = curriculumShards(df, textCol, idCol, score, stratum,
+      shardTokens, scoreBands, checkpoint)
+    val toks = df.select(col(idCol),
+      when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+        .otherwise(split(trim(col(textCol)), "\\s+")).as("__toks"))
+    assign.filter(col("n_tokens") > 0)
+      .withColumn("__docoff",
+        col("shard_id") * lit(shardTokens) + col("shard_offset"))
+      .join(toks, idCol)
+      .withColumn("__shard", explode(sequence(col("shard_id"),
+        floor((col("__docoff") + col("n_tokens") - 1) / lit(shardTokens))
+          .cast("long"))))
+      // slice bounds in DOC token space: [b, e)
+      .withColumn("__b",
+        greatest(col("__shard") * lit(shardTokens) - col("__docoff"), lit(0L)))
+      .withColumn("__e",
+        least((col("__shard") + 1) * lit(shardTokens),
+          col("__docoff") + col("n_tokens")) - col("__docoff"))
+      .select(col(idCol), col("stratum"),
+        col("__shard").as("shard_id"),
+        greatest(col("__docoff") - col("__shard") * lit(shardTokens), lit(0L))
+          .as("slice_offset"),
+        (col("__e") - col("__b")).as("slice_tokens"),
+        array_join(
+          slice(col("__toks"), (col("__b") + 1).cast("int"),
+            (col("__e") - col("__b")).cast("int")),
+          " ").as("slice_text"))
+  }
+
+  /**
+   * Assembled shard CONTENT: one row per (stratum, shard_id) with the
+   * shard's full text — slices concatenated in offset order — and its
+   * token count. Every shard is exactly `shardTokens` long except each
+   * stratum's last (spec-pinned). One row per shard is the right
+   * granularity: a shard is a training FILE, sized by `shardTokens`
+   * (the caller's file-size knob), so the row is bounded no matter the
+   * corpus size.
+   */
+  def curriculumShardTexts(df: DataFrame, textCol: String, idCol: String,
+                           score: Column, stratum: Column,
+                           shardTokens: Long, scoreBands: Int = 1024,
+                           checkpoint: Boolean = true): DataFrame =
+    curriculumShardSlices(df, textCol, idCol, score, stratum, shardTokens,
+      scoreBands, checkpoint)
+      .groupBy(col("stratum"), col("shard_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("slice_offset").as("o"),
+              col("slice_text").as("t")))),
+            x => x.getField("t")),
+          " ").as("shard_text"),
+        sum(col("slice_tokens")).as("shard_tokens"))
+
+  /**
+   * The shard WRITER: one text file per (stratum, shard_id) under
+   * `outDir/stratum=<s>/shard_id=<n>/` — hive-partitioned so a training
+   * loader lists shards by directory. `repartition` on the partition keys
+   * puts each shard's single row in its own task, hence ONE file per
+   * shard dir.
+   */
+  def writeCurriculumShards(df: DataFrame, textCol: String, idCol: String,
+                            score: Column, stratum: Column,
+                            shardTokens: Long, outDir: String,
+                            scoreBands: Int = 1024): Unit =
+    curriculumShardTexts(df, textCol, idCol, score, stratum, shardTokens,
+      scoreBands)
+      .repartition(col("stratum"), col("shard_id"))
+      .select(col("stratum"), col("shard_id"), col("shard_text"))
+      .write.mode("overwrite").partitionBy("stratum", "shard_id")
+      .text(outDir)
+
+  /**
    * Context-window chunking: split each document into `chunkTokens`-token
    * chunks whose starts advance by `stride` tokens (stride < chunkTokens
    * gives overlapping chunks, the RAG/pretraining windowing shape). Emits

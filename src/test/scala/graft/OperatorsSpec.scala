@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, SimilaritySearch, TopK}
+import graft.operators.{Dedup, Multimodal, SimilaritySearch, TextAnalysis, TopK}
 
 /** Dedup / similarity-search / top-k operator semantics (SURVEY.md §7.5). */
 class OperatorsSpec extends AnyFunSuite {
@@ -413,6 +413,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) === ((2L, "en", 1.0, 5L, 0L, 6L)), "straddling doc stays in the shard its offset opens")
     assert(got(3L)._3 === 0.0 && got(3L)._5 === 1L, "low-score doc packs last, next shard")
     assert(got(4L)._5 === 0L && got(4L)._6 === 0L, "each stratum fills independently from offset 0")
+  }
+
+  test("curriculum shard writer: shard texts equal the single-window fold, exact sizes, one file per shard") {
+    val df = spark.read.parquet(s"${SparkTestBase.Sf0001}/documents.parquet")
+    val S = 100L
+    val shards = TextAnalysis.curriculumShardTexts(df, "text", "doc_id",
+        TextAnalysis.qualityScore(col("text")), col("lang"), shardTokens = S)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    // single-window oracle fold, per stratum: sort by (score DESC, id),
+    // lay tokens end to end, cut every S
+    val rows = df.select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("score"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        Option(r.getString(3)).getOrElse("")))
+    var checked = 0
+    rows.groupBy(_._2).foreach { case (stratum, ds) =>
+      val toks = ds.sortBy(d => (-d._3, d._1))
+        .flatMap(_._4.trim.split("\\s+").filter(_.nonEmpty)).toSeq
+      val folds = toks.grouped(S.toInt).toSeq
+      val got = shards.keys.filter(_._1 == stratum).map(_._2).toSet
+      assert(got === folds.indices.map(_.toLong).toSet,
+        s"stratum $stratum shard ids diverged")
+      folds.zipWithIndex.foreach { case (fold, i) =>
+        val (txt, n) = shards((stratum, i.toLong))
+        assert(n === fold.length.toLong, s"shard ($stratum,$i) token count")
+        assert(txt === fold.mkString(" "),
+          s"shard ($stratum,$i) content diverged from the single-window fold")
+        // every shard exactly S tokens except the stratum's last
+        if (i < folds.size - 1)
+          assert(n === S, s"non-final shard ($stratum,$i) not full")
+        checked += 1
+      }
+    }
+    assert(checked > 3, "fixture must produce several shards (straddlers included)")
+
+    // writer contract: one text file per (stratum, shard_id) dir, content
+    // byte-equal to the assembled shard text
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      TextAnalysis.writeCurriculumShards(df, "text", "doc_id",
+        TextAnalysis.qualityScore(col("text")), col("lang"), S, out)
+      shards.foreach { case ((stratum, sid), (txt, _)) =>
+        val dir = new java.io.File(s"$out/stratum=$stratum/shard_id=$sid")
+        val parts = dir.listFiles().filter(_.getName.startsWith("part-"))
+        assert(parts.length === 1, s"expected ONE file per shard, got ${parts.length} in $dir")
+        val content = new String(
+          java.nio.file.Files.readAllBytes(parts.head.toPath), "UTF-8").stripLineEnd
+        assert(content === txt, s"shard file ($stratum,$sid) content diverged")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(out))
+    }
   }
 
   test("k-anonymity: exact distinct-subject cells, risk strictly below k") {
