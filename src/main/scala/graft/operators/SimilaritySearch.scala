@@ -506,6 +506,63 @@ object SimilaritySearch {
     Array.tabulate(m)(j => residuals.map(_.slice(j * sub, (j + 1) * sub)))
   }
 
+  /** TRAINED residual codebooks — the production configuration
+    * (`by_residual=true` + per-subspace k-means + sampled fit): subspace
+    * `j` trains on the j-th slices of the corpus's residual vectors
+    * (normalized vector − normalized assigned centroid, the exact
+    * quantity [[graft.functions.PqEncodeRes]] encodes), with the same
+    * seed-pinning (seed + j), optional seed-pinned `sampleFraction`
+    * bound on the m × maxIter k-means passes, and driver footprint
+    * (m × ksub × dim/m doubles) as [[pqCodebooksTrained]]. Like the
+    * other trained builders it is not corpus-row-derived, hence not
+    * DuckDB-replayable — [[pqResidualCodebooks]]' prefix stays the
+    * oracle-gated default; PqSpec pins that the full trained + sampled +
+    * residual composition holds the prefix books' recall floor on the
+    * clustered fixture. The centroid assignment runs the SAME
+    * [[graft.functions.VectorMath.nearestCentroids]] kernel the encode
+    * path uses, so build and encode can never disagree on a cell. */
+  def pqResidualCodebooksTrained(corpus: DataFrame, cents: Array[(Long, Array[Float])],
+                                 m: Int, ksub: Int,
+                                 corpusVec: String = "embedding",
+                                 seed: Long = 32L, maxIter: Int = 20,
+                                 sampleFraction: Option[Double] = None): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    codebookBuilds.incrementAndGet()
+    require(sampleFraction.forall(f => f > 0.0 && f <= 1.0),
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val base = sampleFraction.fold(corpus)(f =>
+      corpus.sample(withReplacement = false, f, seed))
+    val normSq = expr(
+      s"aggregate($corpusVec, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    // normalized centroids ride as a map literal keyed by cell id, so the
+    // residual is one zip_with against a looked-up array — norm and cell
+    // as COLUMNS outside the lambda (the documented HOF-hoisting pathology)
+    val cmap = map(cents.flatMap { case (cid, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      Seq(lit(cid), typedLit(v.map(_.toDouble / n).toSeq))
+    }: _*)
+    val rv = base.filter(col(corpusVec).isNotNull).filter(normSq > 0.0)
+      .select(col(corpusVec).as("__v"), sqrt(normSq).as("__n"),
+        cellExpr(col(corpusVec), cents).as("__cell"))
+      .withColumn("__c", element_at(cmap, col("__cell")))
+      .selectExpr("zip_with(__v, __c, (x, c) -> CAST(x AS DOUBLE) / __n - c) AS rv")
+      .persist()
+    try {
+      val dim = rv.select(size(col("rv"))).head().getInt(0)
+      require(dim % m == 0,
+        s"PQ needs dim divisible by m, got dim=$dim m=$m")
+      val sub = dim / m
+      Array.tabulate(m) { j =>
+        val features = rv.select(
+          array_to_vector(slice(col("rv"), j * sub + 1, sub)).as("features"))
+        val model = new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter)
+          .setFeaturesCol("features").fit(features)
+        model.clusterCenters.map(_.toArray)
+      }
+    } finally rv.unpersist()
+  }
+
   /**
    * IVF-PQ with RESIDUAL encoding — FAISS's `by_residual=true`, its
    * default and the variant that preserves recall at production nlist:

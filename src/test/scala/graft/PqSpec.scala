@@ -155,6 +155,54 @@ class PqSpec extends AnyFunSuite {
       f"sample-trained PQ recall@5 $sampledRecall%.3f below floor")
   }
 
+  test("production composition: sampled trained residual books hold the prefix-book pin on clustered data") {
+    // trained + sampled + residual TOGETHER — the configuration a real
+    // deployment runs (sampled k-means coarse quantizer, residual codes,
+    // per-subspace k-means books fit on the same sample fraction) — on the
+    // clustered fixture where by_residual earns its keep
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
+    val anchors = corpus.orderBy("vec_id").limit(16).collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    val bcast = spark.sparkContext.broadcast(anchors)
+    val clustered = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val a = bcast.value((id % 16).toInt)
+        (id, Array.tabulate(a.length)(i => a(i) + 0.5f * v(i)))
+      }.toDF("vec_id", "embedding").cache()
+    try {
+      val cq = clustered.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val exact = pairs(SimilaritySearch.bruteForceKnn(clustered, cq, 5))
+      def rc(p: Set[(Long, Long)]) = (exact & p).size.toDouble / exact.size
+
+      val cents = SimilaritySearch.kmeansCentroids(clustered, 16,
+        sampleFraction = Some(0.5))
+      val books = SimilaritySearch.pqResidualCodebooksTrained(clustered, cents,
+        m = 8, ksub = 16, sampleFraction = Some(0.5))
+      // shape + seed pin: the sampled trained residual build reproduces
+      assert(books.length === 8 && books.forall(_.length === 16) &&
+        books.forall(_.forall(_.length === 8)))
+      val books2 = SimilaritySearch.pqResidualCodebooksTrained(clustered, cents,
+        m = 8, ksub = 16, sampleFraction = Some(0.5))
+      assert(books.map(_.map(_.toSeq).toSeq).toSeq ===
+        books2.map(_.map(_.toSeq).toSeq).toSeq,
+        "sampled trained residual build must be seed-pinned reproducible")
+
+      val prefix = rc(pairs(SimilaritySearch.ivfPqKnnResidual(
+        clustered, cq, 5, rerank = 16)))
+      val prod = rc(pairs(SimilaritySearch.ivfPqKnnResidual(
+        clustered, cq, 5, rerank = 16,
+        centroids = Some(cents), books0 = Some(books))))
+      info(f"clustered recall@5: trained+sampled+residual $prod%.3f vs prefix residual $prefix%.3f")
+      // the graded pin the prefix books carry on this fixture (PqSpec's
+      // residual test) — the production build must hold it too
+      assert(prod >= 0.70, f"production-composition recall@5 $prod%.3f below the prefix-book pin")
+      assert(prod >= prefix - 0.05,
+        f"trained books ($prod%.3f) fell materially below prefix books ($prefix%.3f)")
+    } finally clustered.unpersist()
+  }
+
   test("sampled k-means IVF centroids: seed-pinned and recall holds the trained floor") {
     val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
     val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
