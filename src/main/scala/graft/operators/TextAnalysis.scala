@@ -573,14 +573,26 @@ object TextAnalysis {
   def curriculumShards(df: DataFrame, textCol: String, idCol: String,
                        score: Column, stratum: Column,
                        shardTokens: Long, scoreBands: Int = 1024,
-                       checkpoint: Boolean = true): DataFrame = {
+                       checkpoint: Boolean = true): DataFrame =
+    curriculumShardsCounted(df, idCol, tokenCount(col(textCol)), score,
+      stratum, shardTokens, scoreBands, checkpoint)
+
+  /** [[curriculumShards]]' packing core over a frame that ALREADY carries
+    * its token counts (`tokens` any long-able expression) — what lets a
+    * composed pipeline (tx_curate_e2e) pack from a narrow scored frame
+    * without a second pass over text. Same banded two-level machinery,
+    * same output contract. */
+  def curriculumShardsCounted(df: DataFrame, idCol: String, tokens: Column,
+                              score: Column, stratum: Column,
+                              shardTokens: Long, scoreBands: Int = 1024,
+                              checkpoint: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shardTokens > 0, "shardTokens must be positive")
     require(scoreBands >= 1, "scoreBands must be >= 1")
     // __-prefixed internals: evaluate the caller's expressions against the
     // ORIGINAL columns, never a clobbered one (the mixtureSample rule)
     val base0 = df.select(col(idCol),
-        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        tokens.cast("long").as("n_tokens"),
         score.as("__score"), stratum.as("__stratum"))
       // NULL scores band together at the bottom (both engines sort DESC
       // nulls-last) instead of null-keying out of the prefix join

@@ -806,6 +806,57 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected ONE exchange after the partial aggregate:\n$p")
   }
 
+  test("curate e2e: exactly TWO corpus scans (census + fused score projection), none downstream") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    // eval side pinned in memory BEFORE the listener registers, so every
+    // corpus-file relation counted below is a genuine corpus pass
+    val evalDf = docs.filter(pmod(col("doc_id"), lit(97)) === 0).localCheckpoint()
+    @volatile var corpusScans = 0
+    val listener = new QueryExecutionListener {
+      private def count(qe: QueryExecution): Int = qe.analyzed.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation
+            if fs.location.rootPaths.exists(_.toString.contains("documents.parquet")) => 1
+          case _ => 0
+        }
+      }.sum
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        corpusScans += count(qe)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit =
+        corpusScans += count(qe)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = graft.operators.Curation.curateBatch(corpus, evalDf,
+        "text", "doc_id", stratum = col("lang"),
+        isTarget = col("lang") === "en",
+        thresholdFp = -10L << 30, shardTokens = 500L)
+      assert(out.count() > 0)
+      // every stage after the fused projection runs off localCheckpoints:
+      // the OUTPUT plan must not contain a single file relation
+      val tail = out.queryExecution.analyzed.collect {
+        case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] => l
+      }
+      assert(tail.isEmpty,
+        s"post-checkpoint pipeline still reads files: ${tail.mkString(", ")}")
+      // listener events are delivered async — poll until the count is
+      // stable, then pin the whole-pipeline scan budget
+      var last = -1
+      var spins = 0
+      while (corpusScans != last && spins < 40) {
+        last = corpusScans; spins += 1; Thread.sleep(250)
+      }
+      assert(corpusScans === 2,
+        s"curation pipeline read the corpus $corpusScans times, budget is 2 " +
+          "(DSIR census + the fused score/sketch/signature projection)")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("pmi collocations: totals broadcast, vocab equi-joins, TakeOrdered top-k") {
     val p = plan(SparkEntry.queries("tx_pmi_collocations")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
