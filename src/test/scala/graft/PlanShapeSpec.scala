@@ -811,7 +811,15 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.util.QueryExecutionListener
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the corpus lives at a UNIQUELY-NAMED copy: the listener bus is async
+    // and the session is shared, so a straggler execution from another
+    // suite reading the fixture would otherwise land in this counter
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_curate_corpus").toString
+    val tag = new java.io.File(corpusDir).getName
+    spark.read.parquet(s"$sf/documents.parquet").write
+      .mode("overwrite").parquet(corpusDir)
+    val docs = spark.read.parquet(corpusDir)
     val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
     // eval side pinned in memory BEFORE the listener registers, so every
     // corpus-file relation counted below is a genuine corpus pass
@@ -821,7 +829,7 @@ class PlanShapeSpec extends AnyFunSuite {
       private def count(qe: QueryExecution): Int = qe.analyzed.collect {
         case l: LogicalRelation => l.relation match {
           case fs: HadoopFsRelation
-            if fs.location.rootPaths.exists(_.toString.contains("documents.parquet")) => 1
+            if fs.location.rootPaths.exists(_.toString.contains(tag)) => 1
           case _ => 0
         }
       }.sum
@@ -854,7 +862,13 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(corpusScans === 2,
         s"curation pipeline read the corpus $corpusScans times, budget is 2 " +
           "(DSIR census + the fused score/sketch/signature projection)")
-    } finally spark.listenerManager.unregister(listener)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(corpusDir))
+    }
   }
 
   test("pmi collocations: totals broadcast, vocab equi-joins, TakeOrdered top-k") {
