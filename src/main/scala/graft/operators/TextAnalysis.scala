@@ -913,6 +913,57 @@ object TextAnalysis {
   }
 
   /**
+   * Materialize a mixture allocation into PER-DOCUMENT epoch repeat
+   * counts — the step that turns [[unimaxAllocation]] /
+   * [[temperatureMix]]'s per-stratum token budgets into a physical
+   * training list: every document of stratum s repeats
+   * `floor(alloc_s / tokens_s)` times, and a CONTENT-HASH-selected
+   * fraction of the stratum repeats once more so the realized token mass
+   * meets the fractional epoch (the standard "2.37 epochs of source X"
+   * materialization).
+   *
+   * The fractional selection is deterministic and engine-exact: a
+   * document's 16-bit uniform is the first 4 hex chars of md5(text) (the
+   * [[hashSplit]] convention at higher resolution), selected iff
+   * u < floor(rem * 65536 / tokens_s) — all integer arithmetic, so the
+   * DuckDB oracle replays it bit-for-bit. Quantization bounds the
+   * realized-mass error at tokens_s / 65536 (0.0015%); the integer
+   * products stay in range for strata under 2^47 tokens (≈ 500× a full
+   * 100 TB corpus).
+   *
+   * Selection is by CONTENT hash, not id: re-sharding or re-ingesting
+   * the corpus reproduces the same repeat list, the same property the
+   * split assignment rides.
+   *
+   * Scale shape: one corpus scan for the narrow (id, stratum, tokens,
+   * u16) projection; the stratum census and the allocation join are
+   * census-sized and broadcast back. Zero-token strata materialize NULL
+   * repeats (no token mass to repeat — the allocation upstream already
+   * allocated them nothing meaningful).
+   *
+   * Output: (idCol, stratum, n_tokens, n_repeats).
+   *
+   * @param alloc per-stratum budgets: (stratum, alloc_tokens: long) —
+   *              [[temperatureMix]]'s output works directly.
+   */
+  def epochMaterialize(df: DataFrame, textCol: String, idCol: String,
+                       stratum: Column, alloc: DataFrame): DataFrame = {
+    val base = df.select(col(idCol), stratum.as("stratum"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      conv(substring(md5(coalesce(col(textCol), lit(""))), 1, 4), 16, 10)
+        .cast("long").as("__u"))
+    val per = base.groupBy("stratum").agg(sum("n_tokens").as("__s_tokens"))
+    val plan = per.join(alloc.select(col("stratum"), col("alloc_tokens")), "stratum")
+      .withColumn("__full", expr("div(alloc_tokens, nullif(__s_tokens, 0))"))
+      .withColumn("__rem", pmod(col("alloc_tokens"), nullif(col("__s_tokens"), lit(0L))))
+      .withColumn("__thresh", expr("div(__rem * 65536, __s_tokens)"))
+    base.join(broadcast(plan), "stratum")
+      .select(col(idCol), col("stratum"), col("n_tokens"),
+        (col("__full") +
+          when(col("__u") < col("__thresh"), 1L).otherwise(0L)).as("n_repeats"))
+  }
+
+  /**
    * Temperature-based mixture allocation (the multilingual alpha-sampling
    * of mBERT/XLM-R/mT5): sample stratum i with probability proportional to
    * p_i^alpha at alpha = 0.5, flattening the natural distribution so

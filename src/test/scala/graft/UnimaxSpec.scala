@@ -127,4 +127,46 @@ class UnimaxSpec extends AnyFunSuite {
     val globalEpochsFp = budget * (1L << 20) / rows.map(_._3).sum
     assert(smallest._6 >= globalEpochsFp && largest._6 <= globalEpochsFp)
   }
+
+  test("epoch materialization: exact repeat rule, floor/ceil bounds, realized mass meets the allocation") {
+    val alloc = TextAnalysis.temperatureMix(docs, "text", col("source"),
+      budgetTokens = 100000L)
+    val got = TextAnalysis.epochMaterialize(docs, "text", "doc_id",
+        col("source"), alloc)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.length === docs.count())
+
+    // driver replay of the exact rule from the raw rows
+    val raw = docs.select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)).getOrElse("")))
+    def tok(t: String) = if (t.trim.isEmpty) 0L else t.trim.split("\\s+").length.toLong
+    val sTokens = raw.groupBy(_._2).view.mapValues(_.map(d => tok(d._3)).sum).toMap
+    val allocMap = alloc.select("stratum", "alloc_tokens")
+      .as[(String, Long)].collect().toMap
+    def u16(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    val expected = raw.map { case (id, s, t) =>
+      val st = sTokens(s); val a = allocMap(s)
+      val full = a / st
+      val thresh = (a % st) * 65536L / st
+      (id, s, tok(t), full + (if (u16(t) < thresh) 1L else 0L))
+    }.toSet
+    assert(got.toSet === expected, "engine repeat counts diverge from the driver replay")
+
+    // deterministic envelope: every doc repeats floor or floor+1 epochs,
+    // so realized token mass lies in [floor, floor+1] stratum-epochs —
+    // the hash decides WHERE in the envelope it lands (in expectation at
+    // the allocation; the exact-replay assertion above pins the rule)
+    got.groupBy(_._2).foreach { case (s, rows) =>
+      val st = sTokens(s); val a = allocMap(s); val full = a / st
+      assert(rows.forall(r => r._4 == full || r._4 == full + 1),
+        s"stratum $s has a repeat count outside {floor, floor+1}")
+      val realized = rows.map(r => r._3 * r._4).sum
+      assert(realized >= st * full && realized <= st * (full + 1),
+        s"stratum $s realized $realized outside [${st * full}, ${st * (full + 1)}]")
+    }
+  }
 }
