@@ -871,6 +871,34 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("k-anonymity enforcement: every publish/continue split broadcasts, rows never hash-shuffle") {
+    import org.apache.spark.sql.functions.{col, date_format, lit}
+    // checkpoint=false exposes the WHOLE ladder as one inspectable plan
+    val ev = graft.sources.Tables.events(spark, sf)
+    val p = preparedPlan(graft.operators.DataQuality.kAnonymityEnforce(ev,
+      "event_id" -> col("event_id"), "user_id" -> col("user_id"), k = 5,
+      ladder = Seq(
+        Seq("event_type" -> col("event_type"),
+          "day" -> date_format(col("ts"), "yyyy-MM-dd")),
+        Seq("event_type" -> col("event_type"),
+          "day" -> date_format(col("ts"), "yyyy-MM")),
+        Seq("event_type" -> col("event_type"), "day" -> lit("*"))),
+      checkpoint = false)).toString
+    // the census sides are bounded by the quasi domain and must broadcast
+    // back into every publish join and residual anti join — a sort-merge
+    // or shuffled-hash join here would hash-shuffle the ROW payloads per
+    // ladder level, the shape that dies at 100 TB event volume
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"ladder joins must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast publish joins:\n$p")
+    // exact distinct-subject counting plans as the two-phase partial
+    // aggregate chain (a lone count_distinct needs no Expand — that form
+    // appears only for mixed distinct/plain aggregates, as in the audit);
+    // the only exchanges carry narrow (quasi..., subject) census rows
+    assert(p.contains("HashAggregate"),
+      s"census must plan as hash aggregates:\n$p")
+  }
+
   test("pmi collocations: totals broadcast, vocab equi-joins, TakeOrdered top-k") {
     val p = plan(SparkEntry.queries("tx_pmi_collocations")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
