@@ -146,4 +146,37 @@ object Curation {
       .join(packed.select(col("id").as(idCol), col("shard_id"),
         col("shard_offset")), Seq(idCol), "left")
   }
+
+  /**
+   * Materialize a [[curateBatch]] result into physical training shards:
+   * the selected documents, in their curriculum order, cut token-exact at
+   * shard boundaries and written one text file per (stratum, shard_id)
+   * under `outDir` — the [[TextAnalysis.writeCurriculumShards]] contract
+   * fed from the curation's OWN packing decision instead of a fresh one.
+   *
+   * This is the pipeline's third and final corpus contact, and it is the
+   * write itself: the decision passes stayed at two scans, and the
+   * materialization necessarily re-reads text for exactly the selected
+   * rows (the join prunes by id before any token work).
+   */
+  def writeCuratedShards(corpus: DataFrame, curated: DataFrame,
+                         textCol: String, idCol: String,
+                         shardTokens: Long, outDir: String): Unit = {
+    val assign = curated.filter(col("verdict") === "selected")
+      .select(col(idCol), col("stratum"), col("n_tokens"),
+        col("shard_id"), col("shard_offset"))
+    TextAnalysis.shardSlicesFromAssignment(assign, corpus, textCol, idCol,
+        shardTokens)
+      .groupBy(col("stratum"), col("shard_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("slice_offset").as("o"),
+            col("slice_text").as("t")))),
+          x => x.getField("t")),
+        " ").as("shard_text"))
+      .repartition(col("stratum"), col("shard_id"))
+      .select(col("stratum"), col("shard_id"), col("shard_text"))
+      .write.mode("overwrite").partitionBy("stratum", "shard_id")
+      .text(outDir)
+  }
 }

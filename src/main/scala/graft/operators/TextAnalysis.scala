@@ -652,10 +652,21 @@ object TextAnalysis {
   def curriculumShardSlices(df: DataFrame, textCol: String, idCol: String,
                             score: Column, stratum: Column,
                             shardTokens: Long, scoreBands: Int = 1024,
-                            checkpoint: Boolean = true): DataFrame = {
-    val assign = curriculumShards(df, textCol, idCol, score, stratum,
-      shardTokens, scoreBands, checkpoint)
-    val toks = df.select(col(idCol),
+                            checkpoint: Boolean = true): DataFrame =
+    shardSlicesFromAssignment(
+      curriculumShards(df, textCol, idCol, score, stratum, shardTokens,
+        scoreBands, checkpoint),
+      df, textCol, idCol, shardTokens)
+
+  /** The straddle-split core over a PRE-COMPUTED assignment frame
+    * (idCol, stratum, n_tokens, shard_id, shard_offset) — what lets a
+    * pipeline that already decided its packing ([[graft.operators
+    * .Curation.curateBatch]]) materialize shard files without re-running
+    * the offset windows. `texts` supplies the documents' text by id. */
+  def shardSlicesFromAssignment(assign: DataFrame, texts: DataFrame,
+                                textCol: String, idCol: String,
+                                shardTokens: Long): DataFrame = {
+    val toks = texts.select(col(idCol),
       when(length(trim(col(textCol))) === 0,
         array().cast("array<string>"))
         .otherwise(split(trim(col(textCol)), "\\s+")).as("__toks"))

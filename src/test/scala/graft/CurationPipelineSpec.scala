@@ -83,4 +83,51 @@ class CurationPipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     }
   }
+
+  test("curated shard files: selected docs in curriculum order, token-exact cuts, full non-final shards") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val evalDf = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val S = 120L
+    val curated = graft.operators.Curation.curateBatch(corpus, evalDf,
+        "text", "doc_id", stratum = col("lang"),
+        isTarget = col("lang") === "en",
+        thresholdFp = -12L << 30, shardTokens = S)
+      .localCheckpoint()
+    val sel = curated.filter(col("verdict") === "selected")
+    assert(sel.count() > 5, "fixture must select a handful of docs")
+
+    val out = java.nio.file.Files.createTempDirectory("graft_curated_shards").toString
+    try {
+      graft.operators.Curation.writeCuratedShards(corpus, curated,
+        "text", "doc_id", S, out)
+      // the fold: per stratum, selected docs in (llr_fp DESC, id) order,
+      // tokens laid end to end, cut every S — shard files must match it
+      val rows = sel.select(col("doc_id"), col("stratum"), col("llr_fp"))
+        .join(corpus.select(col("doc_id"), col("text")), "doc_id")
+        .as[(Long, String, Long, String)].collect()
+      rows.groupBy(_._2).foreach { case (stratum, ds) =>
+        val toks = ds.sortBy(d => (-d._3, d._1))
+          .flatMap(_._4.trim.split("\\s+").filter(_.nonEmpty)).toSeq
+        val folds = toks.grouped(S.toInt).toSeq
+        folds.zipWithIndex.foreach { case (fold, i) =>
+          val dir = new java.io.File(s"$out/stratum=$stratum/shard_id=$i")
+          val parts = dir.listFiles().filter(_.getName.startsWith("part-"))
+          assert(parts.length === 1, s"expected one file for ($stratum,$i)")
+          val content = new String(
+            java.nio.file.Files.readAllBytes(parts.head.toPath), "UTF-8").stripLineEnd
+          assert(content === fold.mkString(" "),
+            s"shard ($stratum,$i) diverged from the curriculum fold")
+          if (i < folds.size - 1)
+            assert(fold.length === S.toInt, s"non-final shard ($stratum,$i) not full")
+        }
+        // and no extra shard dirs beyond the fold
+        val dirs = new java.io.File(s"$out/stratum=$stratum").listFiles()
+          .filter(_.getName.startsWith("shard_id=")).map(_.getName).toSet
+        assert(dirs === folds.indices.map(i => s"shard_id=$i").toSet)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
 }
