@@ -541,6 +541,61 @@ object TextAnalysis {
   }
 
   /**
+   * NO-SPLIT sequence packing — the fine-tuning counterpart of
+   * [[packSequences]]: documents are never cut at a bin boundary (an SFT
+   * example truncated mid-conversation is a corrupted label), so bins are
+   * packed next-fit-decreasing per salt group: docs in (tokens DESC, id)
+   * order, a new bin opened when the current one cannot fit the next doc.
+   * NFD's classic guarantee bounds waste: per group, bins used <= 2x the
+   * optimal bin count (spec-pinned). A document LARGER than `capacity`
+   * gets a bin of its own (the caller's oversize policy applies
+   * downstream; nothing is silently cut here either).
+   *
+   * Scale shape: packing is prefix-sequential (each doc's bin depends on
+   * every earlier fill), which decomposes across salt groups exactly like
+   * [[packSequences]] — `id % numGroups` independent folds. Each fold is
+   * ONE pass of O(1) state (current bin, fill) over its group's sorted
+   * rows: the narrow (id, tokens, group) projection shuffles once to its
+   * group, sorts within partitions, and a streaming mapPartitions fold
+   * emits assignments — no buffering, no window, deterministic under any
+   * input partitioning. Bin ids interleave as bin_in_group * numGroups +
+   * group (collision-free for any bin count, the packSequences rule).
+   *
+   * Output: (idCol, pack_group, n_tokens, bin_id, bin_offset).
+   */
+  def packSequencesNoSplit(df: DataFrame, textCol: String, idCol: String,
+                           capacity: Int = 2048, numGroups: Int = 64): DataFrame = {
+    require(capacity > 0 && numGroups > 0, "capacity and numGroups must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        pmod(col(idCol), lit(numGroups)).cast("long").as("pack_group"))
+      .as[(Long, Long, Long)]
+    val packed = base
+      .repartition(col("pack_group"))
+      .sortWithinPartitions(col("pack_group"), col("n_tokens").desc, col(idCol))
+      .mapPartitions { it =>
+        // streaming NFD fold: rows arrive grouped by pack_group (sorted),
+        // state resets on group change — O(1) memory per task
+        var curGroup = -1L
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, n, grp) =>
+          if (grp != curGroup) { curGroup = grp; bin = 0L; fill = 0L }
+          else if (fill + n > capacity) { bin += 1L; fill = 0L }
+          val off = fill
+          fill += n
+          (id, grp, n, bin, off)
+        }
+      }
+    packed.toDF(idCol, "pack_group", "n_tokens", "__bin", "bin_offset")
+      .select(col(idCol), col("pack_group"), col("n_tokens"),
+        (col("__bin") * numGroups + col("pack_group")).as("bin_id"),
+        col("bin_offset"))
+  }
+
+  /**
    * Curriculum shard assignment: within each stratum, order documents by
    * a caller-supplied score (DESC, doc-id tiebreak) and greedy-pack them
    * IN THAT ORDER into fixed-token training shards — the data-ORDERING

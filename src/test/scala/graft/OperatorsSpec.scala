@@ -1145,6 +1145,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(r => (r._5, r._3)).distinct.groupBy(_._1).forall(_._2.size == 1))
   }
 
+  test("no-split packing: exact NFD replay, capacity respected, <= 2x-optimal bins, repartition-stable") {
+    // doc i has (i % 13) + 1 tokens plus one 30-token oversize; capacity 12
+    val docs = spark.range(0, 80).select(col("id").as("doc_id"),
+        trim(expr("repeat('w ', CAST(id % 13 + 1 AS INT))")).as("text"))
+      .union(Seq((1000L, ("w " * 30).trim)).toDF("doc_id", "text"))
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long, Long)] =
+      TextAnalysis.packSequencesNoSplit(df, "text", "doc_id",
+          capacity = 12, numGroups = 4)
+        .select("doc_id", "pack_group", "n_tokens", "bin_id", "bin_offset")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val got = run(docs)
+    // exact driver replay of the per-group NFD fold
+    val ids = (0L until 80L).map(i => (i, i % 13 + 1)) :+ (1000L, 30L)
+    val expected = ids.groupBy(_._1 % 4).toSeq.flatMap { case (g, ds) =>
+      var bin = 0L; var fill = 0L; var first = true
+      ds.sortBy(d => (-d._2, d._1)).map { case (id, n) =>
+        if (first) { first = false }
+        else if (fill + n > 12) { bin += 1; fill = 0L }
+        val off = fill; fill += n
+        (id, g, n, bin * 4 + g, off)
+      }
+    }.sorted
+    assert(got === expected, "engine NFD fold diverges from the driver replay")
+    // invariants: no document split (one row per doc), no bin over
+    // capacity except a lone oversized doc, and oversized docs are alone
+    assert(got.map(_._1).distinct.size === got.size)
+    got.groupBy(_._4).foreach { case (bin, rows) =>
+      val total = rows.map(_._3).sum
+      if (total > 12)
+        assert(rows.size === 1 && rows.head._3 > 12,
+          s"bin $bin over capacity without being a lone oversized doc: $rows")
+    }
+    // NFD guarantee per group: bins <= 2 * ceil(tokens / capacity) + 1
+    // (+1 absorbs the oversized doc's dedicated bin)
+    got.groupBy(_._2).foreach { case (g, rows) =>
+      val bins = rows.map(_._4).distinct.size
+      val opt = (rows.map(_._3).sum + 11) / 12
+      assert(bins <= 2 * opt + 1, s"group $g used $bins bins vs optimal $opt")
+    }
+    // physical partitioning must not change the assignment
+    assert(run(docs.repartition(13)) === got)
+  }
+
   test("multimodal: REAL WAV decode via javax.sound.sampled through the pipeline") {
     // synthesize a 16-bit mono PCM WAV in memory: first half a full-scale
     // 440 Hz sine (RMS ~ 1/sqrt(2)), second half silence — the 16-window
