@@ -10,10 +10,15 @@ import java.nio.file.{Files, Paths}
   */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
-    val Array(names, sfDir, outDir) = args
+    if (args.length < 3) {
+      System.err.println("usage: VerifyOne <q1[,q2,...]> <sfDir> <outDir>")
+      sys.exit(2)
+    }
+    val Array(names, sfDir, outDir) = args.take(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -165,18 +165,10 @@ object Curation {
     val assign = curated.filter(col("verdict") === "selected")
       .select(col(idCol), col("stratum"), col("n_tokens"),
         col("shard_id"), col("shard_offset"))
-    TextAnalysis.shardSlicesFromAssignment(assign, corpus, textCol, idCol,
-        shardTokens)
-      .groupBy(col("stratum"), col("shard_id"))
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("slice_offset").as("o"),
-            col("slice_text").as("t")))),
-          x => x.getField("t")),
-        " ").as("shard_text"))
-      .repartition(col("stratum"), col("shard_id"))
-      .select(col("stratum"), col("shard_id"), col("shard_text"))
-      .write.mode("overwrite").partitionBy("stratum", "shard_id")
-      .text(outDir)
+    TextAnalysis.writeShardTexts(
+      TextAnalysis.assembleShardTexts(
+        TextAnalysis.shardSlicesFromAssignment(assign, corpus, textCol,
+          idCol, shardTokens)),
+      outDir)
   }
 }

@@ -133,12 +133,16 @@ object DataQuality {
    *   3. rows surviving every level are SUPPRESSED:
    *      `gen_level = ladder.size`, every quasi value `'*'`.
    *
-   * Published cells can never collide across levels (a level's value
-   * format differs from its coarsenings — '2024-01-05' vs '2024-01' vs
-   * '*'), so the UNION of published rows re-audits clean: every
-   * (quasi...) cell in the output has >= k distinct subjects
-   * (spec-pinned). Suppression is minimal FOR THE LADDER: a row is
-   * suppressed only when no level's residual cell reached k.
+   * The output always re-audits clean on (gen_level, quasi...) — levels
+   * partition the rows and each level's cells reached k by construction.
+   * The stronger quasi-only re-audit (what the spec pins on the events
+   * ladder) additionally requires that no two levels can emit the same
+   * cell values, which holds when level formats differ ('2024-01-05' vs
+   * '2024-01' vs '*') AND the data itself cannot produce the '*' /
+   * '<NULL>' sentinels as real values — a quasi domain containing a
+   * literal '*' should audit with gen_level included. Suppression is
+   * minimal FOR THE LADDER: a row is suppressed only when no level's
+   * residual cell reached k.
    *
    * NULL quasi values are canonicalized to the string `'<NULL>'` before
    * anything groups or joins (a NULL key would silently fall out of the
@@ -178,10 +182,15 @@ object DataQuality {
     var residual = proj
     val published = ladder.indices.map { i =>
       val keys = names.map(n => s"__q${i}_$n")
-      val cells = residual.groupBy(keys.map(col): _*)
+      // the census feeds TWO consumers (the publish join and the residual
+      // anti join) that materialize at different times — checkpoint the
+      // census-sized frame so the count_distinct aggregate runs once per
+      // level, not once per consumer
+      val cells0 = residual.groupBy(keys.map(col): _*)
         .agg(count_distinct(col("__subj")).as("__ns"))
         .filter(col("__ns") >= k)
         .drop("__ns")
+      val cells = if (checkpoint) cells0.localCheckpoint() else cells0
       val pub = residual.join(broadcast(cells), keys)
         .select(Seq(col("__id"), col("__subj"),
           lit(i.toLong).as("gen_level")) ++

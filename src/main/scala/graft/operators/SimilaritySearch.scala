@@ -291,8 +291,6 @@ object SimilaritySearch {
                          corpusVec: String = "embedding",
                          seed: Long = 32L, maxIter: Int = 20,
                          sampleFraction: Option[Double] = None): Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     codebookBuilds.incrementAndGet()
     require(sampleFraction.forall(f => f > 0.0 && f <= 1.0),
       s"sampleFraction must be in (0, 1], got $sampleFraction")
@@ -308,20 +306,34 @@ object SimilaritySearch {
     val nv = base.filter(col(corpusVec).isNotNull).filter(normSq > 0.0)
       .select(col(corpusVec).as("__v"), sqrt(normSq).as("__n"))
       .selectExpr("transform(__v, x -> CAST(x AS DOUBLE) / __n) AS nv")
-      .persist()
+    fitSubspaceBooks(nv, "nv", m, ksub, seed, maxIter)
+  }
+
+  /** Shared per-subspace k-means scaffold of [[pqCodebooksTrained]] and
+    * [[pqResidualCodebooksTrained]]: persist the projected vector frame,
+    * fit `ksub` codewords on each of the m dim/m slices with seed + j
+    * pinning, unpersist — the two builders differ ONLY in the vectors
+    * they project (normalized raw vs residual), so the seed/sample/fit
+    * semantics the PqSpec pins rely on cannot drift between them. */
+  private def fitSubspaceBooks(vecs: DataFrame, vecCol: String, m: Int,
+                               ksub: Int, seed: Long,
+                               maxIter: Int): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = vecs.persist()
     try {
-      val dim = nv.select(size(col("nv"))).head().getInt(0)
+      val dim = v.select(size(col(vecCol))).head().getInt(0)
       require(dim % m == 0,
         s"PQ needs dim divisible by m, got dim=$dim m=$m")
       val sub = dim / m
       Array.tabulate(m) { j =>
-        val features = nv.select(
-          array_to_vector(slice(col("nv"), j * sub + 1, sub)).as("features"))
+        val features = v.select(
+          array_to_vector(slice(col(vecCol), j * sub + 1, sub)).as("features"))
         val model = new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter)
           .setFeaturesCol("features").fit(features)
         model.clusterCenters.map(_.toArray)
       }
-    } finally nv.unpersist()
+    } finally v.unpersist()
   }
 
   // PQ encode / ADC-table / ADC-sum kernels live in
@@ -526,8 +538,6 @@ object SimilaritySearch {
                                  corpusVec: String = "embedding",
                                  seed: Long = 32L, maxIter: Int = 20,
                                  sampleFraction: Option[Double] = None): Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     codebookBuilds.incrementAndGet()
     require(sampleFraction.forall(f => f > 0.0 && f <= 1.0),
       s"sampleFraction must be in (0, 1], got $sampleFraction")
@@ -547,20 +557,7 @@ object SimilaritySearch {
         cellExpr(col(corpusVec), cents).as("__cell"))
       .withColumn("__c", element_at(cmap, col("__cell")))
       .selectExpr("zip_with(__v, __c, (x, c) -> CAST(x AS DOUBLE) / __n - c) AS rv")
-      .persist()
-    try {
-      val dim = rv.select(size(col("rv"))).head().getInt(0)
-      require(dim % m == 0,
-        s"PQ needs dim divisible by m, got dim=$dim m=$m")
-      val sub = dim / m
-      Array.tabulate(m) { j =>
-        val features = rv.select(
-          array_to_vector(slice(col("rv"), j * sub + 1, sub)).as("features"))
-        val model = new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter)
-          .setFeaturesCol("features").fit(features)
-        model.clusterCenters.map(_.toArray)
-      }
-    } finally rv.unpersist()
+    fitSubspaceBooks(rv, "rv", m, ksub, seed, maxIter)
   }
 
   /**

@@ -561,6 +561,11 @@ object TextAnalysis {
    * input partitioning. Bin ids interleave as bin_in_group * numGroups +
    * group (collision-free for any bin count, the packSequences rule).
    *
+   * NULL text packs as ZERO tokens (coalesced before the fold — the
+   * typed fold cannot carry tokenCount's NULL-propagating convention, and
+   * a null-text doc occupying no bin space is the right packing
+   * semantics); `idCol` must be non-null, the engine-wide id contract.
+   *
    * Output: (idCol, pack_group, n_tokens, bin_id, bin_offset).
    */
   def packSequencesNoSplit(df: DataFrame, textCol: String, idCol: String,
@@ -569,7 +574,7 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as(idCol),
-        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        coalesce(tokenCount(col(textCol)).cast("long"), lit(0L)).as("n_tokens"),
         pmod(col(idCol), lit(numGroups)).cast("long").as("pack_group"))
       .as[(Long, Long, Long)]
     val packed = base
@@ -762,9 +767,15 @@ object TextAnalysis {
                            score: Column, stratum: Column,
                            shardTokens: Long, scoreBands: Int = 1024,
                            checkpoint: Boolean = true): DataFrame =
-    curriculumShardSlices(df, textCol, idCol, score, stratum, shardTokens,
-      scoreBands, checkpoint)
-      .groupBy(col("stratum"), col("shard_id"))
+    assembleShardTexts(curriculumShardSlices(df, textCol, idCol, score,
+      stratum, shardTokens, scoreBands, checkpoint))
+
+  /** Slice rows -> one bounded row per (stratum, shard_id): slices
+    * concatenated in offset order, plus the shard's token count. Shared
+    * by [[curriculumShardTexts]] and [[graft.operators.Curation
+    * .writeCuratedShards]] so the assembly rule cannot drift. */
+  def assembleShardTexts(slices: DataFrame): DataFrame =
+    slices.groupBy(col("stratum"), col("shard_id"))
       .agg(
         array_join(
           transform(
@@ -774,23 +785,26 @@ object TextAnalysis {
           " ").as("shard_text"),
         sum(col("slice_tokens")).as("shard_tokens"))
 
-  /**
-   * The shard WRITER: one text file per (stratum, shard_id) under
-   * `outDir/stratum=<s>/shard_id=<n>/` — hive-partitioned so a training
-   * loader lists shards by directory. `repartition` on the partition keys
-   * puts each shard's single row in its own task, hence ONE file per
-   * shard dir.
-   */
-  def writeCurriculumShards(df: DataFrame, textCol: String, idCol: String,
-                            score: Column, stratum: Column,
-                            shardTokens: Long, outDir: String,
-                            scoreBands: Int = 1024): Unit =
-    curriculumShardTexts(df, textCol, idCol, score, stratum, shardTokens,
-      scoreBands)
+  /** Write assembled shard rows as one text file per (stratum, shard_id)
+    * under `outDir/stratum=<s>/shard_id=<n>/` — hive-partitioned so a
+    * training loader lists shards by directory. `repartition` on the
+    * partition keys puts each shard's single row in its own task, hence
+    * ONE file per shard dir. */
+  def writeShardTexts(shards: DataFrame, outDir: String): Unit =
+    shards
       .repartition(col("stratum"), col("shard_id"))
       .select(col("stratum"), col("shard_id"), col("shard_text"))
       .write.mode("overwrite").partitionBy("stratum", "shard_id")
       .text(outDir)
+
+  /** The shard WRITER: [[curriculumShardTexts]] through
+    * [[writeShardTexts]]. */
+  def writeCurriculumShards(df: DataFrame, textCol: String, idCol: String,
+                            score: Column, stratum: Column,
+                            shardTokens: Long, outDir: String,
+                            scoreBands: Int = 1024): Unit =
+    writeShardTexts(curriculumShardTexts(df, textCol, idCol, score, stratum,
+      shardTokens, scoreBands), outDir)
 
   /**
    * Context-window chunking: split each document into `chunkTokens`-token
@@ -1005,25 +1019,35 @@ object TextAnalysis {
    * u16) projection; the stratum census and the allocation join are
    * census-sized and broadcast back. Zero-token strata materialize NULL
    * repeats (no token mass to repeat — the allocation upstream already
-   * allocated them nothing meaningful).
+   * allocated them nothing meaningful). NULL strata canonicalize to the
+   * string `'<NULL>'` on BOTH sides before any join (the
+   * [[graft.operators.DataQuality.kAnonymityEnforce]] rule — a NULL key
+   * would silently fall out of the equi-joins and DROP those documents),
+   * and documents whose stratum carries NO allocation row keep their row
+   * with NULL `n_repeats` instead of vanishing — a partial allocation is
+   * a visible decision, not a filter.
    *
-   * Output: (idCol, stratum, n_tokens, n_repeats).
+   * Output: (idCol, stratum, n_tokens, n_repeats) — one row per input
+   * document, stratum as a string.
    *
    * @param alloc per-stratum budgets: (stratum, alloc_tokens: long) —
    *              [[temperatureMix]]'s output works directly.
    */
   def epochMaterialize(df: DataFrame, textCol: String, idCol: String,
                        stratum: Column, alloc: DataFrame): DataFrame = {
-    val base = df.select(col(idCol), stratum.as("stratum"),
+    def canon(c: Column) = coalesce(c.cast("string"), lit("<NULL>"))
+    val base = df.select(col(idCol), canon(stratum).as("stratum"),
       tokenCount(col(textCol)).cast("long").as("n_tokens"),
       conv(substring(md5(coalesce(col(textCol), lit(""))), 1, 4), 16, 10)
         .cast("long").as("__u"))
     val per = base.groupBy("stratum").agg(sum("n_tokens").as("__s_tokens"))
-    val plan = per.join(alloc.select(col("stratum"), col("alloc_tokens")), "stratum")
+    val allocCanon = alloc.select(canon(col("stratum")).as("stratum"),
+      col("alloc_tokens"))
+    val plan = per.join(allocCanon, "stratum")
       .withColumn("__full", expr("div(alloc_tokens, nullif(__s_tokens, 0))"))
       .withColumn("__rem", pmod(col("alloc_tokens"), nullif(col("__s_tokens"), lit(0L))))
       .withColumn("__thresh", expr("div(__rem * 65536, __s_tokens)"))
-    base.join(broadcast(plan), "stratum")
+    base.join(broadcast(plan), Seq("stratum"), "left")
       .select(col(idCol), col("stratum"), col("n_tokens"),
         (col("__full") +
           when(col("__u") < col("__thresh"), 1L).otherwise(0L)).as("n_repeats"))
