@@ -899,6 +899,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"census must plan as hash aggregates:\n$p")
   }
 
+  test("no-split packing: ONE exchange (the group repartition), no window, no sort beyond the fold's") {
+    val p = preparedPlan(SparkEntry.queries("tx_pack_nosplit")(spark, sf)).toString
+    // the whole operator is: narrow projection -> repartition by group ->
+    // sortWithinPartitions -> streaming fold. A second exchange or a
+    // Window node would mean the O(1)-state fold regressed to a shuffle-
+    // or window-based plan
+    assert(p.split("Exchange").length - 1 === 1,
+      s"expected exactly ONE exchange (the pack-group repartition):\n$p")
+    assert(!p.contains("Window"), s"no window may appear in the NFD fold:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("mapPartitions") ||
+      p.contains("SerializeFromObject"),
+      s"expected the typed streaming fold:\n$p")
+  }
+
   test("pmi collocations: totals broadcast, vocab equi-joins, TakeOrdered top-k") {
     val p = plan(SparkEntry.queries("tx_pmi_collocations")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
