@@ -166,6 +166,38 @@ class RocksDbStateSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel and attribution folds: stream == batch under RocksDB") {
+    SparkTestBase.withRocksDbState {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rocks_fa").toString
+      try {
+        graft.sources.Tables.events(spark, SparkTestBase.Sf0001)
+          .write.mode("overwrite").parquet(dir)
+        val ev = graft.sources.Tables.events(spark, SparkTestBase.Sf0001)
+        val steps = Seq("view", "click", "purchase")
+        // funnel: array-of-timestamps GroupState payload
+        val fBatch = graft.streaming.StreamingFunnel.reachBatch(ev, steps)
+          .collect().map(r => (r.user_id, r.step, r.step_name, r.reach_ts)).toSet
+        val fStream = graft.streaming.StreamingFunnel
+          .reachStreaming(spark, dir, steps,
+            queryName = s"rocks_funnel_${System.nanoTime()}")
+          .as[graft.streaming.StreamingFunnel.Reach]
+          .collect().map(r => (r.user_id, r.step, r.step_name, r.reach_ts)).toSet
+        assert(fBatch.nonEmpty && fStream === fBatch,
+          s"funnel fold diverged on RocksDB: batch-only ${(fBatch -- fStream).take(3)}")
+        // attribution: option-of-touch-pair GroupState payload
+        val aBatch = graft.streaming.StreamingAttribution.attributedBatch(ev)
+          .collect().map(r => (r.user_id, r.event_id, r.conv_ts, r.channel, r.value)).toSet
+        val aStream = graft.streaming.StreamingAttribution
+          .attributedStreaming(spark, dir,
+            queryName = s"rocks_attr_${System.nanoTime()}")
+          .as[graft.streaming.StreamingAttribution.Attributed]
+          .collect().map(r => (r.user_id, r.event_id, r.conv_ts, r.channel, r.value)).toSet
+        assert(aBatch.nonEmpty && aStream === aBatch,
+          s"attribution fold diverged on RocksDB: batch-only ${(aBatch -- aStream).take(3)}")
+      } finally rm(dir)
+    }
+  }
+
   test("heavy-hitter census: serialized MG state survives a RocksDB restart") {
     SparkTestBase.withRocksDbState {
       val base = java.nio.file.Files.createTempDirectory("graft_rocks_hh").toString
