@@ -35,7 +35,10 @@ import graft.functions.{bloom_might_contain, dsir_score, lsh_bands, minhash_sig}
  *   - DSIR SELECTION is thresholded on the exact lattice (`llr_fp >=
  *     thresholdFp`), the same verdict rule the streaming gate applies —
  *     unlike top-k it composes without a global rank and its oracle is a
- *     per-row comparison.
+ *     per-row comparison. Zero-token documents are rejected outright:
+ *     they have no feature buckets, so their NULL score would coalesce
+ *     to 0 — the maximum on an all-negative-LLR corpus — and sort to
+ *     the front of every curriculum shard while carrying no evidence.
  *   - SOFT-DEDUP runs on the SELECTED set: LSH band candidates from the
  *     checkpointed signatures (frequency-capped, salvage-sub-keyed — the
  *     [[Dedup.candidatesFromKeyed]] core), verified by SIGNATURE
@@ -103,8 +106,14 @@ object Curation {
       .select(col("id"), col("stratum"), col("n_tokens"), col("llr_fp"),
         col("sigx"),
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      // zero-token documents carry no target evidence: their dsir_score is
+      // NULL (no feature buckets) and coalesces to 0, which on an
+      // all-negative-LLR corpus would be the MAXIMUM — reject them before
+      // the threshold so empties cannot buy their way into every shard
+      // front (they cannot be quarantined either: no grams, no overlap)
       .withColumn("verdict",
         when(col("n_shared_grams") > 0L, "quarantined")
+          .when(col("n_tokens") === 0L, "rejected")
           .when(col("llr_fp") >= thresholdFp, "selected")
           .otherwise("rejected"))
     // three consumers (edges, packing, output) — materialize once

@@ -133,8 +133,14 @@ object DataQuality {
    *   3. rows surviving every level are SUPPRESSED:
    *      `gen_level = ladder.size`, every quasi value `'*'`.
    *
-   * The output always re-audits clean on (gen_level, quasi...) — levels
-   * partition the rows and each level's cells reached k by construction.
+   * The PUBLISHED levels (gen_level < ladder.size) always re-audit clean
+   * on (gen_level, quasi...) — levels partition the rows and each
+   * published level's cells reached k by construction. The suppressed
+   * partition (gen_level = ladder.size) never passed a k check: a
+   * residual with fewer than k distinct subjects still emits its all-'*'
+   * cell, which is exempt by construction — every quasi value is the
+   * constant '*', so the cell carries zero linkage information (it is
+   * the "no release" row, kept so row counts reconcile).
    * The stronger quasi-only re-audit (what the spec pins on the events
    * ladder) additionally requires that no two levels can emit the same
    * cell values, which holds when level formats differ ('2024-01-05' vs
@@ -152,11 +158,25 @@ object DataQuality {
    *
    * Scale shape: one narrow projection of (id, subject, per-level quasi
    * strings), localCheckpointed once; then `ladder.size` passes, each a
-   * census-sized aggregate (bounded by the quasi domain, never |rows|)
-   * broadcast back as a publish/continue split. The residual is
-   * re-checkpointed per level so the census+publish+anti consumers share
-   * one materialization instead of recomputing a 3-way-branching lineage.
-   * Row payloads shuffle ZERO times — both joins are broadcast.
+   * census-sized aggregate broadcast back as a publish/continue split.
+   * The residual is re-checkpointed per level so the census+publish+anti
+   * consumers share one materialization instead of recomputing a
+   * 3-way-branching lineage. When the census broadcasts, row payloads
+   * shuffle ZERO times — both joins are broadcast.
+   *
+   * The census is usually bounded by the quasi domain — but not
+   * intrinsically: a high-cardinality level-0 ladder (exact values) with
+   * small k can pass up to |subjects|/k cells, i.e. a data-sized frame.
+   * A forced `broadcast()` hint would then OOM the driver at 100 TB, so
+   * the hint is GATED: the checkpointed census is counted (a metadata
+   * read, it is already materialized) and the hint applies only when the
+   * level's passing-cell count is <= `maxBroadcastCells`; above the
+   * bound both joins fall back to plain equi-joins — AQE still picks a
+   * broadcast at runtime when the frame genuinely fits, and otherwise
+   * the shuffle is the correct plan. With `checkpoint = false` (the
+   * plan-inspection mode, fixture-sized inputs) the census is not
+   * materialized, so counting it would recompute the aggregate per
+   * level; that mode keeps the unconditional hint.
    *
    * Output: (idName, subjectName, gen_level, quasi columns...).
    */
@@ -165,7 +185,8 @@ object DataQuality {
                         subject: (String, org.apache.spark.sql.Column),
                         k: Int,
                         ladder: Seq[Seq[(String, org.apache.spark.sql.Column)]],
-                        checkpoint: Boolean = true): DataFrame = {
+                        checkpoint: Boolean = true,
+                        maxBroadcastCells: Long = 4L * 1000 * 1000): DataFrame = {
     require(k >= 2, s"k-anonymity needs k >= 2, got $k")
     require(ladder.nonEmpty, "at least one generalization level")
     val names = ladder.head.map(_._1)
@@ -191,11 +212,16 @@ object DataQuality {
         .filter(col("__ns") >= k)
         .drop("__ns")
       val cells = if (checkpoint) cells0.localCheckpoint() else cells0
-      val pub = residual.join(broadcast(cells), keys)
+      // broadcast only under the cell bound (see scaladoc): the
+      // checkpointed census is already materialized, so count() is cheap
+      val cellsSide =
+        if (!checkpoint || cells.count() <= maxBroadcastCells) broadcast(cells)
+        else cells
+      val pub = residual.join(cellsSide, keys)
         .select(Seq(col("__id"), col("__subj"),
           lit(i.toLong).as("gen_level")) ++
           names.map(n => col(s"__q${i}_$n").as(n)): _*)
-      val residual0 = residual.join(broadcast(cells), keys, "left_anti")
+      val residual0 = residual.join(cellsSide, keys, "left_anti")
       residual = if (checkpoint) residual0.localCheckpoint() else residual0
       pub
     }

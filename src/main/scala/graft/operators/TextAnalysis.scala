@@ -722,7 +722,12 @@ object TextAnalysis {
     * (idCol, stratum, n_tokens, shard_id, shard_offset) — what lets a
     * pipeline that already decided its packing ([[graft.operators
     * .Curation.curateBatch]]) materialize shard files without re-running
-    * the offset windows. `texts` supplies the documents' text by id. */
+    * the offset windows. `texts` supplies the documents' text by id and
+    * MUST cover every assignment id: an assignment row with no text row
+    * would otherwise silently vanish while later slices keep their
+    * offsets, assembling a shard shorter than its offsets claim with no
+    * error. The join is therefore LEFT with a fail-fast guard — a
+    * coverage gap raises instead of corrupting shard content. */
   def shardSlicesFromAssignment(assign: DataFrame, texts: DataFrame,
                                 textCol: String, idCol: String,
                                 shardTokens: Long): DataFrame = {
@@ -733,7 +738,12 @@ object TextAnalysis {
     assign.filter(col("n_tokens") > 0)
       .withColumn("__docoff",
         col("shard_id") * lit(shardTokens) + col("shard_offset"))
-      .join(toks, idCol)
+      .join(toks, Seq(idCol), "left")
+      .withColumn("__toks",
+        when(col("__toks").isNull,
+          raise_error(concat(lit("shardSlicesFromAssignment: no text row for "
+            + idCol + "="), col(idCol).cast("string"))))
+          .otherwise(col("__toks")))
       .withColumn("__shard", explode(sequence(col("shard_id"),
         floor((col("__docoff") + col("n_tokens") - 1) / lit(shardTokens))
           .cast("long"))))

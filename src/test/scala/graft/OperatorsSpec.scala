@@ -415,6 +415,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L)._5 === 0L && got(4L)._6 === 0L, "each stratum fills independently from offset 0")
   }
 
+  test("shard slices fail fast when the texts frame does not cover the assignment") {
+    val texts = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val assign = Seq(
+      (1L, "s", 3L, 0L, 0L),
+      (2L, "s", 2L, 0L, 3L) // no text row for doc 2 -> must raise, not vanish
+    ).toDF("doc_id", "stratum", "n_tokens", "shard_id", "shard_offset")
+    val ex = intercept[Exception] {
+      TextAnalysis.shardSlicesFromAssignment(assign, texts, "text", "doc_id",
+        shardTokens = 10L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("no text row for doc_id=2")),
+      s"expected the coverage-gap error, got: ${messages(ex).mkString(" | ")}")
+    // a covering frame slices cleanly through the same path
+    val ok = TextAnalysis.shardSlicesFromAssignment(assign,
+        texts.union(Seq((2L, "d e")).toDF("doc_id", "text")),
+        "text", "doc_id", shardTokens = 10L)
+      .orderBy("doc_id").as[(Long, String, Long, Long, Long, String)].collect()
+    assert(ok.map(_._6).toSeq === Seq("a b c", "d e"))
+  }
+
   test("curriculum shard writer: shard texts equal the single-window fold, exact sizes, one file per shard") {
     val df = spark.read.parquet(s"${SparkTestBase.Sf0001}/documents.parquet")
     val S = 100L
@@ -535,6 +557,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(reaudit.filter(col("at_risk")).count() === 0L,
       "published output re-audits with zero under-k cells")
     assert(published.count() > 0L)
+  }
+
+  test("k-anonymity enforcement: over-threshold census falls back to a plain equi-join, same rows") {
+    import org.apache.spark.sql.functions.{lit => flit}
+    val ev = graft.sources.Tables.events(spark, SparkTestBase.Sf0001)
+    val ladder = Seq(
+      Seq("event_type" -> col("event_type"),
+        "day" -> date_format(col("ts"), "yyyy-MM-dd")),
+      Seq("event_type" -> col("event_type"),
+        "day" -> date_format(col("ts"), "yyyy-MM")),
+      Seq("event_type" -> col("event_type"), "day" -> flit("*")))
+    def run(bound: Long) = graft.operators.DataQuality.kAnonymityEnforce(ev,
+        "event_id" -> col("event_id"), "user_id" -> col("user_id"), k = 5,
+        ladder = ladder, maxBroadcastCells = bound)
+      .as[(Long, Long, Long, String, String)].collect().sortBy(_._1)
+    // bound 0 forces EVERY level over the gate -> plain equi-joins; the
+    // hinted path (default bound) must produce bit-identical output
+    val gated = run(0L)
+    assert(gated.toSeq === run(Long.MaxValue).toSeq,
+      "fallback equi-join path must match the broadcast-hint path row for row")
+    assert(gated.length === ev.count().toInt)
   }
 
   test("soft dedup: exact 1/|cluster| lattice weights, tail content kept") {
