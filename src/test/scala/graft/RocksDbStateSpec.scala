@@ -198,6 +198,83 @@ class RocksDbStateSpec extends AnyFunSuite {
     }
   }
 
+  /** Canonical row images for a stream-vs-batch set compare: both sides
+    * emit the same case class, so column order and toString agree. */
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("anomaly, gap-fill and transitions folds: stream == batch under RocksDB") {
+    // the remaining ROW-granularity GroupState encoder shapes: the ring
+    // buffer (RingState), the run anchor (RunState) and the prev-event
+    // option (PrevState) — encoder shape is exactly what the funnel/
+    // attribution extension showed needs per-shape proof
+    SparkTestBase.withRocksDbState {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rocks_agt").toString
+      try {
+        graft.sources.Tables.events(spark, SparkTestBase.Sf0001)
+          .write.mode("overwrite").parquet(dir)
+        val ev = graft.sources.Tables.events(spark, SparkTestBase.Sf0001)
+        val n = System.nanoTime()
+        val aB = rowSet(graft.streaming.StreamingAnomaly.rowsBatch(ev).toDF())
+        val aS = rowSet(graft.streaming.StreamingAnomaly.rowsStreaming(
+          spark, dir, queryName = s"rocks_anom_$n"))
+        assert(aB.nonEmpty && aS === aB,
+          s"anomaly fold diverged on RocksDB: batch-only ${(aB -- aS).take(3)}")
+        // gap-fill holds each user's final open anchor in state until the
+        // event-time timeout (the closed-run contract StreamingCohortsSpec
+        // pins on the default provider) — same bound must hold on RocksDB
+        def gKey(r: graft.streaming.StreamingGapFill.GapRow) =
+          (r.user_id, r.day, r.day_value, r.filled_value, r.is_gap)
+        val gBatchRows = graft.streaming.StreamingGapFill.rowsBatch(ev).collect()
+        val gB = gBatchRows.map(gKey).toSet
+        val gS = graft.streaming.StreamingGapFill.rowsStreaming(
+            spark, dir, queryName = s"rocks_gap_$n")
+          .as[graft.streaming.StreamingGapFill.GapRow].collect().map(gKey).toSet
+        val gTails = gBatchRows.groupBy(_.user_id).values
+          .map(rs => gKey(rs.maxBy(_.day))).toSet
+        assert(gB.nonEmpty && (gS -- gB).isEmpty,
+          s"gap-fill stream-only rows on RocksDB: ${(gS -- gB).take(3)}")
+        assert((gB -- gS).subsetOf(gTails),
+          s"gap-fill missing non-tail rows on RocksDB: ${(gB -- gS -- gTails).take(3)}")
+        val tB = rowSet(graft.streaming.StreamingTransitions.transitionsBatch(ev).toDF())
+        val tS = rowSet(graft.streaming.StreamingTransitions.transitionsStreaming(
+          spark, dir, queryName = s"rocks_trans_$n"))
+        assert(tB.nonEmpty && tS === tB,
+          s"transitions fold diverged on RocksDB: batch-only ${(tB -- tS).take(3)}")
+      } finally rm(dir)
+    }
+  }
+
+  test("growth, LTV and retention folds: stream == batch under RocksDB") {
+    // the CELL-granularity shapes: week-set membership (GrowthState),
+    // offset-set + revenue lattice (LtvState), cohort + seen-offsets
+    // (RetentionState)
+    SparkTestBase.withRocksDbState {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rocks_glr").toString
+      try {
+        graft.sources.Tables.events(spark, SparkTestBase.Sf0001)
+          .write.mode("overwrite").parquet(dir)
+        val ev = graft.sources.Tables.events(spark, SparkTestBase.Sf0001)
+        val n = System.nanoTime()
+        val gB = rowSet(graft.streaming.StreamingGrowth.cellsBatch(ev).toDF())
+        val gS = rowSet(graft.streaming.StreamingGrowth.cellsStreaming(
+          spark, dir, queryName = s"rocks_growth_$n"))
+        assert(gB.nonEmpty && gS === gB,
+          s"growth fold diverged on RocksDB: batch-only ${(gB -- gS).take(3)}")
+        val lB = rowSet(graft.streaming.StreamingLtv.cellsBatch(ev).toDF())
+        val lS = rowSet(graft.streaming.StreamingLtv.cellsStreaming(
+          spark, dir, queryName = s"rocks_ltv_$n"))
+        assert(lB.nonEmpty && lS === lB,
+          s"LTV fold diverged on RocksDB: batch-only ${(lB -- lS).take(3)}")
+        val rB = rowSet(graft.streaming.StreamingRetention.cellsBatch(ev).toDF())
+        val rS = rowSet(graft.streaming.StreamingRetention.cellsStreaming(
+          spark, dir, queryName = s"rocks_ret_$n"))
+        assert(rB.nonEmpty && rS === rB,
+          s"retention fold diverged on RocksDB: batch-only ${(rB -- rS).take(3)}")
+      } finally rm(dir)
+    }
+  }
+
   test("heavy-hitter census: serialized MG state survives a RocksDB restart") {
     SparkTestBase.withRocksDbState {
       val base = java.nio.file.Files.createTempDirectory("graft_rocks_hh").toString
