@@ -764,12 +764,32 @@ object Dedup {
    */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
                      maxHamming: Int = 3, maxBucketSize: Int = 10000,
-                     metricTag: String = "simhash"): DataFrame = {
-    // per exploded row, the NEXT block ((i+1) mod 4) of the same fingerprint
-    // is the hot-bucket salvage sub-key: Hamming<=3 pairs agree on it unless
-    // one of the (at most 3) flipped bits lands exactly there — a recall
-    // trade strictly better than dropping the bucket whole
-    val keyed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+                     metricTag: String = "simhash"): DataFrame =
+    hammingNearDup64(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim")),
+      maxHamming, maxBucketSize, metricTag)
+
+  /**
+   * The Hamming-bucketed near-dup CORE over pre-computed 64-bit
+   * fingerprints — shared by [[simhashNearDup]] (text) and
+   * [[Multimodal.imageNearDup]] (perceptual image hashes), so any 64-bit
+   * fingerprint family gets the same bucketed, never-all-pairs scale
+   * shape. `hashed` is a narrow (id: long, sim: long) frame.
+   *
+   * Blocks: the fingerprint splits into 4 16-bit blocks; rows sharing any
+   * (block index, block value) are candidates (pigeonhole: a pair within
+   * Hamming distance 3 agrees on at least one block). Per exploded row,
+   * the NEXT block ((i+1) mod 4) of the same fingerprint is the
+   * hot-bucket salvage sub-key: Hamming<=3 pairs agree on it unless one
+   * of the (at most 3) flipped bits lands exactly there — a recall trade
+   * strictly better than dropping the bucket whole. Candidates verify by
+   * true Hamming distance (codegen'd bit_count); the fingerprint rides
+   * with the id, so verification needs no payload re-join at all.
+   */
+  private[graft] def hammingNearDup64(hashed: DataFrame, maxHamming: Int,
+                                      maxBucketSize: Int,
+                                      metricTag: String): DataFrame = {
+    val keyed = hashed
       .select(struct(col("id"), col("sim")).as("id"),
         posexplode(array((0 until 4).map(i =>
           struct(

@@ -306,6 +306,66 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /**
+     * 64-bit average-hash (aHash) perceptual image fingerprint — the
+     * classic near-dup hash family (aHash/dHash/pHash): decode the
+     * payload (any ImageIO format; a GIF contributes its first frame),
+     * area-average to an 8x8 luminance grid, and set bit `gy*8+gx` when
+     * the cell's mean luminance exceeds the image's GLOBAL mean. Invariant
+     * to lossless re-encoding (PNG <-> BMP: same pixels, same hash) and to
+     * pixel-replicating resizes (each cell's sum and count scale by the
+     * same factor); JPEG-style lossy wiggle flips at most a few
+     * near-threshold bits, which the Hamming verify absorbs.
+     *
+     * INTEGER-EXACT by construction (the engine-exact convention every
+     * oracled kernel follows): per-pixel luminance is the per-mille
+     * integer 299 r + 587 g + 114 b, cell state is (sum, count) in longs,
+     * and the bit decision is the cross-multiplication
+     * `cellSum * totalPixels > totalSum * cellCount` — no floats anywhere,
+     * so DuckDB replays the hash bit-for-bit. Above ~48 M pixels the
+     * cross-product could overflow a long; the comparison falls back to
+     * BigInt there (same result, still exact).
+     */
+    private[graft] def imageAHash64(payload: Array[Byte]): Option[Long] =
+      try {
+        if (payload == null || payload.isEmpty) return None
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+        else {
+          val grid = 8
+          val sums = new Array[Long](grid * grid)
+          val counts = new Array[Long](grid * grid)
+          val w = img.getWidth
+          val h = img.getHeight
+          var y = 0
+          while (y < h) {
+            val gy = y * grid / h
+            var x = 0
+            while (x < w) {
+              val gx = x * grid / w
+              val rgb = img.getRGB(x, y)
+              sums(gy * grid + gx) += 299L * ((rgb >> 16) & 0xFF) +
+                587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+              counts(gy * grid + gx) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          val total = sums.sum
+          val nPix = w.toLong * h
+          var hash = 0L
+          var i = 0
+          while (i < grid * grid) {
+            val above =
+              if (nPix < 48L * 1000 * 1000) sums(i) * nPix > total * counts(i)
+              else BigInt(sums(i)) * nPix > BigInt(total) * counts(i)
+            if (above) hash |= (1L << i)
+            i += 1
+          }
+          Some(hash)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** Bytes -> features. Real decode for image (PNG/JPEG/BMP grid
       * luminance), GIF (per-frame temporal luminance profile), and audio
       * (windowed PCM RMS) payloads; real container-metadata parse for MP4.
@@ -338,6 +398,40 @@ object Multimodal {
             feats.isDefined)
         }
       }
+  }
+
+  /**
+   * Perceptual-hash image near-dup: every decodable image payload gets its
+   * 64-bit [[MediaDecoder.imageAHash64]] fingerprint (per-partition
+   * `mapPartitions`, the byte-codec shape [[extractFeatures]] uses), then
+   * pairs within `maxHamming` surface through [[Dedup.hammingNearDup64]] —
+   * the SAME 16-bit-block bucketing, hot-bucket cap and salvage sub-key
+   * machinery as text SimHash, so the pass is bucketed and never all-pairs
+   * no matter the corpus size. Undecodable payloads simply don't
+   * fingerprint (near-dup is defined over decodable images; the decode
+   * audit lives in [[extractFeatures]]' `decode_ok`).
+   *
+   * Output: (id_a, id_b, hamming) with id_a < id_b — re-encoded and
+   * pixel-replicated variants collide at Hamming 0 (spec-pinned), crops
+   * and lossy re-encodes land within the tolerance.
+   *
+   * Scale shape: payload bytes never shuffle — the fingerprint projection
+   * reduces each row to (id, 16 bytes) before any exchange, and the block
+   * join is narrow (id, block) rows exactly like the text path.
+   */
+  def imageNearDup(media: DataFrame, payloadCol: String = "payload",
+                   idCol: String = "media_id",
+                   maxHamming: Int = 3, maxBucketSize: Int = 10000,
+                   metricTag: String = "image_ahash"): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      Encoders.product[(Long, Long)]
+    val hashed = media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          MediaDecoder.imageAHash64(r.getAs[Array[Byte]](1)).map(h => (r.getLong(0), h))
+        }
+      }.toDF("id", "sim")
+    Dedup.hammingNearDup64(hashed, maxHamming, maxBucketSize, metricTag)
   }
 
   /** Size the partition COUNT by total payload bytes (~targetBytes each),
@@ -383,6 +477,57 @@ object Multimodal {
     def png(id: Long): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(frame(id, 0, 8, 8), "png", bos)
+      bos.toByteArray
+    }
+
+    /** Pseudo-random 8x8 grayscale frame, closed-form in the id — the
+      * image near-dup fixture pattern. Unlike the ramp [[frame]], the
+      * above-mean bit pattern is noise-like, so distinct ids land far
+      * apart in Hamming space and only planted variants collide. */
+    private def noiseFrame(id: Long): BufferedImage = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          // squared-linear mix: a plain linear ramp stays linear mod 256
+          // (constant cell-to-cell increments), which makes the above-mean
+          // bit pattern nearly id-independent; squaring breaks that
+          val b = id * 257L + (y * 8 + x) * 193L + 7L
+          val v = ((b * b) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** The id's [[noiseFrame]] as a PNG. */
+    def pngNoise(id: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(noiseFrame(id), "png", bos)
+      bos.toByteArray
+    }
+
+    /** The id's [[noiseFrame]] re-encoded in `format` ("bmp"/"png"/...),
+      * pixel-replicated by `scale` — the near-dup variant generator:
+      * lossless re-encode and pixel replication both preserve
+      * [[MediaDecoder.imageAHash64]] exactly (each 8x8 cell's sum and
+      * count scale by the same factor). */
+    def pngVariant(id: Long, scale: Int, format: String): Array[Byte] = {
+      val base = noiseFrame(id)
+      val img = new BufferedImage(8 * scale, 8 * scale, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8 * scale) {
+        var x = 0
+        while (x < 8 * scale) {
+          img.setRGB(x, y, base.getRGB(x / scale, y / scale)); x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
       bos.toByteArray
     }
 
@@ -458,6 +603,26 @@ object Multimodal {
       case 1 => wav(id)
       case 2 => if ((id / 3) % 2 == 0) gif(id) else mp4(id)
     }
+  }
+
+  /** Synthetic image near-dup fixture: `n` (< 1000) noise-pattern base
+    * PNGs (media_id = id) plus a losslessly BMP-re-encoded, 2x
+    * pixel-replicated variant of each (media_id = id + 1000) — every
+    * (id, id + 1000) pair is an exact perceptual collision by
+    * construction, while distinct bases land far apart in Hamming space
+    * (noise-like bit patterns). The 8x8 frames are grayscale, so the
+    * per-mille luminance is exactly 1000·v and the whole hash is
+    * closed-form in the id — the oracle replays it bit-for-bit. */
+  def syntheticImageVariants(spark: SparkSession, n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{udf => sparkUdf}
+    require(n > 0 && n <= 1000, s"n ($n) must be in (0, 1000]")
+    val gen = sparkUdf((id: Long) =>
+      if (id < 1000) SyntheticMedia.pngNoise(id)
+      else SyntheticMedia.pngVariant(id - 1000, 2, "bmp"))
+    spark.range(n.toLong)
+      .select(col("id"))
+      .union(spark.range(n.toLong).select(col("id") + lit(1000L)))
+      .select(col("id").as("media_id"), gen(col("id")).as("payload"))
   }
 
   /** Synthetic media table for tests/benchmarks (deterministic): REAL

@@ -1001,6 +1001,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!bad.decode_ok, "truncated PNG must report decode failure")
   }
 
+  test("image near-dup: re-encode and pixel-replication collide at Hamming 0, bucketed pairs verified") {
+    import graft.operators.Multimodal.MediaDecoder
+    def render(w: Int, h: Int, px: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // a 24x24 gradient-ish pattern (not grayscale: exercises the rgb mix)
+    def pat(x: Int, y: Int): Int = ((x * 11) % 256 << 16) | ((y * 7) % 256 << 8) | ((x + y) % 256)
+    val base = render(24, 24, pat)
+    val h0 = MediaDecoder.imageAHash64(enc(base, "png"))
+    assert(h0.nonEmpty, "base PNG must hash")
+    // lossless re-encode: identical pixels, identical hash
+    assert(MediaDecoder.imageAHash64(enc(base, "bmp")) === h0)
+    // pixel-replicating resizes: cell sums and counts scale together
+    for (s <- Seq(2, 3)) {
+      val up = render(24 * s, 24 * s, (x, y) => pat(x / s, y / s))
+      assert(MediaDecoder.imageAHash64(enc(up, "png")) === h0, s"${s}x replication changed the hash")
+    }
+    // a genuinely different image must not collide within the tolerance
+    val inv = render(24, 24, (x, y) => ~pat(x, y) & 0xFFFFFF)
+    val hInv = MediaDecoder.imageAHash64(enc(inv, "png")).get
+    assert(java.lang.Long.bitCount(h0.get ^ hInv) > 3, "inverted image within Hamming 3")
+    // corrupt / non-image payloads don't fingerprint
+    assert(MediaDecoder.imageAHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaDecoder.imageAHash64(enc(base, "png").take(20)).isEmpty)
+
+    // operator: every planted (id, id+1000) variant pair surfaces at
+    // Hamming 0 through the block-bucketed path; nothing exceeds the cap
+    val pairs = graft.operators.Multimodal.imageNearDup(
+        graft.operators.Multimodal.syntheticImageVariants(spark, 30))
+      .as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    for (id <- 0L until 30L)
+      assert(byPair.get((id, id + 1000L)).contains(0),
+        s"planted variant pair ($id, ${id + 1000}) missing or nonzero")
+    assert(pairs.forall(p => p._3 <= 3 && p._1 < p._2))
+  }
+
   test("q16 emits exact answers plus in-query sketch error-bound booleans") {
     // q16 is now hash-oracled: the output carries EXACT columns (distinct
     // count, discrete p50/p99 at rank ceil(q*n)) plus booleans asserting
