@@ -1064,6 +1064,61 @@ object TextAnalysis {
   }
 
   /**
+   * The PHYSICAL epoch stream: expand [[epochMaterialize]]'s per-document
+   * repeat counts into one row per (document, repeat) and key every copy
+   * with a content-derived shuffle hash — the step that turns "2.37
+   * epochs of source X" from an assignment column into an actual
+   * training order. The key is `md5(seed:rep:text)` — the
+   * [[graft.sources.ShuffledExport]] convention with the repeat index
+   * salted in — so the two copies of a twice-repeated document land at
+   * independent positions, the global order is a pure function of
+   * (seed, corpus) (re-running, re-sharding or re-NUMBERING the corpus
+   * reproduces it; ids never enter a key), and DuckDB replays every key
+   * bit-for-bit.
+   *
+   * Scale shape: the repeat explosion runs on the NARROW assignment
+   * frame (id, stratum, n_tokens, rep) and text joins in ONCE,
+   * POST-explode (plan-pinned) — so the id-keyed join exchange carries
+   * each document's text at most once, never multiplied by its repeat
+   * count. Repeat counts are epochs-per-stratum (single digits for any
+   * sane mixture), so the exploded assignment stays O(epochs · |docs|)
+   * narrow rows. Only [[writeEpochStream]]'s final range exchange
+   * carries the physical copies — that exchange IS the materialization
+   * (each copy must reach its shuffle position), and it is the scalable
+   * `repartitionByRange + sortWithinPartitions` total order, not a
+   * single-task sort.
+   *
+   * Output: one row per (document, repeat) with `rep` in [1, n_repeats]
+   * — (idCol, stratum, n_tokens, rep, shuffle_key, textCol). Row count
+   * = Σ n_repeats; documents with NULL or zero repeats emit nothing.
+   */
+  def epochStream(df: DataFrame, textCol: String, idCol: String,
+                  stratum: Column, alloc: DataFrame,
+                  seed: Long = 0L): DataFrame = {
+    val expanded = epochMaterialize(df, textCol, idCol, stratum, alloc)
+      .filter(col("n_repeats") >= 1L)
+      .withColumn("rep", explode(sequence(lit(1L), col("n_repeats"))))
+      .select(col(idCol), col("stratum"), col("n_tokens"), col("rep"))
+    expanded.join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .withColumn("shuffle_key",
+        md5(concat(lit(seed.toString), lit(":"), col("rep").cast("string"),
+          lit(":"), coalesce(col(textCol), lit("")))))
+  }
+
+  /** Materialize [[epochStream]] as training files in global shuffle
+    * order: a sampled range exchange on the content key plus
+    * per-partition sorts — a TOTAL order across output files (every key
+    * in part i precedes every key in part i+1) without funneling the
+    * stream through one task. */
+  def writeEpochStream(df: DataFrame, textCol: String, idCol: String,
+                       stratum: Column, alloc: DataFrame, outDir: String,
+                       seed: Long = 0L, numFiles: Int = 32): Unit =
+    epochStream(df, textCol, idCol, stratum, alloc, seed)
+      .repartitionByRange(numFiles, col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
+      .write.mode("overwrite").parquet(outDir)
+
+  /**
    * Temperature-based mixture allocation (the multilingual alpha-sampling
    * of mBERT/XLM-R/mT5): sample stratum i with probability proportional to
    * p_i^alpha at alpha = 0.5, flattening the natural distribution so

@@ -1046,6 +1046,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall(p => p._3 <= 3 && p._1 < p._2))
   }
 
+  test("epoch stream: multiplicities equal n_repeats; keys are id-free, repeat-salted, totally ordered on disk") {
+    val docs = spark.read.parquet(s"${SparkTestBase.Sf0001}/documents.parquet")
+    def allocOf(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.temperatureMix(df, "text", col("source"), budgetTokens = 200000L)
+    val assign = TextAnalysis.epochMaterialize(docs, "text", "doc_id",
+      col("source"), allocOf(docs))
+    val stream = TextAnalysis.epochStream(docs, "text", "doc_id",
+      col("source"), allocOf(docs), seed = 3L).localCheckpoint()
+    // per-document multiplicity == n_repeats; total rows == sum(n_repeats)
+    val counts = stream.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    val reps = assign.select("doc_id", "n_repeats").as[(Long, Option[Long])].collect()
+    reps.foreach { case (id, r) =>
+      assert(counts.getOrElse(id, 0L) === r.filter(_ > 0).getOrElse(0L),
+        s"doc $id multiplicity diverged from its repeat count")
+    }
+    assert(stream.count() === reps.flatMap(_._2).filter(_ > 0).sum)
+    // each copy of a document gets its OWN key (repeat salt), and keys are
+    // a pure function of (seed, content): renumbering every id reproduces
+    // the exact key multiset
+    val maxPerKey = stream.groupBy("doc_id", "shuffle_key").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxPerKey === 1L, "two copies of a doc shared a shuffle key")
+    val keys = stream.select("shuffle_key").as[String].collect().sorted.toSeq
+    val renumbered = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    val keys2 = TextAnalysis.epochStream(renumbered, "text", "doc_id",
+        col("source"), allocOf(renumbered), seed = 3L)
+      .select("shuffle_key").as[String].collect().sorted.toSeq
+    assert(keys === keys2, "shuffle keys must not depend on document ids")
+    // a different seed is an independent permutation
+    val keys3 = TextAnalysis.epochStream(docs, "text", "doc_id",
+        col("source"), allocOf(docs), seed = 4L)
+      .select("shuffle_key").as[String].collect().sorted.toSeq
+    assert(keys3 !== keys, "seed must change the permutation")
+
+    // writer: files hold a TOTAL order — within-file sorted, and every key
+    // in part i precedes every key in part i+1
+    val out = java.nio.file.Files.createTempDirectory("graft_epoch_stream").toString
+    try {
+      TextAnalysis.writeEpochStream(docs, "text", "doc_id", col("source"),
+        allocOf(docs), out, seed = 3L, numFiles = 4)
+      val parts = new java.io.File(out).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      assert(parts.length > 1, "fixture should span multiple range files")
+      val perPart = parts.map(p =>
+        spark.read.parquet(p.getAbsolutePath).select("shuffle_key").as[String].collect().toSeq)
+      perPart.foreach(ks => assert(ks === ks.sorted, "within-file order broken"))
+      val nonEmpty = perPart.filter(_.nonEmpty).toSeq
+      nonEmpty.zip(nonEmpty.drop(1)).foreach { case (a, b) =>
+        assert(a.last <= b.head, "cross-file range order broken")
+      }
+      assert(perPart.map(_.size).sum === keys.size)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("q16 emits exact answers plus in-query sketch error-bound booleans") {
     // q16 is now hash-oracled: the output carries EXACT columns (distinct
     // count, discrete p50/p99 at rank ceil(q*n)) plus booleans asserting

@@ -899,6 +899,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"census must plan as hash aggregates:\n$p")
   }
 
+  test("epoch stream: repeat explosion runs on the narrow frame — text joins in ONCE, post-explode") {
+    val q = SparkEntry.queries("tx_epoch_stream")(spark, sf)
+    val gens = q.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.size === 1, s"expected exactly one explode, got ${gens.size}")
+    // the explode's input must be the narrow assignment frame: if `text`
+    // were below the Generate, every document's bytes would multiply by
+    // its repeat count BEFORE the id join — the exchange that dies first
+    // at 100 TB
+    assert(!gens.head.child.output.map(_.name).contains("text"),
+      s"text flowed into the repeat explosion:\n${gens.head.child.output.mkString(", ")}")
+  }
+
   test("no-split packing: ONE exchange (the group repartition), no window, no sort beyond the fold's") {
     val p = preparedPlan(SparkEntry.queries("tx_pack_nosplit")(spark, sf)).toString
     // the whole operator is: narrow projection -> repartition by group ->
