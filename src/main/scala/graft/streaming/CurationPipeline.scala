@@ -86,4 +86,74 @@ object CurationPipeline {
     q.awaitTermination()
     (trained, sketched)
   }
+
+  /**
+   * The shard-EMITTING streaming form: where [[curateStreaming]] stops at
+   * verdicts, this runs the FULL batch curation
+   * ([[graft.operators.Curation.curateBatch]] with the run's frozen
+   * model + sketch — zero census scans per batch) on every micro-batch
+   * and materializes the selected documents as physical training shards
+   * via [[graft.operators.Curation.writeCuratedShards]], one file per
+   * (stratum, shard_id) under `outDir/batch_id=<id>/` — the CorpusIngest
+   * idempotence recipe: at-least-once replay overwrites the same batch
+   * partition, so the trainable output is exactly-once per batch id.
+   *
+   * Reusing curateBatch wholesale is the no-drift guarantee: verdicts
+   * (including the zero-token rejection), packing order (llr DESC, id)
+   * and token-exact straddle cuts are the SAME code the batch pipeline
+   * runs, so a single-batch stream reproduces `writeCuratedShards` on
+   * the same corpus byte-for-byte (spec-pinned). With multiple batches,
+   * selection stays batch-invariant (verdicts are row-local against the
+   * frozen artifacts) while PACKING is per-batch — each batch_id
+   * partition is a self-contained curriculum over its own documents,
+   * the shape a crawl-frontier loop wants (ship shards as data lands,
+   * re-pack globally offline if a run needs one curriculum).
+   *
+   * `schema` must cover the stratum column (the default DocSchema has
+   * only doc_id/text — pass the corpus schema when stratifying by a
+   * corpus column like lang/source).
+   */
+  def curateStreamingShards(spark: SparkSession, sourceDir: String,
+                            corpus: => DataFrame, isTarget: => Column,
+                            evalDocs: => DataFrame, stratum: Column,
+                            outDir: String, checkpointDir: String,
+                            thresholdFp: Long, shardTokens: Long = 2000L,
+                            buckets: Int = 4096, n: Int = 3,
+                            numBits: Int = 1 << 20, numHashes: Int = 5,
+                            maxFilesPerTrigger: Int = 1,
+                            model0: Option[Dsir.LlrModel] = None,
+                            sketch0: Option[Array[Byte]] = None,
+                            schema: StructType = DsirServing.DocSchema): (Long, Long) = {
+    var trained = 0L
+    val model = model0.getOrElse {
+      trained += 1
+      Dsir.trainModel(corpus, "text", isTarget, buckets)
+    }
+    var sketched = 0L
+    val sketch = sketch0.getOrElse {
+      sketched += 1
+      TextAnalysis.evalGramSketch(evalDocs, "text", "doc_id", n, numBits, numHashes)
+    }
+    val evalFrozen = evalDocs
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val curated = graft.operators.Curation.curateBatch(
+          batch, evalFrozen, "text", "doc_id",
+          stratum = stratum, isTarget = lit(false), thresholdFp = thresholdFp,
+          n = n, numBits = numBits, numHashes = numHashes,
+          shardTokens = shardTokens,
+          model0 = Some(model), sketch0 = Some(sketch),
+          metricTag = "curate_shards")
+        graft.operators.Curation.writeCuratedShards(batch, curated,
+          "text", "doc_id", shardTokens, s"$outDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (trained, sketched)
+  }
 }

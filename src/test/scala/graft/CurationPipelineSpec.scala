@@ -84,6 +84,81 @@ class CurationPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed shards: single batch reproduces writeCuratedShards byte-for-byte; multi-batch packs per batch") {
+    import graft.operators.{Curation, Dsir, TextAnalysis => TA}
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select("doc_id", "text", "lang")
+    val evalDf = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val S = 120L
+    val thr = -12L << 30
+    val model = Dsir.trainModel(docs, "text", col("lang") === "en", 4096)
+    val sketch = TA.evalGramSketch(evalDf, "text", "doc_id")
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_shards").toString
+    def shardFiles(root: String): Map[String, Array[Byte]] = {
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        if (f.isDirectory) f.listFiles().iterator.flatMap(walk) else Iterator(f)
+      walk(new java.io.File(root))
+        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+        .map { f =>
+          val rel = f.getParentFile.getAbsolutePath.stripPrefix(root)
+          rel -> java.nio.file.Files.readAllBytes(f.toPath)
+        }.toMap
+    }
+    try {
+      // ONE batch: everything through a single trigger
+      corpus.coalesce(1).write.parquet(s"$base/src1")
+      val readBack = spark.read.parquet(s"$base/src1")
+      val (t1, s1) = CurationPipeline.curateStreamingShards(spark,
+        s"$base/src1", docs, col("lang") === "en", evalDf, col("lang"),
+        s"$base/out1", s"$base/ckpt1", thresholdFp = thr, shardTokens = S,
+        maxFilesPerTrigger = 100, model0 = Some(model), sketch0 = Some(sketch),
+        schema = readBack.schema)
+      assert(t1 === 0L && s1 === 0L, "frozen artifacts must not rebuild")
+      val curated = Curation.curateBatch(readBack, evalDf, "text", "doc_id",
+        stratum = col("lang"), isTarget = col("lang") === "en",
+        thresholdFp = thr, shardTokens = S,
+        model0 = Some(model), sketch0 = Some(sketch))
+      Curation.writeCuratedShards(readBack, curated, "text", "doc_id", S,
+        s"$base/outB")
+      val streamed = shardFiles(s"$base/out1/batch_id=0")
+      val batch = shardFiles(s"$base/outB")
+      assert(batch.nonEmpty, "fixture must produce shards")
+      assert(streamed.keySet === batch.keySet,
+        s"shard dirs diverged: stream-only ${(streamed.keySet -- batch.keySet).take(3)}, " +
+          s"batch-only ${(batch.keySet -- streamed.keySet).take(3)}")
+      streamed.foreach { case (rel, bytes) =>
+        assert(java.util.Arrays.equals(bytes, batch(rel)),
+          s"shard $rel bytes diverged from writeCuratedShards")
+      }
+
+      // MULTI batch: per-batch packing, selection batch-invariant — the
+      // token multiset across every batch partition equals the batch
+      // pipeline's selected-token multiset
+      corpus.repartition(3).write.parquet(s"$base/src2")
+      CurationPipeline.curateStreamingShards(spark,
+        s"$base/src2", docs, col("lang") === "en", evalDf, col("lang"),
+        s"$base/out2", s"$base/ckpt2", thresholdFp = thr, shardTokens = S,
+        maxFilesPerTrigger = 1, model0 = Some(model), sketch0 = Some(sketch),
+        schema = readBack.schema)
+      val batchDirs = new java.io.File(s"$base/out2").listFiles()
+        .filter(_.getName.startsWith("batch_id=")).map(_.getName)
+      assert(batchDirs.length > 1, "source must split into multiple batches")
+      def tokenBag(files: Map[String, Array[Byte]]): Map[String, Int] =
+        files.values.flatMap(b => new String(b, "UTF-8").trim.split("\\s+"))
+          .filter(_.nonEmpty).groupBy(identity).view.mapValues(_.size).toMap
+      val want = curated.filter(col("verdict") === "selected")
+        .join(readBack.select("doc_id", "text"), "doc_id")
+        .select("text").as[String].collect()
+        .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(tokenBag(shardFiles(s"$base/out2")) === want,
+        "multi-batch shard token multiset diverged from the selected set")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("curated shard files: selected docs in curriculum order, token-exact cuts, full non-final shards") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
