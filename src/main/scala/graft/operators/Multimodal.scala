@@ -366,6 +366,65 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /**
+     * 64-bit perceptual AUDIO fingerprint — [[imageAHash64]]'s contract
+     * over time instead of space: decode the container (WAV/AIFF/AU via
+     * javax.sound.sampled) to 16-bit signed PCM, split the sample stream
+     * into 64 equal time windows, and set bit `w` when window w's energy
+     * exceeds the clip's global mean energy. Invariant to lossless
+     * container re-encoding (WAV <-> AIFF: same PCM samples) and to
+     * integer sample replication (every window's energy sum and sample
+     * count scale by the same factor); codec-level wiggle flips only
+     * near-threshold bits, absorbed by the Hamming verify.
+     *
+     * INTEGER-EXACT: per-sample energy is the integer square s*s
+     * (s in [-32768, 32767]), window state is (sumSq, count) in longs
+     * across ALL channels (no mono mixdown — a channel average would
+     * divide and leave integer arithmetic), and the bit decision is the
+     * cross-multiplication `winSum * totalSamples > totalSum * winCount`
+     * — replayable bit-for-bit in SQL. Above ~700k samples the cross
+     * product could overflow a long; BigInt fallback, same result.
+     */
+    private[graft] def audioAHash64(payload: Array[Byte]): Option[Long] =
+      try {
+        if (payload == null || payload.isEmpty) return None
+        val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = src.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+            f.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+          val bytes = pcm.readAllBytes()
+          val nSamples = bytes.length / 2
+          if (nSamples == 0) None
+          else {
+            val sums = new Array[Long](64)
+            val counts = new Array[Long](64)
+            var i = 0
+            while (i < nSamples) {
+              val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toLong
+              val w = (i * 64L / nSamples).toInt
+              sums(w) += s * s; counts(w) += 1L
+              i += 1
+            }
+            val total = sums.sum
+            var hash = 0L
+            var w = 0
+            while (w < 64) {
+              val above =
+                if (nSamples < 700000) sums(w) * nSamples > total * counts(w)
+                else BigInt(sums(w)) * nSamples > BigInt(total) * counts(w)
+              if (above) hash |= (1L << w)
+              w += 1
+            }
+            Some(hash)
+          }
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** Bytes -> features. Real decode for image (PNG/JPEG/BMP grid
       * luminance), GIF (per-frame temporal luminance profile), and audio
       * (windowed PCM RMS) payloads; real container-metadata parse for MP4.
@@ -429,6 +488,27 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           MediaDecoder.imageAHash64(r.getAs[Array[Byte]](1)).map(h => (r.getLong(0), h))
+        }
+      }.toDF("id", "sim")
+    Dedup.hammingNearDup64(hashed, maxHamming, maxBucketSize, metricTag)
+  }
+
+  /** [[imageNearDup]]'s contract for AUDIO payloads: every decodable clip
+    * gets its 64-bit [[MediaDecoder.audioAHash64]] energy fingerprint,
+    * then pairs within `maxHamming` surface through the SAME
+    * [[Dedup.hammingNearDup64]] block machinery — one shared Hamming core
+    * across text simhash, image aHash and audio energy hashes. Payload
+    * bytes never shuffle. */
+  def audioNearDup(media: DataFrame, payloadCol: String = "payload",
+                   idCol: String = "media_id",
+                   maxHamming: Int = 3, maxBucketSize: Int = 10000,
+                   metricTag: String = "audio_ahash"): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      Encoders.product[(Long, Long)]
+    val hashed = media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          MediaDecoder.audioAHash64(r.getAs[Array[Byte]](1)).map(h => (r.getLong(0), h))
         }
       }.toDF("id", "sim")
     Dedup.hammingNearDup64(hashed, maxHamming, maxBucketSize, metricTag)
@@ -555,6 +635,45 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Pseudo-random 256-frame mono PCM pattern, closed-form in the id
+      * (the [[noiseFrame]] squared-linear mix in sample space): frame i is
+      * ((id*257 + i*193 + 7)^2 % 65536) - 32768. Noise-like energy
+      * windows, so distinct ids land far apart in Hamming space. */
+    private def sqPcm(id: Long, repl: Int): Array[Byte] = {
+      val n = 256
+      val pcm = new Array[Byte](n * repl * 2)
+      var i = 0
+      while (i < n) {
+        val b = id * 257L + i * 193L + 7L
+        val s = ((b * b) % 65536L - 32768L).toInt
+        var r = 0
+        while (r < repl) {
+          val off = (i * repl + r) * 2
+          pcm(off) = (s & 0xFF).toByte
+          pcm(off + 1) = ((s >> 8) & 0xFF).toByte
+          r += 1
+        }
+        i += 1
+      }
+      pcm
+    }
+
+    /** The id's [[sqPcm]] pattern encoded as a media file: sample-
+      * replicated by `repl` and written in `format` (WAVE or AIFF — both
+      * lossless 16-bit PCM containers, so [[MediaDecoder.audioAHash64]]
+      * is invariant across every (repl, format) combination). */
+    def wavSq(id: Long, repl: Int = 1,
+              format: javax.sound.sampled.AudioFileFormat.Type =
+                javax.sound.sampled.AudioFileFormat.Type.WAVE): Array[Byte] = {
+      val pcm = sqPcm(id, repl)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, (pcm.length / 2).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, format, bos)
+      bos.toByteArray
+    }
+
     /** Animated GIF with 2 + id%4 frames via the ImageIO sequence writer. */
     def gif(id: Long): Array[Byte] = {
       val nFrames = 2 + (id % 4).toInt
@@ -619,6 +738,25 @@ object Multimodal {
     val gen = sparkUdf((id: Long) =>
       if (id < 1000) SyntheticMedia.pngNoise(id)
       else SyntheticMedia.pngVariant(id - 1000, 2, "bmp"))
+    spark.range(n.toLong)
+      .select(col("id"))
+      .union(spark.range(n.toLong).select(col("id") + lit(1000L)))
+      .select(col("id").as("media_id"), gen(col("id")).as("payload"))
+  }
+
+  /** [[syntheticImageVariants]]' audio twin: `n` (< 1000) squared-linear
+    * PCM WAVs (media_id = id) plus an AIFF-re-encoded, 2x sample-
+    * replicated variant of each (media_id = id + 1000) — every
+    * (id, id + 1000) pair is an exact energy-fingerprint collision while
+    * distinct ids stay far apart; the PCM samples are closed-form in the
+    * id, so the oracle replays the whole hash. */
+  def syntheticAudioVariants(spark: SparkSession, n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{udf => sparkUdf}
+    require(n > 0 && n <= 1000, s"n ($n) must be in (0, 1000]")
+    val gen = sparkUdf((id: Long) =>
+      if (id < 1000) SyntheticMedia.wavSq(id)
+      else SyntheticMedia.wavSq(id - 1000, repl = 2,
+        format = javax.sound.sampled.AudioFileFormat.Type.AIFF))
     spark.range(n.toLong)
       .select(col("id"))
       .union(spark.range(n.toLong).select(col("id") + lit(1000L)))

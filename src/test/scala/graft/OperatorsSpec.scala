@@ -1046,6 +1046,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall(p => p._3 <= 3 && p._1 < p._2))
   }
 
+  test("audio near-dup: lossless re-encode and sample replication collide at Hamming 0, distinct clips don't") {
+    import graft.operators.Multimodal.MediaDecoder
+    import javax.sound.sampled.AudioFileFormat.Type.{AIFF, WAVE}
+    def wav(samples: Array[Int], rate: Float = 8000f,
+            fmt: javax.sound.sampled.AudioFileFormat.Type = WAVE): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xFF).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val af = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), af, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, fmt, bos)
+      bos.toByteArray
+    }
+    val base = Array.tabulate(320)(i => (math.sin(i * 0.37) * 12000).toInt)
+    val h0 = MediaDecoder.audioAHash64(wav(base))
+    assert(h0.nonEmpty, "base WAV must hash")
+    // lossless container swap: identical PCM, identical hash
+    assert(MediaDecoder.audioAHash64(wav(base, fmt = AIFF)) === h0)
+    // sample replication: window sums and counts scale together
+    for (r <- Seq(2, 3)) {
+      val up = base.flatMap(s => Array.fill(r)(s))
+      assert(MediaDecoder.audioAHash64(wav(up)) === h0, s"${r}x replication changed the hash")
+    }
+    // a genuinely different clip must not collide
+    val other = Array.tabulate(320)(i => (math.sin(i * 0.11 + 2) * 9000).toInt)
+    val hOther = MediaDecoder.audioAHash64(wav(other)).get
+    assert(java.lang.Long.bitCount(h0.get ^ hOther) > 3)
+    // corrupt / non-audio payloads don't fingerprint
+    assert(MediaDecoder.audioAHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaDecoder.audioAHash64(wav(base).take(30)).isEmpty)
+
+    // operator: every planted (id, id+1000) WAV/AIFF variant pair surfaces
+    // at Hamming 0 through the bucketed path
+    val pairs = graft.operators.Multimodal.audioNearDup(
+        graft.operators.Multimodal.syntheticAudioVariants(spark, 30))
+      .as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    for (id <- 0L until 30L)
+      assert(byPair.get((id, id + 1000L)).contains(0),
+        s"planted variant pair ($id, ${id + 1000}) missing or nonzero")
+    assert(pairs.forall(p => p._3 <= 3 && p._1 < p._2))
+  }
+
   test("epoch stream: multiplicities equal n_repeats; keys are id-free, repeat-salted, totally ordered on disk") {
     val docs = spark.read.parquet(s"${SparkTestBase.Sf0001}/documents.parquet")
     def allocOf(df: org.apache.spark.sql.DataFrame) =
