@@ -645,6 +645,61 @@ object Dedup {
   def removeDupSpans(df: DataFrame, textCol: String, idCol: String,
                      k: Int = 8, minDocs: Int = 2): DataFrame = {
     require(k >= 1 && minDocs >= 2, s"need k >= 1 (got $k), minDocs >= 2 (got $minDocs)")
+    val (base, grams) = tokensAndGrams(df, textCol, idCol, k)
+    val dupVocab = grams.select("gram", "id").distinct()
+      .groupBy("gram")
+      .agg(count(lit(1)).as("ndocs"), min(col("id")).as("canon"))
+      .filter(col("ndocs") >= minDocs)
+      .select("gram", "canon")
+    val removable = grams.join(dupVocab, "gram").filter(col("id") =!= col("canon"))
+    exciseSpans(base, removable, k, idCol)
+  }
+
+  /**
+   * SPAN-LEVEL decontamination — the surgical form of
+   * [[TextAnalysis.contamination]]'s whole-document quarantine: excise
+   * every training-document span whose `k`-gram appears ANYWHERE in the
+   * eval set, keeping the rest of the document (the
+   * remove-the-passage-not-the-page discipline of Lee et al. 2022 /
+   * GPT-3-style n-gram decontamination: a long document with one leaked
+   * benchmark sentence keeps its clean 99%).
+   *
+   * Unlike [[removeDupSpans]] there is NO canonical keeper: a
+   * contaminated gram is cut from EVERY training occurrence (the eval set
+   * is the authority, not a corpus peer). Span semantics are otherwise
+   * identical — removable positions merge by the gaps-and-islands rule
+   * (gap > `k` breaks; a span covers [min_pos, max_pos + k - 1]) and the
+   * covered tokens are excised row-locally.
+   *
+   * Scale shape: the eval-gram build side is ONE row per DISTINCT eval
+   * gram (8-byte FNV hashes, never strings) — eval suites are tiny next
+   * to a training corpus, so the semi-join probe side broadcasts or
+   * shuffles narrow (id, pos, hash) rows; everything downstream of the
+   * probe is the [[removeDupSpans]] machinery. Text never enters a
+   * shuffle except as the output itself.
+   *
+   * Output: (idCol, n_tokens, n_removed_tokens, cleaned_text) — one row
+   * per TRAINING document; `cleaned_text` equals the input tokens
+   * re-joined when nothing matched.
+   */
+  def decontaminateSpans(train: DataFrame, evalDocs: DataFrame,
+                         textCol: String, idCol: String,
+                         k: Int = 8): DataFrame = {
+    require(k >= 1, s"need k >= 1 (got $k)")
+    val (base, grams) = tokensAndGrams(train, textCol, idCol, k)
+    val evalGrams = evalDocs
+      .filter(size(filter(split(col(textCol), "\\s+"), t => length(t) > 0)) >= k)
+      .select(explode(word_shingles(col(textCol), lit(k))).as("gram"))
+      .distinct()
+    val removable = grams.join(evalGrams, Seq("gram"), "left_semi")
+    exciseSpans(base, removable, k, idCol)
+  }
+
+  /** Shared narrow projection for span surgery: `base` keeps each doc's
+    * original-case token list; `grams` is the (id, pos, k-gram-hash)
+    * explosion of docs long enough to carry one. */
+  private def tokensAndGrams(df: DataFrame, textCol: String, idCol: String,
+                             k: Int): (DataFrame, DataFrame) = {
     val base = df
       .select(col(idCol).as("id"),
         filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("toks"),
@@ -653,12 +708,15 @@ object Dedup {
     val grams = base.filter(col("n_tokens") >= k)
       .select(col("id"), posexplode(word_shingles(col("__text"), lit(k))))
       .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
-    val dupVocab = grams.select("gram", "id").distinct()
-      .groupBy("gram")
-      .agg(count(lit(1)).as("ndocs"), min(col("id")).as("canon"))
-      .filter(col("ndocs") >= minDocs)
-      .select("gram", "canon")
-    val removable = grams.join(dupVocab, "gram").filter(col("id") =!= col("canon"))
+    (base, grams)
+  }
+
+  /** The gaps-and-islands merge + row-local token surgery shared by
+    * [[removeDupSpans]] and [[decontaminateSpans]]: removable (id, pos)
+    * rows become maximal spans (gap > k breaks, span = [min, max+k-1]),
+    * and the covered tokens are cut from the doc's own token list. */
+  private def exciseSpans(base: DataFrame, removable: DataFrame, k: Int,
+                          idCol: String): DataFrame = {
     val wOrd = Window.partitionBy("id").orderBy("pos")
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val spans = removable

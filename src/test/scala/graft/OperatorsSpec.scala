@@ -167,6 +167,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("span decontamination: eval grams cut from every occurrence, clean docs verbatim, islands merge") {
+    val evalDocs = Seq((100L, "SECRET leak phrase plus more words")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta secret LEAK phrase gamma delta epsilon"), // one hit at pos 2
+      (2L, "one two three four"),                                // clean
+      (3L, "secret leak phrase"),                                // whole doc is the gram
+      (4L, "secret leak phrase a b c d e SECRET leak phrase"),   // two islands, gap > k
+      (5L, "xy")                                                 // shorter than k
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminateSpans(train, evalDocs, "text", "doc_id", k = 3)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 8L, 3L, "alpha beta gamma delta epsilon")),
+      "single span [2,4] must cut exactly the gram tokens (case-insensitive match)")
+    assert(got(2L) === ((2L, 4L, 0L, "one two three four")), "clean doc passes verbatim")
+    assert(got(3L) === ((3L, 3L, 3L, "")), "a fully-contaminated doc empties")
+    assert(got(4L) === ((4L, 11L, 6L, "a b c d e")),
+      "two islands separated by gap > k cut independently")
+    assert(got(5L) === ((5L, 1L, 0L, "xy")), "sub-k docs carry no grams")
+    // no canonical keeper: the same contaminated text in two train docs is
+    // cut from BOTH (removeDupSpans would have kept the min-id occurrence)
+    val twin = Seq(
+      (1L, "secret leak phrase tail one"),
+      (2L, "secret leak phrase tail two")).toDF("doc_id", "text")
+    val both = Dedup.decontaminateSpans(twin, evalDocs, "text", "doc_id", k = 3)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r._4).toMap
+    assert(both(1L) === "tail one" && both(2L) === "tail two")
+  }
+
   test("lsh eval: identical pair caught, empty docs excluded from both sides") {
     val df = Seq(
       // identical pair: J = 1 -> in truth; identical minhash sigs -> the
