@@ -425,6 +425,77 @@ object Multimodal {
         } finally src.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /**
+     * 64-bit TEMPORAL video fingerprint — [[audioAHash64]]'s window
+     * contract over decoded frames: every frame of a multi-frame GIF (the
+     * frame-bearing format ImageIO decodes pure-JVM) contributes its
+     * integer luminance sum to one of 64 equal time windows, and bit `w`
+     * is set when window w's luminance exceeds the clip's global mean —
+     * scene-brightness over time, the cheap temporal signature a video
+     * near-dup pass buckets on. EXACTLY invariant to lossless re-encodes
+     * and to frame replication when the clip's frame count is a multiple
+     * of the 64 windows (integral frames-per-window keeps window
+     * boundaries aligned under replication — the fixture shape);
+     * arbitrary-length clips under re-timing shift only boundary frames
+     * between adjacent windows, which flips at most near-threshold bits
+     * — the Hamming tolerance's job. Single-frame payloads return None —
+     * a still has no temporal profile ([[imageAHash64]] covers it).
+     *
+     * INTEGER-EXACT like its siblings: per-pixel per-mille luminance,
+     * (sum, pixelCount) window state, cross-multiplied bit decision,
+     * BigInt fallback above the long-overflow pixel count.
+     */
+    private[graft] def videoTHash64(payload: Array[Byte]): Option[Long] = {
+      if (payload == null || payload.isEmpty || !looksLikeGif(payload)) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          if (n < 2) return None
+          val sums = new Array[Long](64)
+          val counts = new Array[Long](64)
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            var lum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                lum += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+                  114L * (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            val w = (f.toLong * 64 / n).toInt
+            sums(w) += lum
+            counts(w) += img.getWidth.toLong * img.getHeight
+            f += 1
+          }
+          val total = sums.sum
+          val nPix = counts.sum
+          var hash = 0L
+          var w = 0
+          while (w < 64) {
+            val above =
+              if (nPix < 40L * 1000 * 1000) sums(w) * nPix > total * counts(w)
+              else BigInt(sums(w)) * nPix > BigInt(total) * counts(w)
+            if (above) hash |= (1L << w)
+            w += 1
+          }
+          Some(hash)
+        } finally reader.dispose()
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally iis.close()
+    }
+
     /** Bytes -> features. Real decode for image (PNG/JPEG/BMP grid
       * luminance), GIF (per-frame temporal luminance profile), and audio
       * (windowed PCM RMS) payloads; real container-metadata parse for MP4.
@@ -509,6 +580,27 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           MediaDecoder.audioAHash64(r.getAs[Array[Byte]](1)).map(h => (r.getLong(0), h))
+        }
+      }.toDF("id", "sim")
+    Dedup.hammingNearDup64(hashed, maxHamming, maxBucketSize, metricTag)
+  }
+
+  /** [[imageNearDup]]'s contract for VIDEO payloads (multi-frame GIF, the
+    * pure-JVM frame codec): 64-window temporal luminance fingerprints
+    * ([[MediaDecoder.videoTHash64]]) through the SAME
+    * [[Dedup.hammingNearDup64]] block core — the fourth modality on one
+    * shared Hamming machinery (text simhash, image aHash, audio energy,
+    * video temporal). Stills and undecodables don't fingerprint. */
+  def videoNearDup(media: DataFrame, payloadCol: String = "payload",
+                   idCol: String = "media_id",
+                   maxHamming: Int = 3, maxBucketSize: Int = 10000,
+                   metricTag: String = "video_thash"): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      Encoders.product[(Long, Long)]
+    val hashed = media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          MediaDecoder.videoTHash64(r.getAs[Array[Byte]](1)).map(h => (r.getLong(0), h))
         }
       }.toDF("id", "sim")
     Dedup.hammingNearDup64(hashed, maxHamming, maxBucketSize, metricTag)
@@ -694,6 +786,42 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** 64-frame animated GIF whose frame f is a UNIFORM gray
+      * v = ((id*257 + f*193 + 7)^2) % 256 — the squared-linear noise
+      * pattern in TIME, closed-form in the id (single-color frames make
+      * the GIF palette roundtrip exact). `repl` writes each frame `repl`
+      * times — the slowed/re-timed copy whose [[MediaDecoder.videoTHash64]]
+      * is bit-identical to the original's. */
+    def gifNoise(id: Long, repl: Int = 1): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < 64) {
+          val b = id * 257L + f * 193L + 7L
+          val v = ((b * b) % 256).toInt
+          val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
+            y += 1
+          }
+          var r = 0
+          while (r < repl) {
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            r += 1
+          }
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
     /** Minimal ISO-BMFF: ftyp + moov(mvhd + trak(tkhd)), timescale 600,
       * duration and track dimensions derived from the id. */
     def mp4(id: Long): Array[Byte] = {
@@ -757,6 +885,23 @@ object Multimodal {
       if (id < 1000) SyntheticMedia.wavSq(id)
       else SyntheticMedia.wavSq(id - 1000, repl = 2,
         format = javax.sound.sampled.AudioFileFormat.Type.AIFF))
+    spark.range(n.toLong)
+      .select(col("id"))
+      .union(spark.range(n.toLong).select(col("id") + lit(1000L)))
+      .select(col("id").as("media_id"), gen(col("id")).as("payload"))
+  }
+
+  /** [[syntheticImageVariants]]' video twin: `n` (< 1000) 64-frame noise
+    * GIFs (media_id = id) plus a frame-doubled re-timed variant of each
+    * (media_id = id + 1000) — every (id, id + 1000) pair is an exact
+    * temporal-fingerprint collision; uniform single-gray frames keep the
+    * GIF palette roundtrip exact, so the hash is closed-form in the id. */
+  def syntheticVideoVariants(spark: SparkSession, n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{udf => sparkUdf}
+    require(n > 0 && n <= 1000, s"n ($n) must be in (0, 1000]")
+    val gen = sparkUdf((id: Long) =>
+      if (id < 1000) SyntheticMedia.gifNoise(id)
+      else SyntheticMedia.gifNoise(id - 1000, repl = 2))
     spark.range(n.toLong)
       .select(col("id"))
       .union(spark.range(n.toLong).select(col("id") + lit(1000L)))

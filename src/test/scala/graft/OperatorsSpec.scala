@@ -1120,6 +1120,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall(p => p._3 <= 3 && p._1 < p._2))
   }
 
+  test("video near-dup: re-timed (frame-replicated) copies collide at Hamming 0; stills have no temporal hash") {
+    import graft.operators.Multimodal.MediaDecoder
+    def gif(frames: Seq[Int => Int], w: Int = 8, h: Int = 8): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        wr.setOutput(ios); wr.prepareWriteSequence(null)
+        frames.foreach { px =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until h; x <- 0 until w) {
+            val v = px(y * w + x) & 0xFF; img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+          wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        wr.endWriteSequence()
+      } finally { wr.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    // 64 base frames = one frame per window, so replication keeps window
+    // boundaries aligned (the documented exact-invariance shape; shorter
+    // clips are only Hamming-close under re-timing)
+    val baseFrames: Seq[Int => Int] =
+      (0 until 64).map(f => (_: Int) => (f * 37 + 11) % 256)
+    val h0 = MediaDecoder.videoTHash64(gif(baseFrames))
+    assert(h0.nonEmpty, "multi-frame GIF must hash")
+    // re-timed copies: each frame written 2x/3x — windows scale together
+    for (r <- Seq(2, 3))
+      assert(MediaDecoder.videoTHash64(gif(baseFrames.flatMap(Seq.fill(r)(_)))) === h0,
+        s"${r}x frame replication changed the hash")
+    // a different clip must not collide
+    val other: Seq[Int => Int] = (0 until 64).map(f => (_: Int) => (f * 91 + 3) % 256)
+    val hOther = MediaDecoder.videoTHash64(gif(other)).get
+    assert(java.lang.Long.bitCount(h0.get ^ hOther) > 3)
+    // stills and non-GIF payloads have no temporal profile
+    assert(MediaDecoder.videoTHash64(gif(baseFrames.take(1))).isEmpty)
+    assert(MediaDecoder.videoTHash64(Array[Byte](1, 2, 3)).isEmpty)
+
+    val pairs = graft.operators.Multimodal.videoNearDup(
+        graft.operators.Multimodal.syntheticVideoVariants(spark, 30))
+      .as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    for (id <- 0L until 30L)
+      assert(byPair.get((id, id + 1000L)).contains(0),
+        s"planted variant pair ($id, ${id + 1000}) missing or nonzero")
+    assert(pairs.forall(p => p._3 <= 3 && p._1 < p._2))
+  }
+
   test("epoch stream: multiplicities equal n_repeats; keys are id-free, repeat-salted, totally ordered on disk") {
     val docs = spark.read.parquet(s"${SparkTestBase.Sf0001}/documents.parquet")
     def allocOf(df: org.apache.spark.sql.DataFrame) =
