@@ -395,6 +395,37 @@ object TextAnalysis {
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
   }
 
+  /**
+   * Cross-suite contamination MATRIX — [[contamination]] against K
+   * benchmark suites in ONE training-corpus pass: a production
+   * decontamination run checks every eval suite it serves (MMLU, GSM8K,
+   * HumanEval, ...) and must not re-scan a 100 TB corpus per suite. The
+   * training grams explode ONCE; the build side is the union of each
+   * suite's distinct gram set tagged with its suite name (suites are tiny
+   * next to the corpus — the union broadcasts), and the exact
+   * distinct-shared-gram count comes out per (document, suite).
+   *
+   * Output: (idCol, suite, n_shared_grams) — sparse long form, one row
+   * per contaminated (document, suite) pair; a document leaking into two
+   * suites appears twice, each with that suite's own exact count.
+   */
+  def contaminationMatrix(train: DataFrame, suites: Seq[(String, DataFrame)],
+                          textCol: String, idCol: String,
+                          n: Int = 3): DataFrame = {
+    require(suites.nonEmpty, "at least one eval suite")
+    require(suites.map(_._1).distinct.size == suites.size,
+      s"suite names must be unique: ${suites.map(_._1)}")
+    val tagged = suites.map { case (name, df) =>
+      ngramRows(df, textCol, idCol, "eval_id", n)
+        .select(lit(name).as("suite"), col("gram")).distinct()
+    }.reduce(_.unionByName(_))
+    ngramRows(train, textCol, idCol, "doc_id", n).distinct()
+      .join(broadcast(tagged), "gram")
+      .groupBy("doc_id", "suite")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** The serialized Bloom sketch of an eval set's distinct `n`-grams —
     * the broadcastable decontamination artifact (numBits/8 bytes of
     * driver state regardless of eval-set size); built by ONE scan +

@@ -167,6 +167,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination matrix: exact per-(doc, suite) counts from one gram explosion, suite isolation") {
+    val train = Seq(
+      (1L, "aa bb cc dd"), // "aa bb cc" hits s1; "bb cc dd" hits s2
+      (2L, "xx yy zz"),    // clean everywhere
+      (3L, "aa bb cc")     // hits s1 only
+    ).toDF("doc_id", "text")
+    val s1 = Seq((100L, "aa bb cc qq")).toDF("doc_id", "text")
+    val s2 = Seq((200L, "ww bb cc dd")).toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationMatrix(train,
+        Seq("s1" -> s1, "s2" -> s2), "text", "doc_id", n = 3)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "s1", 1L), (1L, "s2", 1L), (3L, "s1", 1L)),
+      s"got $got")
+    // duplicate suite names are a caller error, not silent double counting
+    intercept[IllegalArgumentException] {
+      TextAnalysis.contaminationMatrix(train, Seq("s" -> s1, "s" -> s2),
+        "text", "doc_id")
+    }
+    // single-suite matrix degenerates to contamination exactly
+    val single = TextAnalysis.contaminationMatrix(train, Seq("s1" -> s1),
+        "text", "doc_id", n = 3)
+      .select("doc_id", "n_shared_grams").as[(Long, Long)].collect().toSet
+    val ref = TextAnalysis.contamination(train, s1, "text", "doc_id", n = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(single === ref)
+  }
+
   test("span decontamination: eval grams cut from every occurrence, clean docs verbatim, islands merge") {
     val evalDocs = Seq((100L, "SECRET leak phrase plus more words")).toDF("doc_id", "text")
     val train = Seq(
