@@ -767,18 +767,34 @@ object Dedup {
                        shingleW: Int = 3, numHashes: Int = 32, bands: Int = 8,
                        jaccardThreshold: Double = 0.8,
                        maxBucketSize: Int = 10000,
-                       metricTag: String = "incremental"): DataFrame = {
+                       metricTag: String = "incremental"): DataFrame =
+    incrementalDedupIndexed(
+      buildBandIndex(corpus, textCol, idCol, shingleW, numHashes, bands,
+        maxBucketSize, metricTag),
+      corpus.select(col(idCol), col(textCol)),
+      batch, textCol, idCol, shingleW, numHashes, bands, jaccardThreshold)
+
+  /**
+   * The corpus's minhash band index as a PERSISTABLE frame — the artifact
+   * a production ingest loop computes once, writes as parquet, and joins
+   * every delta against ([[incrementalDedup]]'s "in production,
+   * persisted" made concrete). One narrow row per (band, band_key,
+   * corpus id), with over-cap band buckets already dropped (the
+   * [[minhashLsh]] recall/cost trade, surfaced via the
+   * `dedup_candidates_<tag>` metric at build time): a boilerplate bucket
+   * with millions of corpus members would otherwise explode every batch
+   * document that touches it — and dropping at BUILD time means the paid
+   * cost is paid once, not per ingest. Parquet-roundtrip-stable: the
+   * columns are (int, long, long), no floats, no arrays.
+   */
+  def buildBandIndex(corpus: DataFrame, textCol: String, idCol: String,
+                     shingleW: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                     maxBucketSize: Int = 10000,
+                     metricTag: String = "incremental"): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
-    val rows = numHashes / bands
-    def bandRows(df: DataFrame, outId: String) = df.select(
-        col(idCol).as(outId),
-        minhash_sig(col(textCol), lit(shingleW), lit(numHashes)).as("sig"))
-      .select(col(outId),
-        posexplode(bandKeys(col("sig"), bands, rows)).as(Seq("band", "band_key")))
-    // cap on the CORPUS side: a boilerplate band bucket with millions of
-    // corpus members would explode every batch doc that touches it
-    val corpusOk = bandRows(corpus, "id").groupBy("band", "band_key")
+    bandRows(corpus, textCol, idCol, "id", shingleW, numHashes, bands)
+      .groupBy("band", "band_key")
       .agg(collect_list(col("id")).as("ids"))
       .observe(s"dedup_candidates_$metricTag",
         sum(when(size(col("ids")) > maxBucketSize, 1L).otherwise(0L))
@@ -787,14 +803,28 @@ object Dedup {
           .otherwise(0L)).as("dropped_hot_bucket_rows"))
       .filter(size(col("ids")) <= maxBucketSize)
       .select(col("band"), col("band_key"), explode(col("ids")).as("dup_of"))
-    val cand = bandRows(batch, "id")
-      .join(corpusOk, Seq("band", "band_key"))
+  }
+
+  /** [[incrementalDedup]] against a PRE-BUILT [[buildBandIndex]] frame
+    * (freshly built or read back from parquet — identical results,
+    * spec-pinned) plus the corpus (id, text) side for exact verification.
+    * Ingest cost scales with the batch: the batch bands, the index join,
+    * and text fetches for colliding ids only. */
+  def incrementalDedupIndexed(index: DataFrame, corpusTexts: DataFrame,
+                              batch: DataFrame, textCol: String, idCol: String,
+                              shingleW: Int = 3, numHashes: Int = 32,
+                              bands: Int = 8,
+                              jaccardThreshold: Double = 0.8): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val cand = bandRows(batch, textCol, idCol, "id", shingleW, numHashes, bands)
+      .join(index, Seq("band", "band_key"))
       .select("id", "dup_of").distinct()
     val batchTexts = batch.select(col(idCol).as("id"), col(textCol).as("text_a"))
-    val corpusTexts = corpus.select(col(idCol).as("dup_of"), col(textCol).as("text_b"))
+    val corpusSide = corpusTexts.select(col(idCol).as("dup_of"), col(textCol).as("text_b"))
     val verified = cand
       .join(batchTexts, "id")
-      .join(corpusTexts, "dup_of")
+      .join(corpusSide, "dup_of")
       .withColumn("jaccard", ngram_jaccard(col("text_a"), col("text_b"), lit(shingleW)))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id"), col("dup_of"), col("jaccard"))
@@ -805,6 +835,18 @@ object Dedup {
       .select(col("id"), col("dup_of"), col("jaccard"),
         col("dup_of").isNull.as("is_new"))
   }
+
+  /** Narrow (outId, band, band_key) explosion shared by the index build
+    * and the batch probe — one definition, no banding drift. */
+  private def bandRows(df: DataFrame, textCol: String, idCol: String,
+                       outId: String, shingleW: Int, numHashes: Int,
+                       bands: Int): DataFrame =
+    df.select(
+        col(idCol).as(outId),
+        minhash_sig(col(textCol), lit(shingleW), lit(numHashes)).as("sig"))
+      .select(col(outId),
+        posexplode(bandKeys(col("sig"), bands, numHashes / bands))
+          .as(Seq("band", "band_key")))
 
   /** Engine-defined band fold (TextAlgos.lshBands) rather than Spark's
     * murmur3 `hash()`: bit-identical across engines, so the DuckDB oracle

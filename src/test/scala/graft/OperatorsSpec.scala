@@ -1869,6 +1869,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out === Set((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)), out.toString)
   }
 
+  test("band index: parquet roundtrip gives identical incremental verdicts; ingest never rebuilds") {
+    val docs = spark.read.parquet(s"${SparkTestBase.Sf0001}/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+    val direct = canon(Dedup.incrementalDedup(corpus, batch, "text", "doc_id",
+      jaccardThreshold = 0.5, metricTag = "idx_direct"))
+    assert(direct.exists(!_._4) && direct.exists(_._4),
+      "fixture must exercise both dup and novel batch docs")
+    val dir = java.nio.file.Files.createTempDirectory("graft_band_index").toString
+    try {
+      // build ONCE, persist, read back — the production ingest artifact
+      Dedup.buildBandIndex(corpus, "text", "doc_id", metricTag = "idx_build")
+        .write.parquet(s"$dir/index")
+      val persisted = spark.read.parquet(s"$dir/index")
+      val viaIndex = canon(Dedup.incrementalDedupIndexed(persisted,
+        corpus.select(col("doc_id"), col("text")), batch, "text", "doc_id",
+        jaccardThreshold = 0.5))
+      assert(viaIndex === direct,
+        "persisted-index admission diverged from the direct path")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("incremental dedup: batch near-dup resolves to min-id corpus match; novel doc is_new") {
     val batch = Seq(
       (10L, docText.replace("kappa", "rho")),   // near dup of corpus docs 1/2
