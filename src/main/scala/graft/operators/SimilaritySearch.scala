@@ -425,6 +425,75 @@ object SimilaritySearch {
       codedCorpus, queries, rerank, k, queryId, corpusId, corpusVec, queryVec)
   }
 
+  /**
+   * Per-dimension symmetric-absmax scales of the SQ8 quantizer:
+   * `scale_d = max_corpus |x_d| / 127`. A bounded collect — one double
+   * per DIMENSION, independent of corpus size (the same driver-state
+   * class as the PQ codebooks). Computed over non-NULL vectors; a
+   * constant-zero dimension scales to 0 and encodes to 0.
+   */
+  def sq8Scales(corpus: DataFrame, vecCol: String = "embedding"): Array[Double] =
+    corpus.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("d").agg(max(abs(col("x").cast("double"))).as("mx"))
+      .orderBy("d").collect().map(_.getDouble(1) / 127.0)
+
+  /** The SQ8 dequantized-vector expression: per dimension,
+    * `clamp(round(x_d / scale_d), ±127) * scale_d` — the value the stored
+    * int8 code reconstructs to. One codegen `transform`; all arithmetic
+    * deterministic IEEE (round is half-away-from-zero in both engines),
+    * so DuckDB replays every element. */
+  private def sq8Dequant(vec: Column, scales: Array[Double]): Column = {
+    val sl = array(scales.map(lit): _*)
+    transform(vec, (x, i) => {
+      val s = element_at(sl, i + 1)
+      when(s === 0.0, lit(0.0)).otherwise(
+        greatest(lit(-127.0), least(lit(127.0), round(x.cast("double") / s))) * s)
+    })
+  }
+
+  /**
+   * Scalar-quantized (SQ8 / int8) ANN — the OTHER production quantizer
+   * next to PQ: one int8 code per DIMENSION (4x memory cut on float32,
+   * no codebook training, near-lossless recall) where PQ spends one byte
+   * per SUBSPACE (32x cut, trained books). A production vector store
+   * typically serves SQ8 as the hot tier and IVF-PQ as the cold tier.
+   *
+   * Search = approximate pass on the dequantized vectors (cosine of the
+   * reconstructions — numerator and norms both from the quantized
+   * values, so quantization error is honestly in the ranking), exact
+   * cosine re-rank of the top `rerank` survivors via the shared
+   * [[adcRerank]] scaffold. Zero-norm / NULL vectors are excluded on
+   * both sides (the PQ exclusion contract).
+   *
+   * Scale shape: the scales collect is dim-bounded; the scan carries the
+   * dequantized arrays (in production the stored artifact is the int8
+   * codes — 1/4 the bytes; reconstruction is a scan-side multiply);
+   * queries broadcast; the only shuffles move pruned candidates, exactly
+   * the [[pqKnn]] plan.
+   */
+  def sq8Knn(corpus: DataFrame, queries: DataFrame, k: Int,
+             rerank: Int = 32,
+             corpusId: String = "vec_id", corpusVec: String = "embedding",
+             queryId: String = "query_id", queryVec: String = "query_vec",
+             scales0: Option[Array[Double]] = None): DataFrame = {
+    val scales = scales0.getOrElse(sq8Scales(corpus, corpusVec))
+    def enc(df: DataFrame, id: String, vec: String, deqName: String,
+            normName: String): DataFrame =
+      df.filter(col(vec).isNotNull)
+        .select(col(id), sq8Dequant(col(vec), scales).as(deqName))
+        .withColumn(normName,
+          sqrt(aggregate(col(deqName), lit(0.0), (acc, v) => acc + v * v)))
+        .filter(col(normName) > 0.0)
+    val c = enc(corpus, corpusId, corpusVec, "__deq", "__dn")
+    val q = enc(queries, queryId, queryVec, "__qdeq", "__qn")
+    val approx =
+      aggregate(zip_with(col("__deq"), col("__qdeq"), (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v) / (col("__dn") * col("__qn"))
+    adcRerank(c.crossJoin(broadcast(q)), corpus, queries, rerank, k,
+      queryId, corpusId, corpusVec, queryVec, adc = approx)
+  }
+
   def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
             m: Int = 8, ksub: Int = 16, rerank: Int = 32,
             corpusId: String = "vec_id", corpusVec: String = "embedding",

@@ -844,6 +844,34 @@ class OperatorsSpec extends AnyFunSuite {
     self.foreach { case (_, c) => assert(math.abs(c - 1.0) < 1e-9) }
   }
 
+  test("SQ8 kNN: near-lossless recall@5 vs brute, self-match first, scales dim-bounded") {
+    import graft.operators.SimilaritySearch
+    val emb = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
+    val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val dim = emb.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head().getInt(0)
+    val scales = SimilaritySearch.sq8Scales(emb)
+    assert(scales.length === dim && scales.forall(s => s >= 0 && !s.isNaN))
+    val sq8 = SimilaritySearch.sq8Knn(emb, queries, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val brute = SimilaritySearch.bruteForceKnn(emb, queries, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    val recall = (sq8 & brute).size.toDouble / brute.size
+    // int8 per-dim quantization + exact re-rank of 32 is near-lossless —
+    // far above the 0.9 the trained-codebook paths pin
+    assert(recall >= 0.95, s"SQ8 recall@5 $recall vs brute")
+    // every query (a corpus member) finds itself first at cosine ~1
+    val firsts = SimilaritySearch.sq8Knn(emb, queries, 5)
+      .filter(col("rn") === 1)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    firsts.foreach { case (q, v, c) =>
+      assert(v === q && math.abs(c - 1.0) < 1e-9, s"query $q self-match lost: ($v, $c)")
+    }
+  }
+
   test("multi-probe LSH kNN: recall@5 >= 0.9 vs brute force on the embeddings fixture") {
     val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
     val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
