@@ -860,6 +860,8 @@ object Multimodal {
     * (noise-like bit patterns). The 8x8 frames are grayscale, so the
     * per-mille luminance is exactly 1000·v and the whole hash is
     * closed-form in the id — the oracle replays it bit-for-bit. */
+  // (like [[synthetic]]: the udf is a test-data generator, not a
+  // query-path operator)
   def syntheticImageVariants(spark: SparkSession, n: Int): DataFrame = {
     import org.apache.spark.sql.functions.{udf => sparkUdf}
     require(n > 0 && n <= 1000, s"n ($n) must be in (0, 1000]")
@@ -878,6 +880,8 @@ object Multimodal {
     * (id, id + 1000) pair is an exact energy-fingerprint collision while
     * distinct ids stay far apart; the PCM samples are closed-form in the
     * id, so the oracle replays the whole hash. */
+  // (like [[synthetic]]: the udf is a test-data generator, not a
+  // query-path operator)
   def syntheticAudioVariants(spark: SparkSession, n: Int): DataFrame = {
     import org.apache.spark.sql.functions.{udf => sparkUdf}
     require(n > 0 && n <= 1000, s"n ($n) must be in (0, 1000]")
@@ -896,6 +900,8 @@ object Multimodal {
     * (media_id = id + 1000) — every (id, id + 1000) pair is an exact
     * temporal-fingerprint collision; uniform single-gray frames keep the
     * GIF palette roundtrip exact, so the hash is closed-form in the id. */
+  // (like [[synthetic]]: the udf is a test-data generator, not a
+  // query-path operator)
   def syntheticVideoVariants(spark: SparkSession, n: Int): DataFrame = {
     import org.apache.spark.sql.functions.{udf => sparkUdf}
     require(n > 0 && n <= 1000, s"n ($n) must be in (0, 1000]")
