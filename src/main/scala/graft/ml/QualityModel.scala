@@ -83,7 +83,15 @@ object QualityModel {
   /** Score with FROZEN weights: one codegen'd projection, logit
     * left-associated exactly as documented (the order the oracle
     * replays). `keepLogit` is the verdict threshold in logit space
-    * (0.0 = p >= 0.5). */
+    * (0.0 = p >= 0.5).
+    *
+    * Zero-token documents are REJECTED outright (`keep = false`), not left
+    * to the trained weights: with all feature weights <= 0 an empty doc
+    * scores logit = intercept and would sail through — the exact
+    * degenerate-input failure mode [[graft.operators.Curation]]'s
+    * zero-token verdict rule closes for the DSIR gate, mirrored here so
+    * the learned filter cannot admit content-free rows. The logit itself
+    * is still emitted (visible, auditable); only the verdict gates. */
   def score(df: DataFrame, textCol: String, idCol: String, w: QualityLr,
             keepLogit: Double = 0.0): DataFrame =
     featureFrame(df, textCol, idCol)
@@ -91,5 +99,6 @@ object QualityModel {
         lit(w.intercept) + lit(w.wTokens) * col("x_tokens") +
           lit(w.wAvgLen) * col("x_avg_len") + lit(w.wPunct) * col("x_punct") +
           lit(w.wStop) * col("x_stop"))
-      .withColumn("keep", col("logit") >= lit(keepLogit))
+      .withColumn("keep",
+        col("logit") >= lit(keepLogit) && col("x_tokens") > lit(0.0))
 }

@@ -207,7 +207,7 @@ object Multimodal {
             f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
             f.getSampleRate, false)
           val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
-          val bytes = pcm.readAllBytes()
+          val bytes = try pcm.readAllBytes() finally pcm.close()
           val channels = target.getChannels
           val frameBytes = channels * 2
           val nFrames = bytes.length / frameBytes
@@ -322,9 +322,12 @@ object Multimodal {
      * integer 299 r + 587 g + 114 b, cell state is (sum, count) in longs,
      * and the bit decision is the cross-multiplication
      * `cellSum * totalPixels > totalSum * cellCount` — no floats anywhere,
-     * so DuckDB replays the hash bit-for-bit. Above ~48 M pixels the
-     * cross-product could overflow a long; the comparison falls back to
-     * BigInt there (same result, still exact).
+     * so DuckDB replays the hash bit-for-bit. Both cross products are
+     * bounded by `total * nPix` (cellSum <= total, cellCount <= nPix), so
+     * the long fast path is taken exactly when that bound fits in a long —
+     * a per-image check, NOT a fixed pixel-count threshold (extreme aspect
+     * ratios can concentrate nPix/8 pixels in one cell, which a fixed
+     * threshold would miscount); otherwise BigInt, same result.
      */
     private[graft] def imageAHash64(payload: Array[Byte]): Option[Long] =
       try {
@@ -353,11 +356,13 @@ object Multimodal {
           }
           val total = sums.sum
           val nPix = w.toLong * h
+          // both cross products are <= total * nPix; check THAT bound
+          val longSafe = total == 0L || nPix <= Long.MaxValue / total
           var hash = 0L
           var i = 0
           while (i < grid * grid) {
             val above =
-              if (nPix < 48L * 1000 * 1000) sums(i) * nPix > total * counts(i)
+              if (longSafe) sums(i) * nPix > total * counts(i)
               else BigInt(sums(i)) * nPix > BigInt(total) * counts(i)
             if (above) hash |= (1L << i)
             i += 1
@@ -382,8 +387,10 @@ object Multimodal {
      * across ALL channels (no mono mixdown — a channel average would
      * divide and leave integer arithmetic), and the bit decision is the
      * cross-multiplication `winSum * totalSamples > totalSum * winCount`
-     * — replayable bit-for-bit in SQL. Above ~700k samples the cross
-     * product could overflow a long; BigInt fallback, same result.
+     * — replayable bit-for-bit in SQL. Both cross products are bounded by
+     * `total * nSamples`; the long fast path is taken exactly when that
+     * bound fits (per-clip check, not a fixed sample-count threshold),
+     * else BigInt — same result either way.
      */
     private[graft] def audioAHash64(payload: Array[Byte]): Option[Long] =
       try {
@@ -397,31 +404,35 @@ object Multimodal {
             f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
             f.getSampleRate, false)
           val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
-          val bytes = pcm.readAllBytes()
-          val nSamples = bytes.length / 2
-          if (nSamples == 0) None
-          else {
-            val sums = new Array[Long](64)
-            val counts = new Array[Long](64)
-            var i = 0
-            while (i < nSamples) {
-              val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toLong
-              val w = (i * 64L / nSamples).toInt
-              sums(w) += s * s; counts(w) += 1L
-              i += 1
+          try {
+            val bytes = pcm.readAllBytes()
+            val nSamples = bytes.length / 2
+            if (nSamples == 0) None
+            else {
+              val sums = new Array[Long](64)
+              val counts = new Array[Long](64)
+              var i = 0
+              while (i < nSamples) {
+                val s = ((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort.toLong
+                val w = (i * 64L / nSamples).toInt
+                sums(w) += s * s; counts(w) += 1L
+                i += 1
+              }
+              val total = sums.sum
+              // both cross products are <= total * nSamples; check THAT bound
+              val longSafe = total == 0L || nSamples <= Long.MaxValue / total
+              var hash = 0L
+              var w = 0
+              while (w < 64) {
+                val above =
+                  if (longSafe) sums(w) * nSamples > total * counts(w)
+                  else BigInt(sums(w)) * nSamples > BigInt(total) * counts(w)
+                if (above) hash |= (1L << w)
+                w += 1
+              }
+              Some(hash)
             }
-            val total = sums.sum
-            var hash = 0L
-            var w = 0
-            while (w < 64) {
-              val above =
-                if (nSamples < 700000) sums(w) * nSamples > total * counts(w)
-                else BigInt(sums(w)) * nSamples > BigInt(total) * counts(w)
-              if (above) hash |= (1L << w)
-              w += 1
-            }
-            Some(hash)
-          }
+          } finally pcm.close()
         } finally src.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -442,8 +453,10 @@ object Multimodal {
      * a still has no temporal profile ([[imageAHash64]] covers it).
      *
      * INTEGER-EXACT like its siblings: per-pixel per-mille luminance,
-     * (sum, pixelCount) window state, cross-multiplied bit decision,
-     * BigInt fallback above the long-overflow pixel count.
+     * (sum, pixelCount) window state, cross-multiplied bit decision; the
+     * long fast path is gated on the actual `total * nPix` bound (both
+     * cross products are below it — robust to varying frame sizes within
+     * a clip), BigInt otherwise, same result.
      */
     private[graft] def videoTHash64(payload: Array[Byte]): Option[Long] = {
       if (payload == null || payload.isEmpty || !looksLikeGif(payload)) return None
@@ -481,11 +494,13 @@ object Multimodal {
           }
           val total = sums.sum
           val nPix = counts.sum
+          // both cross products are <= total * nPix; check THAT bound
+          val longSafe = total == 0L || nPix <= Long.MaxValue / total
           var hash = 0L
           var w = 0
           while (w < 64) {
             val above =
-              if (nPix < 40L * 1000 * 1000) sums(w) * nPix > total * counts(w)
+              if (longSafe) sums(w) * nPix > total * counts(w)
               else BigInt(sums(w)) * nPix > BigInt(total) * counts(w)
             if (above) hash |= (1L << w)
             w += 1
@@ -537,9 +552,10 @@ object Multimodal {
    * pairs within `maxHamming` surface through [[Dedup.hammingNearDup64]] —
    * the SAME 16-bit-block bucketing, hot-bucket cap and salvage sub-key
    * machinery as text SimHash, so the pass is bucketed and never all-pairs
-   * no matter the corpus size. Undecodable payloads simply don't
-   * fingerprint (near-dup is defined over decodable images; the decode
-   * audit lives in [[extractFeatures]]' `decode_ok`).
+   * no matter the corpus size. Undecodable payloads — and NULL-id rows,
+   * which cannot name a pair — simply don't fingerprint (near-dup is
+   * defined over decodable images; the decode audit lives in
+   * [[extractFeatures]]' `decode_ok`).
    *
    * Output: (id_a, id_b, hamming) with id_a < id_b — re-encoded and
    * pixel-replicated variants collide at Hamming 0 (spec-pinned), crops
@@ -555,7 +571,8 @@ object Multimodal {
                    metricTag: String = "image_ahash"): DataFrame = {
     implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
       Encoders.product[(Long, Long)]
-    val hashed = media.select(col(idCol).cast("long"), col(payloadCol))
+    val hashed = media.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(payloadCol))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           MediaDecoder.imageAHash64(r.getAs[Array[Byte]](1)).map(h => (r.getLong(0), h))
@@ -576,7 +593,8 @@ object Multimodal {
                    metricTag: String = "audio_ahash"): DataFrame = {
     implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
       Encoders.product[(Long, Long)]
-    val hashed = media.select(col(idCol).cast("long"), col(payloadCol))
+    val hashed = media.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(payloadCol))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           MediaDecoder.audioAHash64(r.getAs[Array[Byte]](1)).map(h => (r.getLong(0), h))
@@ -597,7 +615,8 @@ object Multimodal {
                    metricTag: String = "video_thash"): DataFrame = {
     implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
       Encoders.product[(Long, Long)]
-    val hashed = media.select(col(idCol).cast("long"), col(payloadCol))
+    val hashed = media.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(payloadCol))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           MediaDecoder.videoTHash64(r.getAs[Array[Byte]](1)).map(h => (r.getLong(0), h))

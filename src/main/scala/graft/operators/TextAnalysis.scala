@@ -1102,10 +1102,14 @@ object TextAnalysis {
    * training order. The key is `md5(seed:rep:text)` — the
    * [[graft.sources.ShuffledExport]] convention with the repeat index
    * salted in — so the two copies of a twice-repeated document land at
-   * independent positions, the global order is a pure function of
+   * independent positions, the global KEY order is a pure function of
    * (seed, corpus) (re-running, re-sharding or re-NUMBERING the corpus
    * reproduces it; ids never enter a key), and DuckDB replays every key
-   * bit-for-bit.
+   * bit-for-bit. Two documents with identical text and the same rep carry
+   * identical keys; [[writeEpochStream]] breaks that tie with a secondary
+   * (id, rep) sort, so the materialized ROW order is deterministic for a
+   * fixed corpus (tie order follows ids — the one place renumbering can
+   * swap rows, and only between content-identical copies).
    *
    * Scale shape: the repeat explosion runs on the NARROW assignment
    * frame (id, stratum, n_tokens, rep) and text joins in ONCE,
@@ -1140,13 +1144,22 @@ object TextAnalysis {
     * order: a sampled range exchange on the content key plus
     * per-partition sorts — a TOTAL order across output files (every key
     * in part i precedes every key in part i+1) without funneling the
-    * stream through one task. */
+    * stream through one task.
+    *
+    * KEY-TIE determinism: two documents with identical text and the same
+    * rep produce identical md5 keys (the key is content-derived on
+    * purpose — ids never enter it, so renumbering the corpus reproduces
+    * the key sequence). Their RELATIVE order is fixed by a secondary
+    * (idCol, rep) sort WITHIN partitions — equal keys always land in the
+    * same range partition (RangePartitioner buckets on the key alone), so
+    * the whole output order is deterministic for a fixed corpus while the
+    * keys themselves stay id-renumber-invariant. */
   def writeEpochStream(df: DataFrame, textCol: String, idCol: String,
                        stratum: Column, alloc: DataFrame, outDir: String,
                        seed: Long = 0L, numFiles: Int = 32): Unit =
     epochStream(df, textCol, idCol, stratum, alloc, seed)
       .repartitionByRange(numFiles, col("shuffle_key"))
-      .sortWithinPartitions("shuffle_key")
+      .sortWithinPartitions(col("shuffle_key"), col(idCol), col("rep"))
       .write.mode("overwrite").parquet(outDir)
 
   /**

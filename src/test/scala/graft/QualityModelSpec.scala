@@ -83,7 +83,7 @@ class QualityModelSpec extends AnyFunSuite {
     }
   }
 
-  test("zero-token and null-text documents score finite logits and never crash") {
+  test("zero-token and null-text documents are rejected, score finite logits, never crash") {
     val docs = Seq((1L, "the cat sat on the mat with a hat"), (2L, ""),
       (3L, null.asInstanceOf[String]), (4L, "   "))
       .toDF("doc_id", "text")
@@ -91,12 +91,15 @@ class QualityModelSpec extends AnyFunSuite {
       .select("doc_id", "logit", "keep")
       .as[(Long, Option[Double], Option[Boolean])].collect()
       .map(r => r._1 -> r).toMap
-    // empty/whitespace docs: every feature is 0, logit = intercept
+    // empty/whitespace docs: every feature is 0, logit = intercept — but
+    // the verdict REJECTS them (explicit zero-token rule; with all feature
+    // weights <= 0 the intercept alone would otherwise admit empty docs)
     for (id <- Seq(2L, 4L)) {
       assert(got(id)._2.contains(Pinned.intercept), s"doc $id logit")
-      assert(got(id)._3.contains(true))
+      assert(got(id)._3.contains(false), s"doc $id must be rejected (zero tokens)")
     }
     assert(got(1L)._2.exists(l => !l.isNaN && !l.isInfinite))
+    assert(got(1L)._3.contains(true), "real doc above threshold stays kept")
     // NULL text: length(NULL) is NULL -> features NULL -> logit NULL,
     // visible rather than silently kept
     assert(got(3L)._2.isEmpty && got(3L)._3.isEmpty)
