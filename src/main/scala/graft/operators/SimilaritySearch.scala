@@ -494,6 +494,58 @@ object SimilaritySearch {
       queryId, corpusId, corpusVec, queryVec, adc = approx)
   }
 
+  /**
+   * IVF-pruned SQ8 ANN — FAISS's `IVF,SQ8` index family, the composition
+   * that removes [[sq8Knn]]'s one remaining full-corpus flat scan: the
+   * coarse quantizer assigns every corpus vector to its nearest-centroid
+   * cell (scan-local, the one-off index build), each query probes its
+   * `nprobe` nearest cells, and the SQ8 approximate pass (cosine of the
+   * int8 reconstructions) scores ONLY the surviving cells' rows. Exact
+   * cosine re-rank of the top `rerank` survivors via the shared
+   * [[adcRerank]] scaffold — the same top-k contract as every variant.
+   *
+   * Scale shape: the scales collect is dim-bounded and the centroid list
+   * driver-sized; cell assignment runs inside the corpus scan's codegen
+   * stage (no shuffle, no window); the cell equi-join against the
+   * broadcast probe side prunes the corpus to ~nprobe/nCentroids of its
+   * rows — no crossJoin anywhere in the plan (PqSpec pins it); the only
+   * shuffles move the rerank-bounded candidate set keyed by query. In
+   * production the persisted artifact is (cell, int8 codes) partitioned
+   * by cell — 1/4 the bytes of the raw vectors AND ~nprobe/nCentroids of
+   * the read per query.
+   *
+   * A corpus row lives in ONE cell and a query probes DISTINCT cells, so
+   * the equi-join yields each (query, corpus) pair at most once — no
+   * dedup needed before the ADC window (the [[ivfPqKnn]] argument).
+   */
+  def ivfSq8Knn(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int = 16, nprobe: Int = 4, rerank: Int = 32,
+                corpusId: String = "vec_id", corpusVec: String = "embedding",
+                queryId: String = "query_id", queryVec: String = "query_vec",
+                centroids: Option[Array[(Long, Array[Float])]] = None,
+                scales0: Option[Array[Double]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(corpus, nCentroids, corpusId, corpusVec))
+    val scales = scales0.getOrElse(sq8Scales(corpus, corpusVec))
+    def enc(df: DataFrame, id: String, vec: String, extra: Seq[Column],
+            deqName: String, normName: String): DataFrame =
+      df.filter(col(vec).isNotNull)
+        .select(col(id) +: extra :+ sq8Dequant(col(vec), scales).as(deqName): _*)
+        .withColumn(normName,
+          sqrt(aggregate(col(deqName), lit(0.0), (acc, v) => acc + v * v)))
+        .filter(col(normName) > 0.0)
+    // cell assignment by RAW vector (FAISS adds raw vectors to the coarse
+    // quantizer; quantization error belongs in the score, not the cell)
+    val c = enc(corpus, corpusId, corpusVec,
+      Seq(cellExpr(col(corpusVec), cents).as("cell")), "__deq", "__dn")
+    val q = enc(queries, queryId, queryVec,
+      Seq(probeExpr(col(queryVec), cents, nprobe).as("cell")), "__qdeq", "__qn")
+    val approx =
+      aggregate(zip_with(col("__deq"), col("__qdeq"), (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v) / (col("__dn") * col("__qn"))
+    adcRerank(c.join(broadcast(q), Seq("cell")), corpus, queries, rerank, k,
+      queryId, corpusId, corpusVec, queryVec, adc = approx)
+  }
+
   def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
             m: Int = 8, ksub: Int = 16, rerank: Int = 32,
             corpusId: String = "vec_id", corpusVec: String = "embedding",

@@ -872,6 +872,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-SQ8 kNN: recall floor vs brute; probing every cell recovers flat SQ8") {
+    import graft.operators.SimilaritySearch
+    val emb = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
+    val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(SimilaritySearch.bruteForceKnn(emb, queries, 5))
+    val ivfsq8 = pairs(SimilaritySearch.ivfSq8Knn(emb, queries, 5))
+    val recall = (brute & ivfsq8).size.toDouble / brute.size
+    info(f"IVF-SQ8 recall@5 (nprobe 4/16, rerank=32): $recall%.3f")
+    // the loss is ~all cell pruning (SQ8 scoring is near-lossless), so the
+    // floor sits at the coarse quantizer's recall on the adversarial
+    // random fixture — well above IVF-PQ's 0.30 composed floor
+    assert(recall >= 0.35, f"IVF-SQ8 recall@5 $recall%.3f below floor")
+    // nprobe = nCentroids disables the coarse prune: identical to flat SQ8
+    val allCells = pairs(SimilaritySearch.ivfSq8Knn(emb, queries, 5, nprobe = 16))
+    val flat = pairs(SimilaritySearch.sq8Knn(emb, queries, 5))
+    assert(allCells === flat, "probing every cell must reduce IVF-SQ8 to flat SQ8")
+  }
+
   test("multi-probe LSH kNN: recall@5 >= 0.9 vs brute force on the embeddings fixture") {
     val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
     val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)

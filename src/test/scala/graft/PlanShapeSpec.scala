@@ -269,6 +269,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assertNoVectorShuffle(df)
   }
 
+  test("IVF-SQ8: cell equi-join prunes — no full-corpus crossJoin remains") {
+    val df = SparkEntry.queries("ss_knn_ivfsq8")(spark, sf)
+    val p = plan(df)
+    // the flat SQ8 variant's corpus x queries BroadcastNestedLoopJoin is
+    // replaced by a hash equi-join on cell (queries broadcast); the
+    // approximate-pass rank limit still pushes below the exchange
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // cell assignment + dequantization are expressions in the corpus scan
+    // stage: no exchange below the cell join's streamed (corpus) side
+    val joins = preparedPlan(SparkEntry.queries("ss_knn_ivfsq8")(spark, sf)).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("cell")) => j
+    }
+    assert(joins.nonEmpty, p)
+    val exchangesBelow = joins.head.left.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchangesBelow.isEmpty,
+      s"corpus shuffled before the IVF-SQ8 cell join:\n${joins.head.left}")
+  }
+
   test("residual IVF-PQ keeps the same shuffle shape as the raw-vector variant") {
     val df = SparkEntry.queries("ss_knn_ivfpq_res")(spark, sf)
     val p = plan(df)
