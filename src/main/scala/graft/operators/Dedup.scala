@@ -907,6 +907,52 @@ object Dedup {
   }
 
   /**
+   * Recall evaluation of the [[hammingNearDup64]] block machinery — the
+   * Hamming-family counterpart of [[lshEval]]: exact all-pairs truth
+   * (every pair within `maxHamming`) vs the bucketed path, over the same
+   * pre-computed (id: long, sim: long) fingerprint frame the production
+   * operators consume ([[simhashNearDup]], the three
+   * [[Multimodal]] modalities). Quantifies the hot-bucket cap + salvage
+   * sub-key recall trade empirically instead of asserting it.
+   *
+   * At maxHamming <= 3 with UNCAPPED buckets the pigeonhole guarantee
+   * makes the bucketed path exhaustive (recall exactly 1.0 — spec-pinned);
+   * a binding `maxBucketSize` trades recall for cost, and this operator
+   * measures exactly how much was traded.
+   *
+   * Scale shape: truth is a genuine all-pairs comparison — O(n²) by
+   * definition, which is WHY the production path is bucketed. Run the
+   * eval on a bounded sample (the lshEval contract); fingerprints are 8
+   * bytes each, so a 100k-row sample is a broadcast-sized frame. Output:
+   * one row (n_exact, n_bucketed, n_caught, recall).
+   */
+  def hammingEval(hashed: DataFrame, maxHamming: Int = 3,
+                  maxBucketSize: Int = 10000,
+                  metricTag: String = "hamming_eval"): DataFrame = {
+    // both legs re-consume the fingerprint frame; checkpoint so the
+    // (possibly expensive) upstream hash computation runs once
+    val h = hashed.select(col("id"), col("sim")).localCheckpoint()
+    val bucketed = hammingNearDup64(h, maxHamming, maxBucketSize, metricTag)
+      .select("id_a", "id_b").localCheckpoint()
+    val exact = h.select(col("id").as("id_a"), col("sim").as("sim_a"))
+      .crossJoin(h.select(col("id").as("id_b"), col("sim").as("sim_b")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
+      .select("id_a", "id_b").localCheckpoint()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nBuck = bucketed.agg(count(lit(1)).as("n_bucketed"))
+    // caught = bucketed ∩ exact — equal to n_bucketed by construction
+    // (verification filters to true Hamming), kept as an honest join so a
+    // hypothetical id-ordering bug would surface as caught < bucketed
+    val nCaught = bucketed.join(exact, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_caught"))
+    nExact.crossJoin(nBuck).crossJoin(nCaught)
+      .withColumn("recall",
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(col("n_caught").cast("double") / col("n_exact")))
+  }
+
+  /**
    * Connected components over verified near-dup pairs: every document gets
    * the MINIMUM id reachable through the duplicate graph as its `cluster`
    * label — the step that turns pairwise matches into dedup groups (keep one

@@ -568,18 +568,42 @@ object Multimodal {
   def imageNearDup(media: DataFrame, payloadCol: String = "payload",
                    idCol: String = "media_id",
                    maxHamming: Int = 3, maxBucketSize: Int = 10000,
-                   metricTag: String = "image_ahash"): DataFrame = {
+                   metricTag: String = "image_ahash"): DataFrame =
+    Dedup.hammingNearDup64(imageHashes64(media, payloadCol, idCol),
+      maxHamming, maxBucketSize, metricTag)
+
+  /** The narrow (id, sim) 64-bit fingerprint frame shared by the three
+    * media near-dup operators and [[Dedup.hammingEval]]: per-partition
+    * decode + hash, NULL-id and undecodable rows dropped, payload bytes
+    * reduced to 16 bytes before any exchange. */
+  private def mediaHashes64(media: DataFrame, payloadCol: String,
+                            idCol: String,
+                            kernel: Array[Byte] => Option[Long]): DataFrame = {
     implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
       Encoders.product[(Long, Long)]
-    val hashed = media.filter(col(idCol).isNotNull)
+    media.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long"), col(payloadCol))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          MediaDecoder.imageAHash64(r.getAs[Array[Byte]](1)).map(h => (r.getLong(0), h))
+          kernel(r.getAs[Array[Byte]](1)).map(h => (r.getLong(0), h))
         }
       }.toDF("id", "sim")
-    Dedup.hammingNearDup64(hashed, maxHamming, maxBucketSize, metricTag)
   }
+
+  /** (id, sim) perceptual-aHash fingerprints — [[imageNearDup]]'s hash leg. */
+  def imageHashes64(media: DataFrame, payloadCol: String = "payload",
+                    idCol: String = "media_id"): DataFrame =
+    mediaHashes64(media, payloadCol, idCol, MediaDecoder.imageAHash64)
+
+  /** (id, sim) energy fingerprints — [[audioNearDup]]'s hash leg. */
+  def audioHashes64(media: DataFrame, payloadCol: String = "payload",
+                    idCol: String = "media_id"): DataFrame =
+    mediaHashes64(media, payloadCol, idCol, MediaDecoder.audioAHash64)
+
+  /** (id, sim) temporal fingerprints — [[videoNearDup]]'s hash leg. */
+  def videoHashes64(media: DataFrame, payloadCol: String = "payload",
+                    idCol: String = "media_id"): DataFrame =
+    mediaHashes64(media, payloadCol, idCol, MediaDecoder.videoTHash64)
 
   /** [[imageNearDup]]'s contract for AUDIO payloads: every decodable clip
     * gets its 64-bit [[MediaDecoder.audioAHash64]] energy fingerprint,
@@ -590,18 +614,9 @@ object Multimodal {
   def audioNearDup(media: DataFrame, payloadCol: String = "payload",
                    idCol: String = "media_id",
                    maxHamming: Int = 3, maxBucketSize: Int = 10000,
-                   metricTag: String = "audio_ahash"): DataFrame = {
-    implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
-      Encoders.product[(Long, Long)]
-    val hashed = media.filter(col(idCol).isNotNull)
-      .select(col(idCol).cast("long"), col(payloadCol))
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          MediaDecoder.audioAHash64(r.getAs[Array[Byte]](1)).map(h => (r.getLong(0), h))
-        }
-      }.toDF("id", "sim")
-    Dedup.hammingNearDup64(hashed, maxHamming, maxBucketSize, metricTag)
-  }
+                   metricTag: String = "audio_ahash"): DataFrame =
+    Dedup.hammingNearDup64(audioHashes64(media, payloadCol, idCol),
+      maxHamming, maxBucketSize, metricTag)
 
   /** [[imageNearDup]]'s contract for VIDEO payloads (multi-frame GIF, the
     * pure-JVM frame codec): 64-window temporal luminance fingerprints
@@ -612,18 +627,9 @@ object Multimodal {
   def videoNearDup(media: DataFrame, payloadCol: String = "payload",
                    idCol: String = "media_id",
                    maxHamming: Int = 3, maxBucketSize: Int = 10000,
-                   metricTag: String = "video_thash"): DataFrame = {
-    implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
-      Encoders.product[(Long, Long)]
-    val hashed = media.filter(col(idCol).isNotNull)
-      .select(col(idCol).cast("long"), col(payloadCol))
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          MediaDecoder.videoTHash64(r.getAs[Array[Byte]](1)).map(h => (r.getLong(0), h))
-        }
-      }.toDF("id", "sim")
-    Dedup.hammingNearDup64(hashed, maxHamming, maxBucketSize, metricTag)
-  }
+                   metricTag: String = "video_thash"): DataFrame =
+    Dedup.hammingNearDup64(videoHashes64(media, payloadCol, idCol),
+      maxHamming, maxBucketSize, metricTag)
 
   /** Size the partition COUNT by total payload bytes (~targetBytes each),
     * then range-partition on media_id — payloads move once. Note the

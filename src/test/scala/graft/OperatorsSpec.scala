@@ -1245,6 +1245,86 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall(p => p._3 <= 3 && p._1 < p._2))
   }
 
+  test("hamming eval: recall exactly 1.0 uncapped (pigeonhole); forced hot-bucket cap trades measured recall") {
+    import graft.operators.{Dedup, Multimodal}
+    // real modality fingerprints, uncapped: at maxHamming <= 3 any pair
+    // within tolerance shares a 16-bit block, so the bucketed path is
+    // exhaustive — recall is EXACTLY 1.0, not approximately
+    val hashed = Multimodal.imageHashes64(
+      Multimodal.syntheticImageVariants(spark, 30))
+    val ev = Dedup.hammingEval(hashed).collect().head
+    assert(ev.getAs[Long]("n_exact") >= 30L, "planted pairs missing from truth")
+    assert(ev.getAs[Long]("n_bucketed") === ev.getAs[Long]("n_exact"))
+    assert(ev.getAs[Long]("n_caught") === ev.getAs[Long]("n_exact"))
+    assert(ev.getAs[Double]("recall") === 1.0)
+    // forced cap: 50 identical fingerprints form a hot bucket in every
+    // block AND share the salvage sub-key, so the cap drops the whole
+    // group (C(50,2) = 1225 true pairs lost); a far-away 2-row cluster
+    // (Hamming 1, > 3 from the hot group) still buckets and survives —
+    // the eval reports exactly that trade
+    val synth = spark.range(50).select(col("id"), lit(0L).as("sim"))
+      .unionByName(Seq((100L, -1L), (101L, -2L)).toDF("id", "sim"))
+    val capped = Dedup.hammingEval(synth, maxBucketSize = 10,
+      metricTag = "eval_capped").collect().head
+    assert(capped.getAs[Long]("n_exact") === 1226L)
+    assert(capped.getAs[Long]("n_bucketed") === 1L)
+    assert(capped.getAs[Double]("recall") === 1.0 / 1226.0)
+    // and lifting the cap on the same frame restores recall 1.0
+    val uncapped = Dedup.hammingEval(synth, metricTag = "eval_uncapped")
+      .collect().head
+    assert(uncapped.getAs[Long]("n_bucketed") === 1226L)
+    assert(uncapped.getAs[Double]("recall") === 1.0)
+  }
+
+  test("media embed kNN bridge: variants carry bit-identical features and retrieve their source first") {
+    import graft.operators.{Multimodal, SimilaritySearch}
+    val media = Multimodal.syntheticVideoVariants(spark, 20)
+      .withColumn("modality", lit("video"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+    val feats = Multimodal.extractFeatures(media).toDF().localCheckpoint()
+    assert(feats.filter(!col("decode_ok")).count() === 0, "every clip decodes")
+    // the frame-doubled variant samples the same frames: features are
+    // BIT-identical, not merely close
+    val byId = feats.select("media_id", "features")
+      .as[(Long, Array[Float])].collect().toMap
+    for (id <- 0L until 20L)
+      assert(byId(id).toSeq === byId(id + 1000L).toSeq,
+        s"variant $id features drifted from source")
+    val corpus = feats.filter(col("media_id") < 1000)
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    val queries = feats.filter(col("media_id") >= 1000)
+      .select(col("media_id").as("query_id"), col("features").as("query_vec"))
+    val top1 = SimilaritySearch.bruteForceKnn(corpus, queries, 3)
+      .filter(col("rn") === 1)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(top1.length === 20)
+    top1.foreach { case (q, v, c) =>
+      assert(v === q - 1000L, s"variant $q retrieved $v, not its source")
+      assert(math.abs(c - 1.0) < 1e-12, s"identical vectors must score ~1, got $c")
+    }
+  }
+
+  test("media dedup composition: variants cluster with their source, exactly one kept per cluster") {
+    import graft.operators.{Dedup, Multimodal}
+    val media = Multimodal.syntheticAudioVariants(spark, 20)
+    val pairs = Multimodal.audioNearDup(media)
+    val labels = Dedup.clusters(media.select(col("media_id")), pairs, "media_id")
+      .select(col("id"), col("cluster"), (col("id") === col("cluster")).as("is_kept"))
+      .as[(Long, Long, Boolean)].collect()
+    assert(labels.length === 40)
+    val byId = labels.map(l => l._1 -> l).toMap
+    for (id <- 0L until 20L) {
+      assert(byId(id)._2 === id, s"source $id must label its own cluster (min id)")
+      assert(byId(id + 1000L)._2 === id, s"variant of $id clustered elsewhere")
+      assert(byId(id)._3 && !byId(id + 1000L)._3, s"keep verdicts wrong for $id")
+    }
+    // exactly one representative per cluster
+    val kept = labels.filter(_._3).map(_._2)
+    assert(kept.distinct.length === kept.length)
+    assert(labels.groupBy(_._2).forall { case (_, g) => g.count(_._3) === 1 })
+  }
+
   test("epoch stream: multiplicities equal n_repeats; keys are id-free, repeat-salted, totally ordered on disk") {
     val docs = spark.read.parquet(s"${SparkTestBase.Sf0001}/documents.parquet")
     def allocOf(df: org.apache.spark.sql.DataFrame) =
