@@ -44,6 +44,109 @@ import graft.operators.Dedup
  */
 object CorpusIngest {
 
+  /**
+   * One micro-batch of INDEXED dedup admission against a persisted,
+   * GROWING band index — the serving-loop unit behind
+   * [[ingestDedupIndexedStreaming]], public so the spec (and a driver
+   * embedding its own stream) can replay it deterministically.
+   *
+   * Layout: `indexDir` and `textsDir` are hive-partitioned by `batch_id`
+   * — the base corpus index ([[Dedup.buildBandIndex]] output) and its
+   * (id, text) side live under `batch_id=-1`; every admitted batch
+   * appends its own `batch_id=<id>` partition. Steps:
+   *
+   *  1. read index + texts FILTERED to `batch_id < batchId` — admission
+   *     sees the base corpus plus every PRIOR batch's admissions, never
+   *     its own (possibly half-written) partition, so a crash-replay of
+   *     batch k computes against the identical index state;
+   *  2. [[Dedup.incrementalDedupIndexed]] verdicts -> `outDir/batch_id=k`
+   *     (mode overwrite — the [[ingestDedupStreaming]] idempotence recipe);
+   *  3. the batch's ADMITTED (is_new) documents band into
+   *     `indexDir/batch_id=k` and their texts into `textsDir/batch_id=k`,
+   *     also overwrite — so the next batch dedups against them and a
+   *     replay rewrites byte-identical state.
+   *
+   * Within-batch duplicates are not each other's blockers (the
+   * [[ingestDedupStreaming]] convention — the periodic corpus-wide
+   * compaction owns those), and the append-time banding applies the
+   * hot-bucket cap only WITHIN the delta; the global cap is re-applied
+   * when compaction rebuilds the base index.
+   */
+  def admitBatchIndexed(spark: SparkSession, batch: DataFrame, batchId: Long,
+                        textCol: String, idCol: String,
+                        indexDir: String, textsDir: String, outDir: String,
+                        shingleW: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                        jaccardThreshold: Double = 0.8,
+                        maxBucketSize: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val index = spark.read.parquet(indexDir)
+      .filter(col("batch_id") < batchId).drop("batch_id")
+    val texts = spark.read.parquet(textsDir)
+      .filter(col("batch_id") < batchId).drop("batch_id")
+    val verdicts = Dedup.incrementalDedupIndexed(index, texts, batch,
+      textCol, idCol, shingleW, numHashes, bands, jaccardThreshold)
+      .localCheckpoint() // consumed twice (output + admitted-side writes)
+    verdicts.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    val admitted = batch.join(
+      verdicts.filter(col("is_new")).select(col("id").as(idCol)), idCol)
+    Dedup.buildBandIndex(admitted, textCol, idCol, shingleW, numHashes,
+      bands, maxBucketSize, metricTag = s"ingest_idx_$batchId")
+      .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+    admitted.select(col(idCol), col(textCol))
+      .write.mode("overwrite").parquet(s"$textsDir/batch_id=$batchId")
+    verdicts
+  }
+
+  /** Seed the [[admitBatchIndexed]] layout from a static corpus: band
+    * index and (id, text) side under `batch_id=-1`. Run once per base
+    * corpus (or per compaction). */
+  def seedIndex(corpus: DataFrame, textCol: String, idCol: String,
+                indexDir: String, textsDir: String,
+                shingleW: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                maxBucketSize: Int = 10000): Unit = {
+    import org.apache.spark.sql.functions.col
+    Dedup.buildBandIndex(corpus, textCol, idCol, shingleW, numHashes, bands,
+      maxBucketSize, metricTag = "ingest_idx_base")
+      .write.mode("overwrite").parquet(s"$indexDir/batch_id=-1")
+    corpus.select(col(idCol), col(textCol))
+      .write.mode("overwrite").parquet(s"$textsDir/batch_id=-1")
+  }
+
+  /**
+   * [[ingestDedupStreaming]] against the PERSISTED, GROWING band index:
+   * each micro-batch admits via [[admitBatchIndexed]], so later batches
+   * dedup against earlier batches' admissions as well as the base corpus
+   * — the production ingest loop made concrete (index build paid once at
+   * [[seedIndex]], per-batch cost scales with the delta). Restart-safe
+   * under the same-config requirement documented on
+   * [[ingestDedupStreaming]]: every per-batch write is an overwrite of
+   * its own `batch_id=` partition and every read is bounded to strictly
+   * earlier partitions, so a foreachBatch replay is byte-identical
+   * (spec-pinned in CorpusIngestSpec).
+   */
+  def ingestDedupIndexedStreaming(spark: SparkSession, sourceDir: String,
+                                  textCol: String, idCol: String,
+                                  indexDir: String, textsDir: String,
+                                  outDir: String, checkpointDir: String,
+                                  jaccardThreshold: Double = 0.8,
+                                  maxFilesPerTrigger: Int = 1,
+                                  schema: Option[StructType] = None): Unit = {
+    val srcSchema = schema.getOrElse(spark.read.parquet(sourceDir).schema)
+    val stream = spark.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatchIndexed(spark, batch, batchId, textCol, idCol,
+          indexDir, textsDir, outDir,
+          jaccardThreshold = jaccardThreshold): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def ingestDedupStreaming(spark: SparkSession, sourceDir: String,
                            corpus: DataFrame, textCol: String, idCol: String,
                            outDir: String, checkpointDir: String,

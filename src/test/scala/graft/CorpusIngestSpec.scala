@@ -60,4 +60,100 @@ class CorpusIngestSpec extends AnyFunSuite {
       rm(new java.io.File(base))
     }
   }
+
+  test("indexed streaming admission == sequential indexed batches; index grows; replay is byte-stable") {
+    // unique-token texts: only planted duplicates can cross the threshold
+    def doc(i: Long, extra: String = "") =
+      (i, s"doc $i token${i}a token${i}b token${i}c token${i}d token${i}e$extra")
+    val corpus = spark.createDataFrame((1L to 10L).map(i => doc(i)))
+      .toDF("doc_id", "text")
+    // file A: novel 100, corpus-dup 300 (== corpus doc 3)
+    // file B: near-dup 200 of 100 (one appended token, J = 0.8), novel 400
+    val fileA = spark.createDataFrame(Seq(
+      doc(100L), (300L, doc(3L)._2))).toDF("doc_id", "text")
+    val fileB = spark.createDataFrame(Seq(
+      (200L, doc(100L)._2 + " tailtok"), doc(400L))).toDF("doc_id", "text")
+
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_idx").toString
+    try {
+      fileA.coalesce(1).write.parquet(s"$base/src")
+      Thread.sleep(1100) // distinct mtimes pin file->batch order
+      fileB.coalesce(1).write.mode("append").parquet(s"$base/src")
+      CorpusIngest.seedIndex(corpus, "text", "doc_id",
+        s"$base/idx", s"$base/txt")
+      CorpusIngest.ingestDedupIndexedStreaming(spark, s"$base/src",
+        "text", "doc_id", s"$base/idx", s"$base/txt", s"$base/out",
+        s"$base/ckpt", jaccardThreshold = 0.5)
+
+      val out = spark.read.parquet(s"$base/out")
+      assert(out.select("batch_id").distinct().count() === 2,
+        "expected two micro-batches")
+      type V = (Long, Option[Long], Option[Double], Boolean)
+      implicit val vEnc: org.apache.spark.sql.Encoder[V] =
+        org.apache.spark.sql.Encoders.product[
+          (Long, Option[Long], Option[Double], Boolean)]
+      val got = out.select("id", "dup_of", "jaccard", "is_new")
+        .as[V].collect().toSet
+      val byId = got.map(v => v._1 -> v).toMap
+      // corpus dup rejected against the base index; novels admitted
+      assert(byId(300L)._2.contains(3L) && !byId(300L)._4)
+      assert(byId(100L)._4 && byId(400L)._4)
+      // CROSS-BATCH blocking — the growth this variant adds over the
+      // static-corpus loop: 200 near-dups batch-0-admitted 100, so it must
+      // be rejected with dup_of = 100 even though 100 is not in the corpus
+      assert(byId(200L)._2.contains(100L) && !byId(200L)._4,
+        s"batch-1 doc must dedup against batch-0 admission: ${byId(200L)}")
+
+      // sequential replication: same batches (derived from the output's
+      // batch_id partitions), manual incrementalDedupIndexed + appends
+      val incoming = fileA.unionByName(fileB)
+      val batchIds = out.select("batch_id").distinct()
+        .as[Long].collect().sorted
+      var idx = Dedup.buildBandIndex(corpus, "text", "doc_id",
+        metricTag = "seq_base")
+      var txt = corpus.select(col("doc_id"), col("text"))
+      val seq = scala.collection.mutable.Set.empty[V]
+      for (b <- batchIds) {
+        val ids = out.filter(col("batch_id") === b).select("id").as[Long].collect()
+        val batch = incoming.filter(col("doc_id").isin(ids: _*))
+        val v = Dedup.incrementalDedupIndexed(idx, txt, batch, "text", "doc_id",
+          jaccardThreshold = 0.5).localCheckpoint()
+        seq ++= v.as[V].collect()
+        val admitted = batch.join(
+          v.filter(col("is_new")).select(col("id").as("doc_id")), "doc_id")
+        idx = idx.unionByName(Dedup.buildBandIndex(admitted, "text", "doc_id",
+          metricTag = s"seq_$b"))
+        txt = txt.unionByName(admitted.select(col("doc_id"), col("text")))
+      }
+      assert(got === seq.toSet,
+        "stream admission diverged from sequential indexed batches")
+
+      // index grew by exactly the admitted docs' band partitions
+      val idxState = spark.read.parquet(s"$base/idx")
+        .select("band", "band_key", "dup_of", "batch_id")
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(idxState.exists(_._3 === 100L) && idxState.exists(_._3 === 400L))
+      assert(!idxState.exists(_._3 === 200L) && !idxState.exists(_._3 === 300L),
+        "rejected docs must not enter the index")
+
+      // worst-case at-least-once replay (fresh checkpoint, same config):
+      // every batch reads only strictly-earlier partitions and overwrites
+      // its own, so verdicts AND index state come back byte-stable
+      CorpusIngest.ingestDedupIndexedStreaming(spark, s"$base/src",
+        "text", "doc_id", s"$base/idx", s"$base/txt", s"$base/out",
+        s"$base/ckpt2", jaccardThreshold = 0.5)
+      val replayed = spark.read.parquet(s"$base/out")
+        .select("id", "dup_of", "jaccard", "is_new").as[V].collect().toSet
+      assert(replayed === got, "replay changed verdicts")
+      val idxReplayed = spark.read.parquet(s"$base/idx")
+        .select("band", "band_key", "dup_of", "batch_id")
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(idxReplayed === idxState, "replay changed index state")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
 }
