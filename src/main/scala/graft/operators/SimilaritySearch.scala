@@ -546,6 +546,64 @@ object SimilaritySearch {
       queryId, corpusId, corpusVec, queryVec, adc = approx)
   }
 
+  /** The SQ8 ENCODE expression: per dimension, the clamped rounded code
+    * `clamp(round(x_d / scale_d), ±127)` as a TINYINT — the int8 artifact
+    * a production store persists (1/4 the bytes of float32). A zero-scale
+    * (constant-zero) dimension encodes to 0. Exact round-trip contract:
+    * `code * scale_d` reproduces [[sq8Dequant]]'s double bit-for-bit
+    * (round yields an exact integral double; the byte cast and back are
+    * exact; the final multiply sees identical operands). */
+  private def sq8Encode(vec: Column, scales: Array[Double]): Column = {
+    val sl = array(scales.map(lit): _*)
+    transform(vec, (x, i) => {
+      val s = element_at(sl, i + 1)
+      when(s === 0.0, lit(0.0)).otherwise(
+        greatest(lit(-127.0), least(lit(127.0), round(x.cast("double") / s))))
+        .cast("tinyint")
+    })
+  }
+
+  /** The corpus side of the PERSISTED SQ8 index: `corpus` plus its
+    * `__sq8` int8-codes column — the [[pqEncodeCorpus]] contract for the
+    * scalar quantizer. This is the one-off index build: at 100 TB the
+    * (id, codes) projection is what gets persisted/cached and served
+    * from; raw vectors stay cold until re-rank. */
+  def sq8EncodeCorpus(corpus: DataFrame, scales: Array[Double],
+                      corpusVec: String = "embedding"): DataFrame =
+    corpus.withColumn("__sq8", sq8Encode(col(corpusVec), scales))
+
+  /** SQ8 search against a PRE-ENCODED corpus ([[sq8EncodeCorpus]]) — the
+    * serving-loop entry point, mirroring [[pqKnnEncoded]]: the corpus
+    * side reconstructs from the int8 CODES (`code * scale`, bit-identical
+    * to [[sq8Dequant]] of the raw vector — spec-pinned by frame equality
+    * with [[sq8Knn]]), so a query batch touches only the narrow codes
+    * projection until the exact re-rank. The [[graft.streaming
+    * .AnnServing]] recipe (build once, persist, foreachBatch) applies
+    * verbatim with this in place of the PQ pair. */
+  def sq8KnnCoded(codedCorpus: DataFrame, scales: Array[Double],
+                  queries: DataFrame, k: Int, rerank: Int = 32,
+                  corpusId: String = "vec_id", corpusVec: String = "embedding",
+                  queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val sl = array(scales.map(lit): _*)
+    val c = codedCorpus.filter(col("__sq8").isNotNull)
+      .select(col(corpusId),
+        transform(col("__sq8"), (cd, i) =>
+          cd.cast("double") * element_at(sl, i + 1)).as("__deq"))
+      .withColumn("__dn",
+        sqrt(aggregate(col("__deq"), lit(0.0), (acc, v) => acc + v * v)))
+      .filter(col("__dn") > 0.0)
+    val q = queries.filter(col(queryVec).isNotNull)
+      .select(col(queryId), sq8Dequant(col(queryVec), scales).as("__qdeq"))
+      .withColumn("__qn",
+        sqrt(aggregate(col("__qdeq"), lit(0.0), (acc, v) => acc + v * v)))
+      .filter(col("__qn") > 0.0)
+    val approx =
+      aggregate(zip_with(col("__deq"), col("__qdeq"), (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v) / (col("__dn") * col("__qn"))
+    adcRerank(c.crossJoin(broadcast(q)), codedCorpus, queries, rerank, k,
+      queryId, corpusId, corpusVec, queryVec, adc = approx)
+  }
+
   def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
             m: Int = 8, ksub: Int = 16, rerank: Int = 32,
             corpusId: String = "vec_id", corpusVec: String = "embedding",

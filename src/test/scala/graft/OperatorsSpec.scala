@@ -872,6 +872,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8 coded path: int8 codes round-trip bit-exactly — coded search == flat search") {
+    import graft.operators.SimilaritySearch
+    val emb = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
+    val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val scales = SimilaritySearch.sq8Scales(emb)
+    val coded = SimilaritySearch.sq8EncodeCorpus(emb, scales)
+    // the persisted artifact is genuinely int8: array<tinyint>, 1/4 the
+    // bytes of the float32 vectors
+    val codesType = coded.schema("__sq8").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(codesType === org.apache.spark.sql.types.ByteType)
+    // code * scale reconstructs the dequant double bit-for-bit, so the
+    // coded search returns the EXACT same frame as the flat one — full
+    // row equality including the unrounded cosine doubles
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "cosine", "rn")
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val flat = rows(SimilaritySearch.sq8Knn(emb, queries, 5))
+    val viaCodes = rows(SimilaritySearch.sq8KnnCoded(coded, scales, queries, 5))
+    assert(flat.nonEmpty && viaCodes === flat,
+      "coded reconstruction diverged from the raw-vector dequant")
+    // parquet roundtrip of the codes table serves identically (the
+    // persisted-index contract, not just the in-memory frame)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8_idx").toString
+    try {
+      coded.write.mode("overwrite").parquet(dir)
+      val served = rows(SimilaritySearch.sq8KnnCoded(
+        spark.read.parquet(dir), scales, queries, 5))
+      assert(served === flat, "parquet-roundtripped codes diverged")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("IVF-SQ8 kNN: recall floor vs brute; probing every cell recovers flat SQ8") {
     import graft.operators.SimilaritySearch
     val emb = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
