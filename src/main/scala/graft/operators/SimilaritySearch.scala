@@ -432,11 +432,20 @@ object SimilaritySearch {
    * class as the PQ codebooks). Computed over non-NULL vectors; a
    * constant-zero dimension scales to 0 and encodes to 0.
    */
-  def sq8Scales(corpus: DataFrame, vecCol: String = "embedding"): Array[Double] =
+  /** Index-build observability for the SQ8 family — the [[codebookBuilds]]
+    * contract: incremented once per [[sq8Scales]] collect, so a serving
+    * loop that accidentally re-derives its scales per micro-batch shows up
+    * as this counter advancing with the batch count (AnnServingSpec pins
+    * one per run). */
+  val scaleBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def sq8Scales(corpus: DataFrame, vecCol: String = "embedding"): Array[Double] = {
+    scaleBuilds.incrementAndGet()
     corpus.filter(col(vecCol).isNotNull)
       .select(posexplode(col(vecCol)).as(Seq("d", "x")))
       .groupBy("d").agg(max(abs(col("x").cast("double"))).as("mx"))
       .orderBy("d").collect().map(_.getDouble(1) / 127.0)
+  }
 
   /** The SQ8 dequantized-vector expression: per dimension,
     * `clamp(round(x_d / scale_d), ±127) * scale_d` — the value the stored

@@ -87,4 +87,42 @@ object AnnServing {
     } finally codedCorpus.unpersist()
     built
   }
+
+  /** [[annStreaming]]'s contract for the SQ8 hot tier: scales are derived
+    * ONCE per serving run (a dim-bounded collect — the index build), the
+    * int8-coded corpus ([[SimilaritySearch.sq8EncodeCorpus]]) is
+    * materialized before the stream starts, and every micro-batch runs
+    * only [[SimilaritySearch.sq8KnnCoded]] — the codes-dequant approximate
+    * pass plus the exact re-rank. Same output layout and idempotence
+    * recipe as the PQ loop. `scales0` lets a run reuse persisted scales
+    * (zero in-run builds); returns this run's scale-build tally, pinned
+    * at one (or zero) by AnnServingSpec via
+    * [[SimilaritySearch.scaleBuilds]]. */
+  def annStreamingSq8(spark: SparkSession, sourceDir: String,
+                      corpus: DataFrame, outDir: String,
+                      checkpointDir: String,
+                      k: Int = 5, maxFilesPerTrigger: Int = 1,
+                      rerank: Int = 32,
+                      scales0: Option[Array[Double]] = None): Long = {
+    val before = SimilaritySearch.scaleBuilds.get()
+    val scales = scales0.getOrElse(SimilaritySearch.sq8Scales(corpus))
+    val built = SimilaritySearch.scaleBuilds.get() - before
+    val codedCorpus = SimilaritySearch.sq8EncodeCorpus(corpus, scales).persist()
+    codedCorpus.count()
+    try {
+      val stream = spark.readStream.schema(QuerySchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(sourceDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          SimilaritySearch.sq8KnnCoded(codedCorpus, scales, batch, k, rerank)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally codedCorpus.unpersist()
+    built
+  }
 }

@@ -63,6 +63,41 @@ class AnnServingSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8 serving: one scale build per run, streamed union == batch sq8Knn") {
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
+    val queries = corpus.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val base = java.nio.file.Files.createTempDirectory("graft_sq8_serve").toString
+    try {
+      queries.repartition(3).write.parquet(s"$base/src")
+      val global0 = SimilaritySearch.scaleBuilds.get()
+      val tally = AnnServing.annStreamingSq8(spark, s"$base/src", corpus,
+        s"$base/out", s"$base/ckpt")
+      val streamed = spark.read.parquet(s"$base/out")
+      assert(streamed.select("batch_id").distinct().count() > 1,
+        "expected multiple micro-batches")
+      // the serving contract: scales derived once per run, never per batch
+      assert(tally === 1L, "SQ8 scales must be built exactly once per run")
+      assert(SimilaritySearch.scaleBuilds.get() - global0 === 1L,
+        "no scale collect may happen inside the micro-batch loop")
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 9), col("rn"))
+        .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+      val got = key(streamed)
+      val want = key(SimilaritySearch.sq8Knn(corpus, queries, 5))
+      assert(want.nonEmpty && got === want,
+        "micro-batch boundaries changed SQ8 neighbor sets")
+      // pre-derived scales: zero in-run builds, same answers
+      val scales = SimilaritySearch.sq8Scales(corpus)
+      val tally2 = AnnServing.annStreamingSq8(spark, s"$base/src", corpus,
+        s"$base/out2", s"$base/ckpt2", scales0 = Some(scales))
+      assert(tally2 === 0L, "persisted scales must mean zero in-run builds")
+      assert(key(spark.read.parquet(s"$base/out2")) === want)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("serving on PRE-TRAINED codebooks: zero in-run builds, union == batch") {
     val corpus = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
     val queries = corpus.filter(pmod(col("vec_id"), lit(50)) === 1)
