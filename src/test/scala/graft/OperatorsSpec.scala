@@ -1430,6 +1430,46 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch stream writer: content-identical key ties order deterministically by (id, rep)") {
+    // two docs with IDENTICAL text (and one distinct) in one stratum: the
+    // twins produce identical md5 shuffle keys at every rep, so without
+    // the secondary sort their on-disk order would be engine-nondeterministic
+    val docs = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta eta theta", "s"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "s"),
+      (9L, "iota kappa lambda mu nu xi omicron pi", "s"))
+      .toDF("doc_id", "text", "source")
+    def alloc = TextAnalysis.temperatureMix(docs, "text", col("source"),
+      budgetTokens = 100L)
+    def run(out: String): Seq[(String, Long, Long)] = {
+      TextAnalysis.writeEpochStream(docs, "text", "doc_id", col("source"),
+        alloc, out, seed = 5L, numFiles = 2)
+      val parts = new java.io.File(out).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      parts.toSeq.flatMap(p => spark.read.parquet(p.getAbsolutePath)
+        .select("shuffle_key", "doc_id", "rep")
+        .as[(String, Long, Long)].collect().toSeq)
+    }
+    val out1 = java.nio.file.Files.createTempDirectory("graft_epoch_tie1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft_epoch_tie2").toString
+    try {
+      val a = run(out1)
+      // the twins share every key; their relative order must follow doc_id
+      val twinKeys = a.groupBy(_._1).filter(_._2.size > 1)
+      assert(twinKeys.nonEmpty, "fixture must produce key ties")
+      twinKeys.values.foreach { g =>
+        assert(g.map(_._2) === g.map(_._2).sorted,
+          s"tie not ordered by doc_id: $g")
+      }
+      // and the whole materialized order reproduces run-to-run
+      assert(run(out2) === a, "writer order must be deterministic")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out2))
+    }
+  }
+
   test("q16 emits exact answers plus in-query sketch error-bound booleans") {
     // q16 is now hash-oracled: the output carries EXACT columns (distinct
     // count, discrete p50/p99 at rank ceil(q*n)) plus booleans asserting
