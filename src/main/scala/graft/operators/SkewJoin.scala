@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
  */
 object SkewJoin {
 
+  /** Deterministic row salt: xxhash64 over the row's own columns, folded
+    * into [0, buckets). A salt derived from `spark_partition_id() +
+    * monotonically_increasing_id()` (the r16 form) changes across task
+    * retries and input repartitions — semantically harmless here (the salt
+    * is internal and dropped), but off-contract for an engine that pins
+    * determinism everywhere else. Hashing the row CONTENT makes the salt a
+    * pure function of the data: retries, AQE re-plans, and layout changes
+    * all reproduce it. Duplicate rows share a bucket by construction —
+    * skew relief comes from distinct payloads, which is what a genuinely
+    * hot key carries. */
+  private def rowSalt(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(buckets.toLong)).cast("int")
+
   /** Inner/left salted equi-join of `big` (skewed) with `small` on
     * `bigKey === smallKey`. */
   def saltedJoin(big: DataFrame, small: DataFrame,
@@ -29,8 +42,7 @@ object SkewJoin {
     require(joinType == "inner" || joinType == "left",
       s"salted join preserves semantics for inner/left only, got $joinType")
     require(buckets > 0)
-    val saltedBig = big.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)).cast("int"))
+    val saltedBig = big.withColumn("__salt", rowSalt(big, buckets))
     val replicatedSmall = small.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))
     saltedBig.join(replicatedSmall,
@@ -47,8 +59,7 @@ object SkewJoin {
     * dominates — by inserting an intermediate reduction over (key, salt). */
   def saltedSum(df: DataFrame, key: String, valueCol: String,
                 buckets: Int): DataFrame = {
-    df.withColumn("__salt",
-        pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)).cast("int"))
+    df.withColumn("__salt", rowSalt(df, buckets))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__n"))
       .groupBy(col(key))

@@ -104,9 +104,15 @@ object AnnServing {
                       k: Int = 5, maxFilesPerTrigger: Int = 1,
                       rerank: Int = 32,
                       scales0: Option[Array[Double]] = None): Long = {
-    val before = SimilaritySearch.scaleBuilds.get()
-    val scales = scales0.getOrElse(SimilaritySearch.sq8Scales(corpus))
-    val built = SimilaritySearch.scaleBuilds.get() - before
+    // local tally, NOT a diff of the process-global scaleBuilds counter: a
+    // concurrent sq8Scales caller in the same JVM (parallel suites, a
+    // second stream) would inflate a counter delta and make the per-run
+    // metric unreliable; the global counter stays for cross-run checks
+    var built = 0L
+    val scales = scales0.getOrElse {
+      built += 1
+      SimilaritySearch.sq8Scales(corpus)
+    }
     val codedCorpus = SimilaritySearch.sq8EncodeCorpus(corpus, scales).persist()
     codedCorpus.count()
     try {

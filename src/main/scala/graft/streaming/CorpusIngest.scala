@@ -79,6 +79,24 @@ object CorpusIngest {
                         jaccardThreshold: Double = 0.8,
                         maxBucketSize: Int = 10000): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // STALE-PARTITION RESET (fresh-checkpoint hazard): the byte-stable
+    // replay contract holds only when a restart reproduces the prior
+    // run's file-to-batch grouping. A FRESH checkpoint (this is batch 0 —
+    // the stream will re-list and re-admit EVERY source file) over dirs
+    // that still hold a prior run's admitted partitions is the hazard
+    // case: under a changed grouping (more source files, different
+    // maxFilesPerTrigger) the prior run's batch_id= partitions would be
+    // read as "earlier admissions" by the batch_id < k filter and poison
+    // verdicts. Batch 0 therefore CLEARS every admitted (batch_id >= 0)
+    // partition first, resetting admission state to the seed
+    // (batch_id=-1) — a same-config replay recomputes byte-identical
+    // state (CorpusIngestSpec pins it), and a changed-config restart is
+    // now simply a new full run instead of a silently mixed history. A
+    // mid-run crash-replay of batch k > 0 never lands here and keeps the
+    // plain overwrite-own-partition idempotence.
+    if (batchId == 0L)
+      Seq(indexDir, textsDir, outDir)
+        .foreach(d => clearAdmittedPartitions(spark, d))
     val index = spark.read.parquet(indexDir)
       .filter(col("batch_id") < batchId).drop("batch_id")
     val texts = spark.read.parquet(textsDir)
@@ -95,6 +113,24 @@ object CorpusIngest {
     admitted.select(col(idCol), col(textCol))
       .write.mode("overwrite").parquet(s"$textsDir/batch_id=$batchId")
     verdicts
+  }
+
+  /** Delete every admitted (`batch_id >= 0`) hive partition under `dir` —
+    * the [[admitBatchIndexed]] fresh-checkpoint reset (the seed partition
+    * `batch_id=-1` is this run's inherited base and is kept). */
+  private[streaming] def clearAdmittedPartitions(spark: SparkSession,
+                                                 dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      fs.listStatus(path).toSeq
+        .filter(_.isDirectory)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("batch_id=") &&
+            scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption.exists(_ >= 0L)
+        }
+        .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Seed the [[admitBatchIndexed]] layout from a static corpus: band
@@ -118,11 +154,13 @@ object CorpusIngest {
    * dedup against earlier batches' admissions as well as the base corpus
    * — the production ingest loop made concrete (index build paid once at
    * [[seedIndex]], per-batch cost scales with the delta). Restart-safe
-   * under the same-config requirement documented on
-   * [[ingestDedupStreaming]]: every per-batch write is an overwrite of
-   * its own `batch_id=` partition and every read is bounded to strictly
-   * earlier partitions, so a foreachBatch replay is byte-identical
-   * (spec-pinned in CorpusIngestSpec).
+   * WITHOUT the same-config requirement [[ingestDedupStreaming]] carries:
+   * every per-batch write is an overwrite of its own `batch_id=`
+   * partition, every read is bounded to strictly earlier partitions, and
+   * batch 0 resets admitted state to the seed (the fresh-checkpoint
+   * stale-partition hazard — see [[admitBatchIndexed]]), so a foreachBatch
+   * replay is byte-identical and a changed-config fresh-checkpoint restart
+   * is a clean re-run (spec-pinned in CorpusIngestSpec).
    */
   def ingestDedupIndexedStreaming(spark: SparkSession, sourceDir: String,
                                   textCol: String, idCol: String,

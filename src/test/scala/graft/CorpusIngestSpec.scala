@@ -76,9 +76,24 @@ class CorpusIngestSpec extends AnyFunSuite {
 
     val base = java.nio.file.Files.createTempDirectory("graft_ingest_idx").toString
     try {
+      // pin file->batch order by EXPLICIT mtimes (no sleep: filesystems
+      // with coarse timestamp granularity could land both files in one
+      // micro-batch under a wall-clock gap); fileA's part is identified
+      // by listing BETWEEN the writes, not by comparing ambiguous mtimes
+      def partFiles() = new java.io.File(s"$base/src").listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .toSet
+      def pinMtime(fs: Set[java.io.File], ms: Long) = fs.foreach(f =>
+        java.nio.file.Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(ms)))
       fileA.coalesce(1).write.parquet(s"$base/src")
-      Thread.sleep(1100) // distinct mtimes pin file->batch order
+      val partsA = partFiles()
       fileB.coalesce(1).write.mode("append").parquet(s"$base/src")
+      val partsB = partFiles() -- partsA
+      assert(partsA.size === 1 && partsB.size === 1,
+        s"expected one part file per write, got ${partsA.size}/${partsB.size}")
+      pinMtime(partsA, 1700000000000L)
+      pinMtime(partsB, 1700000005000L)
       CorpusIngest.seedIndex(corpus, "text", "doc_id",
         s"$base/idx", s"$base/txt")
       CorpusIngest.ingestDedupIndexedStreaming(spark, s"$base/src",
@@ -138,10 +153,18 @@ class CorpusIngestSpec extends AnyFunSuite {
 
       // worst-case at-least-once replay (fresh checkpoint, same config):
       // every batch reads only strictly-earlier partitions and overwrites
-      // its own, so verdicts AND index state come back byte-stable
+      // its own, so verdicts AND index state come back byte-stable.
+      // A planted partition from a fictional longer prior run must be
+      // CLEARED by batch 0's stale-partition reset, not read as an
+      // earlier admission (the changed-config fresh-checkpoint hazard)
+      val planted = new java.io.File(s"$base/idx/batch_id=7")
+      planted.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(planted, "poison.txt").toPath, Array[Byte](1))
       CorpusIngest.ingestDedupIndexedStreaming(spark, s"$base/src",
         "text", "doc_id", s"$base/idx", s"$base/txt", s"$base/out",
         s"$base/ckpt2", jaccardThreshold = 0.5)
+      assert(!planted.exists(), "stale batch_id=7 partition must be cleared at batch 0")
       val replayed = spark.read.parquet(s"$base/out")
         .select("id", "dup_of", "jaccard", "is_new").as[V].collect().toSet
       assert(replayed === got, "replay changed verdicts")

@@ -46,6 +46,25 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("salt is deterministic: identical output rows under input repartition") {
+    // row-content salt (pmod(xxhash64(row), buckets)) is invariant to the
+    // physical layout: repartitioning the big side must reproduce the exact
+    // multiset of (k, v, label, __salt-era) output rows. The old
+    // partition-id+monotonic-id salt changed per layout (and per task
+    // retry); this pins the fix.
+    def run(b: org.apache.spark.sql.DataFrame) =
+      SkewJoin.saltedJoin(b, dim, "k", "dk", buckets = 8)
+        .select("k", "v", "label").as[(Long, Long, String)].collect().sorted.toSeq
+    val once = run(big)
+    assert(run(big.repartition(3)) === once)
+    assert(run(big.repartition(17, col("v"))) === once)
+    // and the salt itself spreads the hot key over >1 bucket (skew relief)
+    val saltSpread = big.withColumn("__salt",
+        pmod(xxhash64(col("k"), col("v")), lit(8L)).cast("int"))
+      .filter(col("k") === 0L).select("__salt").distinct().count()
+    assert(saltSpread > 1, "hot key must spread across salt buckets")
+  }
+
   test("hot-key report surfaces the skewed key") {
     val hot = SkewJoin.hotKeys(big, "k").select("k").as[Long].collect()
     assert(hot.toSeq === Seq(0L))
