@@ -98,6 +98,92 @@ class AnnServingSpec extends AnyFunSuite {
     }
   }
 
+  test("growing SQ8 index: stream over a growing corpus == sequential indexed batches; scales frozen at seed") {
+    import graft.streaming.VectorIngest
+    val emb = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
+    val tenth = pmod(col("vec_id"), lit(10))
+    val baseCorpus = emb.filter(tenth < 7)
+    val growA = emb.filter(tenth.isin(7, 8))
+    val growB = emb.filter(tenth === 9)
+    val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 9), col("rn"))
+      .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+
+    val base = java.nio.file.Files.createTempDirectory("graft_sq8_grow").toString
+    try {
+      // two growth-batch files, mtime-pinned so file->batch order is A, B
+      def parts() = new java.io.File(s"$base/src").listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .toSet
+      growA.coalesce(1).write.parquet(s"$base/src")
+      val pA = parts()
+      growB.coalesce(1).write.mode("append").parquet(s"$base/src")
+      (parts() -- pA).foreach(f => java.nio.file.Files.setLastModifiedTime(
+        f.toPath, java.nio.file.attribute.FileTime.fromMillis(1700000005000L)))
+      pA.foreach(f => java.nio.file.Files.setLastModifiedTime(
+        f.toPath, java.nio.file.attribute.FileTime.fromMillis(1700000000000L)))
+
+      val scales = VectorIngest.seedSq8(baseCorpus, s"$base/idx", s"$base/scales")
+      // frozen scales round-trip parquet exactly
+      assert(VectorIngest.readScales(spark, s"$base/scales").toSeq === scales.toSeq)
+
+      val global0 = SimilaritySearch.scaleBuilds.get()
+      VectorIngest.annStreamingSq8Grow(spark, s"$base/src", queries,
+        s"$base/idx", s"$base/scales", s"$base/out", s"$base/ckpt")
+      // serving NEVER re-derives scales — the index build stays at seed time
+      assert(SimilaritySearch.scaleBuilds.get() === global0,
+        "no scale collect may happen inside the growing-serve loop")
+
+      val out = spark.read.parquet(s"$base/out")
+      val batchIds = out.select("batch_id").distinct().as[Long].collect().sorted
+      assert(batchIds.toSeq === Seq(0L, 1L), "expected two micro-batches")
+      val gotAll = key(out) // materialize BEFORE the replay overwrites the dir
+
+      // growth parity: each streamed batch's results == sequential
+      // admitVectorBatch + knnIndexed in fresh dirs, batches derived from
+      // the persisted index partitions (not assumed from mtime order)
+      VectorIngest.seedSq8(baseCorpus, s"$base/sidx", s"$base/sscales")
+      for (b <- batchIds) {
+        val ids = spark.read.parquet(s"$base/idx")
+          .filter(col("batch_id") === b).select("vec_id").as[Long].collect()
+        val batch = emb.filter(col("vec_id").isin(ids: _*))
+        VectorIngest.admitVectorBatch(spark, batch, b, s"$base/sidx", s"$base/sscales")
+        val want = key(VectorIngest.knnIndexed(spark, s"$base/sidx",
+          s"$base/sscales", queries, 5, uptoBatch = b))
+        assert(key(out.filter(col("batch_id") === b)) === want,
+          s"stream batch $b diverged from sequential indexed admission")
+      }
+
+      // final disk state == one batch-mode sq8Knn over the FULL corpus
+      // with the seed-frozen scales (the code*scale == dequant identity)
+      val want = key(SimilaritySearch.sq8Knn(emb, queries, 5,
+        scales0 = Some(scales)))
+      assert(want.nonEmpty)
+      assert(key(VectorIngest.knnIndexed(spark, s"$base/idx", s"$base/scales",
+        queries, 5)) === want, "grown index diverged from batch sq8Knn")
+
+      // the growth matters: serving the seed alone answers differently
+      // (grown vectors win some top-5 slots), so the parity above is not
+      // vacuous
+      assert(key(VectorIngest.knnIndexed(spark, s"$base/idx", s"$base/scales",
+        queries, 5, uptoBatch = -1L)) !== want,
+        "growth batches changed no answer — fixture too weak")
+
+      // worst-case replay (fresh checkpoint): batch 0 clears admitted
+      // partitions and the run recomputes byte-stable results and index
+      VectorIngest.annStreamingSq8Grow(spark, s"$base/src", queries,
+        s"$base/idx", s"$base/scales", s"$base/out", s"$base/ckpt2")
+      assert(key(spark.read.parquet(s"$base/out")) === gotAll,
+        "fresh-checkpoint replay changed served results")
+      assert(key(VectorIngest.knnIndexed(spark, s"$base/idx", s"$base/scales",
+        queries, 5)) === want, "fresh-checkpoint replay changed index state")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("serving on PRE-TRAINED codebooks: zero in-run builds, union == batch") {
     val corpus = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
     val queries = corpus.filter(pmod(col("vec_id"), lit(50)) === 1)
