@@ -193,6 +193,47 @@ object MatchPipeline {
     fromPairs.unionByName(emptyRosterSentinels)
   }
 
+  /** Name-pile-up factor above which the EXACT broadcast-NLJ path beats
+    * candidate blocking: [[graft.pipeline.MatchBlocking]]'s cardinality
+    * analysis (its scaladoc "When blocking pays off") — when thousands of
+    * employees share each distinct name, most blocking keys collide, the
+    * candidate set approaches the full cross product, and the blocked
+    * path pays its key-explode shuffles on top. Measured on the pinned
+    * bench pair: the 64-name roster at sf0.1 (pile-up ~312) runs exact
+    * 2.2x cheaper than blocked, while the wide ~20k-name roster (pile-up
+    * ~1) runs blocked 2.5x cheaper than exact. 16 sits in the decade of
+    * slack between the two regimes (3.2 vs 31 on the narrow fixture's
+    * smallest/middle scales). */
+  val ExactWinsPileupFactor = 16.0
+
+  /** The [[auto]] decision, exposed for specs and for SQL replay: average
+    * employees per distinct (first, last) name — one driver aggregate
+    * over the roster, which is broadcast-small by the pipeline's own
+    * contract (the same assumption the exact path's broadcast makes). */
+  def pileupFactor(employees: DataFrame): Double = {
+    val r = employees.agg(
+      count(lit(1)).as("n"),
+      countDistinct(concat_ws(" ",
+        lower(col("first_name")), lower(col("last_name")))).as("d")).head()
+    r.getLong(0).toDouble / math.max(1L, r.getLong(1))
+  }
+
+  /** AUTO path selection: the exact broadcast-NLJ [[matchOutput]] when the
+    * roster's name pile-up says blocking keys would collide into a near
+    * cross product, [[MatchBlocking.matchOutput]] (the 100 TB candidate
+    * path) on high-cardinality rosters. Same output contract either way;
+    * the blocked branch is approximate by its documented nature (~94%
+    * pair recall on the reference workload), which is exactly why the
+    * choice is a DOCUMENTED stat threshold rather than a silent cost
+    * model: the crossover is pinned by MatchPipelineSpec on both bench
+    * fixtures and replayed by the nm_match_topk_auto oracle. */
+  def auto(usernames: DataFrame, employees: DataFrame,
+           topK: Int = TopK, threshold: Double = ScoreThreshold): DataFrame =
+    if (pileupFactor(employees) >= ExactWinsPileupFactor)
+      matchOutput(usernames, employees, topK, threshold)
+    else
+      MatchBlocking.matchOutput(usernames, employees, topK, threshold)
+
   /** CSV sink. With `separators = true`, reproduces the reference's blank
     * row between username groups (main.py:209-221) by unioning one all-empty
     * row per username, sort-keyed to land after its group — presentation

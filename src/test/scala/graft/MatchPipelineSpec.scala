@@ -178,4 +178,31 @@ class MatchPipelineSpec extends AnyFunSuite {
     assert(mm.getDouble(0) >= 0.0)
     assert(mm.getDouble(1) <= 100.0)
   }
+
+  test("auto path selection: pile-up crossover decision on both bench fixtures") {
+    // the 64-name synthetic roster crosses the >= 16 threshold between
+    // sf0.001 (200 rows / 62 names ~ 3.2 -> blocked) and sf0.01
+    // (2000 / 64 ~ 31 -> exact); the high-cardinality wide roster stays
+    // blocked at every scale (~1 employee per distinct name)
+    val narrow001 = SparkEntry.roster(spark, SparkTestBase.Sf0001)
+    val narrow01 = SparkEntry.roster(spark, SparkTestBase.Sf001)
+    val wide01 = SparkEntry.rosterWide(spark, SparkTestBase.Sf001)
+    assert(MatchPipeline.pileupFactor(narrow001) < MatchPipeline.ExactWinsPileupFactor)
+    assert(MatchPipeline.pileupFactor(narrow01) >= MatchPipeline.ExactWinsPileupFactor)
+    assert(MatchPipeline.pileupFactor(wide01) < MatchPipeline.ExactWinsPileupFactor)
+    // the reference's own roster is name-diverse -> blocked (the scale path)
+    assert(MatchPipeline.pileupFactor(employees) < MatchPipeline.ExactWinsPileupFactor)
+
+    // auto == whichever branch it picks, row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, String, String, String)].collect().sorted.toSeq
+    val u001 = SparkEntry.usernames(spark, SparkTestBase.Sf0001)
+    assert(rows(MatchPipeline.auto(u001, narrow001)) ===
+      rows(graft.pipeline.MatchBlocking.matchOutput(u001, narrow001)),
+      "below the crossover auto must BE the blocked path")
+    val u01 = SparkEntry.usernames(spark, SparkTestBase.Sf001)
+    assert(rows(MatchPipeline.auto(u01, narrow01)) ===
+      rows(MatchPipeline.matchOutput(u01, narrow01)),
+      "above the crossover auto must BE the exact path")
+  }
 }
