@@ -712,7 +712,8 @@ object Multimodal {
       * lossless re-encode and pixel replication both preserve
       * [[MediaDecoder.imageAHash64]] exactly (each 8x8 cell's sum and
       * count scale by the same factor). */
-    def pngVariant(id: Long, scale: Int, format: String): Array[Byte] = {
+    /** The id's [[noiseFrame]] pixel-replicated by `scale`. */
+    private def replicatedNoise(id: Long, scale: Int): BufferedImage = {
       val base = noiseFrame(id)
       val img = new BufferedImage(8 * scale, 8 * scale, BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -723,8 +724,38 @@ object Multimodal {
         }
         y += 1
       }
+      img
+    }
+
+    def pngVariant(id: Long, scale: Int, format: String): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, format, bos)
+      javax.imageio.ImageIO.write(replicatedNoise(id, scale), format, bos)
+      bos.toByteArray
+    }
+
+    /** The id's [[noiseFrame]] replicated to 64x64 (scale 8 — each JPEG
+      * 8x8 block is one CONSTANT noise cell) and encoded as JPEG at
+      * EXPLICIT quality 0.75. A flat block carries only its DC
+      * coefficient and the quality-75 luminance DC quantum divides the
+      * flat-block DC exactly, so this lossy encode round-trips
+      * PIXEL-EXACT (OperatorsSpec asserts it per id, guarding the claim
+      * against codec drift) — which makes the JPEG row's aHash equal the
+      * base PNG's closed form (replication invariance + exact decode),
+      * keeping the fixture's oracle replay pure SQL even with a lossy
+      * format in it. General lossy JPEGs are only Hamming-CLOSE, the
+      * contract the unit vectors pin separately. */
+    def jpegVariant(id: Long): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(0.75f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null,
+          new javax.imageio.IIOImage(replicatedNoise(id, 8), null, null), param)
+      } finally { writer.dispose(); ios.close() }
       bos.toByteArray
     }
 
@@ -879,12 +910,17 @@ object Multimodal {
 
   /** Synthetic image near-dup fixture: `n` (< 1000) noise-pattern base
     * PNGs (media_id = id) plus a losslessly BMP-re-encoded, 2x
-    * pixel-replicated variant of each (media_id = id + 1000) — every
-    * (id, id + 1000) pair is an exact perceptual collision by
-    * construction, while distinct bases land far apart in Hamming space
-    * (noise-like bit patterns). The 8x8 frames are grayscale, so the
-    * per-mille luminance is exactly 1000·v and the whole hash is
-    * closed-form in the id — the oracle replays it bit-for-bit. */
+    * pixel-replicated variant of each (media_id = id + 1000) AND a JPEG
+    * variant (media_id = id + 2000, [[SyntheticMedia.jpegVariant]]):
+    * 64x64 block-uniform re-encode at quality 0.75, whose flat-block
+    * round-trip is pixel-exact — so all three of (id, id+1000),
+    * (id, id+2000), (id+1000, id+2000) are exact perceptual collisions
+    * by construction (real image corpora are JPEG-dominated; the fixture
+    * now drives the ImageIO JPEG decode path, not just PNG/BMP), while
+    * distinct bases land far apart in Hamming space (noise-like bit
+    * patterns). The frames are grayscale, so the per-mille luminance is
+    * exactly 1000·v and the whole hash is closed-form in the id — the
+    * oracle replays it bit-for-bit, lossy format included. */
   // (like [[synthetic]]: the udf is a test-data generator, not a
   // query-path operator)
   def syntheticImageVariants(spark: SparkSession, n: Int): DataFrame = {
@@ -892,10 +928,12 @@ object Multimodal {
     require(n > 0 && n <= 1000, s"n ($n) must be in (0, 1000]")
     val gen = sparkUdf((id: Long) =>
       if (id < 1000) SyntheticMedia.pngNoise(id)
-      else SyntheticMedia.pngVariant(id - 1000, 2, "bmp"))
+      else if (id < 2000) SyntheticMedia.pngVariant(id - 1000, 2, "bmp")
+      else SyntheticMedia.jpegVariant(id - 2000))
     spark.range(n.toLong)
       .select(col("id"))
       .union(spark.range(n.toLong).select(col("id") + lit(1000L)))
+      .union(spark.range(n.toLong).select(col("id") + lit(2000L)))
       .select(col("id").as("media_id"), gen(col("id")).as("payload"))
   }
 

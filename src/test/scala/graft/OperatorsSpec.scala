@@ -1169,20 +1169,54 @@ class OperatorsSpec extends AnyFunSuite {
     val inv = render(24, 24, (x, y) => ~pat(x, y) & 0xFFFFFF)
     val hInv = MediaDecoder.imageAHash64(enc(inv, "png")).get
     assert(java.lang.Long.bitCount(h0.get ^ hInv) > 3, "inverted image within Hamming 3")
+    // GENERAL lossy JPEG (non-flat blocks, default writer settings): the
+    // decode is real and the wiggle flips at most a few near-threshold
+    // bits — same pixels collide with the PNG twin within the operator's
+    // Hamming tolerance, never exactly by contract
+    val hJpg = MediaDecoder.imageAHash64(enc(base, "jpg"))
+    assert(hJpg.nonEmpty, "JPEG payload must decode and hash")
+    assert(java.lang.Long.bitCount(h0.get ^ hJpg.get) <= 3,
+      "JPEG of the same pixels drifted past the near-dup tolerance")
     // corrupt / non-image payloads don't fingerprint
     assert(MediaDecoder.imageAHash64(Array[Byte](1, 2, 3)).isEmpty)
     assert(MediaDecoder.imageAHash64(enc(base, "png").take(20)).isEmpty)
+    assert(MediaDecoder.imageAHash64(enc(base, "jpg").take(20)).isEmpty,
+      "truncated JPEG must be excluded, not crash or fake a hash")
 
-    // operator: every planted (id, id+1000) variant pair surfaces at
-    // Hamming 0 through the block-bucketed path; nothing exceeds the cap
-    val pairs = graft.operators.Multimodal.imageNearDup(
-        graft.operators.Multimodal.syntheticImageVariants(spark, 30))
+    // operator: every planted pair — BMP twin (id+1000), JPEG twin
+    // (id+2000), and the twins with each other — surfaces at Hamming 0
+    // through the block-bucketed path; nothing exceeds the cap
+    val fixture = graft.operators.Multimodal.syntheticImageVariants(spark, 30)
+    val pairs = graft.operators.Multimodal.imageNearDup(fixture)
       .as[(Long, Long, Int)].collect()
     val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
-    for (id <- 0L until 30L)
+    for (id <- 0L until 30L) {
       assert(byPair.get((id, id + 1000L)).contains(0),
-        s"planted variant pair ($id, ${id + 1000}) missing or nonzero")
+        s"planted BMP variant pair ($id, ${id + 1000}) missing or nonzero")
+      assert(byPair.get((id, id + 2000L)).contains(0),
+        s"planted JPEG variant pair ($id, ${id + 2000}) missing or nonzero")
+      assert(byPair.get((id + 1000L, id + 2000L)).contains(0),
+        s"BMP/JPEG twin pair (${id + 1000}, ${id + 2000}) missing or nonzero")
+    }
     assert(pairs.forall(p => p._3 <= 3 && p._1 < p._2))
+
+    // the closed-form-oracle guard: the fixture's block-uniform
+    // quality-0.75 JPEG rows must round-trip PIXEL-EXACT against the base
+    // noise pattern (flat 8x8 blocks carry only an exactly-quantized DC),
+    // otherwise the id+2000 arm of the SQL hash replay would be a lie —
+    // this is the assertion that catches a JRE codec change
+    val payloads = fixture.as[(Long, Array[Byte])].collect().toMap
+    for (id <- 0L until 30L) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payloads(id + 2000L)))
+      assert(img.getWidth === 64 && img.getHeight === 64)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val b = id * 257L + ((y / 8) * 8 + (x / 8)) * 193L + 7L
+        val v = ((b * b) % 256).toInt
+        assert((img.getRGB(x, y) & 0xFFFFFF) === ((v << 16) | (v << 8) | v),
+          s"JPEG round-trip not pixel-exact at id=$id ($x,$y)")
+      }
+    }
   }
 
   test("audio near-dup: lossless re-encode and sample replication collide at Hamming 0, distinct clips don't") {
