@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // runs are forked, so sysprops must cross the fork: GRAFT_FIXTURES_DIR
+  // steers SparkEntry's graft.fixtures.dir (used by tools/scale_check.sh
+  // to point the match oracles at regenerated x-scale fixture slices)
+  sys.env.get("GRAFT_FIXTURES_DIR").map(d => s"-Dgraft.fixtures.dir=$d").toSeq

@@ -89,6 +89,29 @@ object BenchScaling {
     scaled.write.mode("overwrite").parquet(s"$outDir/part.parquet")
   }
 
+  /** Scaled lineitem table (the q16 sketch-workload driver): key-offset
+    * replicas of (l_orderkey, l_partkey, l_returnflag, l_extendedprice) —
+    * the columns the sketch workload reads. Offsetting l_partkey grows the
+    * per-flag distinct-part population with the corpus (the statistic q16's
+    * sketches estimate), so the approx-vs-exact error contract is measured
+    * against a genuinely larger domain at each scale, not a replicated one.
+    * Prices are left untouched: the percentile lattice stays comparable
+    * across scales while the row mass under it triples. */
+  def writeScaledLineitem(spark: SparkSession, baseDir: String,
+                          outDir: String, replicas: Int): Unit = {
+    val base = spark.read.parquet(s"$baseDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice")
+    val scaled =
+      if (replicas == 0) base.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+      else (0 until replicas).map { k =>
+        base.select(
+          (col("l_orderkey") + lit(k * Offset)).as("l_orderkey"),
+          (col("l_partkey") + lit(k * Offset)).as("l_partkey"),
+          col("l_returnflag"), col("l_extendedprice"))
+      }.reduce(_ unionByName _)
+    scaled.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+  }
+
   private def processCpuNs(): Long =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime

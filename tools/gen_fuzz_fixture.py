@@ -316,6 +316,16 @@ def java_pct(score: float) -> str:
 
 # ------------------------------------------------- synthetic sf workload
 
+def _part_src(sf_dir: str) -> str:
+    """read_parquet source for the scale dir's part table: the driver
+    testdata ships single files; ScaledCorpus (the beyond-bench-scale
+    replay) writes Spark-style directories — accept both, exactly like
+    tools/oracle_check.py does."""
+    import os
+    p = f"{sf_dir}/part.parquet"
+    return f"'{p}/**/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+
+
 def synth_workload(sf_dir: str):
     """Reproduce SparkEntry's deterministic synthetic match workload at
     `sf_dir`: roster = part (STAFF_ID=p_partkey, Full Name=p_name) through
@@ -323,7 +333,7 @@ def synth_workload(sf_dir: str):
     sample shaped by p_partkey mod 3 plus the two fixed no-match probes."""
     import duckdb
     rows = duckdb.connect().execute(
-        f"SELECT p_partkey, p_name FROM read_parquet('{sf_dir}/part.parquet') "
+        f"SELECT p_partkey, p_name FROM read_parquet({_part_src(sf_dir)}) "
         "ORDER BY p_partkey").fetchall()
     roster = []
     for pk, name in rows:
@@ -361,7 +371,7 @@ def synth_workload_wide(sf_dir: str):
     with the same mod-3 shapes + the two fixed no-match probes."""
     import duckdb
     rows = duckdb.connect().execute(
-        f"SELECT p_partkey, p_name FROM read_parquet('{sf_dir}/part.parquet') "
+        f"SELECT p_partkey, p_name FROM read_parquet({_part_src(sf_dir)}) "
         "ORDER BY p_partkey").fetchall()
 
     def wide(pk, name):
