@@ -928,6 +928,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(allCells === flat, "probing every cell must reduce IVF-SQ8 to flat SQ8")
   }
 
+  test("ss_recall_eval grade equals the set-based IVF-SQ8 recall, floor 0.35") {
+    import graft.operators.SimilaritySearch
+    val emb = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
+    val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(SimilaritySearch.bruteForceKnn(emb, queries, 5))
+    val ivfsq8 = pairs(SimilaritySearch.ivfSq8Knn(emb, queries, 5))
+    val graded = SparkEntry.queries("ss_recall_eval")(spark, SparkTestBase.Sf001)
+      .select("query_id", "n_hit", "recall")
+      .as[(Long, Long, Double)].collect()
+    assert(graded.map(_._1).toSet === brute.map(_._1))
+    graded.foreach { case (q, nHit, recall) =>
+      assert(nHit >= 0 && nHit <= 5, s"query $q n_hit $nHit out of [0,5]")
+      assert(recall === nHit / 5.0, s"query $q recall $recall != n_hit/5")
+      assert(nHit === (brute.filter(_._1 == q) & ivfsq8).size,
+        s"query $q grade disagrees with the set-based hit count")
+    }
+    val mean = graded.map(_._3).sum / graded.length
+    assert(mean >= 0.35, f"graded mean recall $mean%.3f below the IVF-SQ8 floor")
+  }
+
   test("multi-probe LSH kNN: recall@5 >= 0.9 vs brute force on the embeddings fixture") {
     val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
     val queries = corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
