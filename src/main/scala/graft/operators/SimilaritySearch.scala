@@ -589,6 +589,59 @@ object SimilaritySearch {
     * projection until the exact re-rank. The [[graft.streaming
     * .AnnServing]] recipe (build once, persist, foreachBatch) applies
     * verbatim with this in place of the PQ pair. */
+  /** The corpus side of the PERSISTED IVF,SQ8 index: [[sq8EncodeCorpus]]'s
+    * int8 codes PLUS the frozen coarse quantizer's cell id — the
+    * (cell, codes) artifact a production store hive-partitions by `cell`,
+    * so a probe touches ~nprobe/nCentroids of the FILES and the codes
+    * projection reads 1/4 of the BYTES. Cells are assigned from the RAW
+    * vector (the [[ivfSq8Knn]] contract: quantization error belongs in
+    * the score, not the cell). */
+  def ivfSq8EncodeCorpus(corpus: DataFrame, scales: Array[Double],
+                         centroids: Array[(Long, Array[Float])],
+                         corpusVec: String = "embedding"): DataFrame =
+    sq8EncodeCorpus(corpus, scales, corpusVec)
+      .withColumn("cell", cellExpr(col(corpusVec), centroids))
+
+  /** IVF,SQ8 search against a PRE-ENCODED, cell-assigned corpus
+    * ([[ivfSq8EncodeCorpus]]) — [[sq8KnnCoded]] with the coarse prune in
+    * front: the broadcast probe side equi-joins the PERSISTED cell column
+    * instead of re-deriving it, so a cell-partitioned store serves the
+    * approximate pass from ~nprobe/nCentroids of its partitions (the
+    * equi-join against a broadcast probe list is exactly the shape
+    * Spark's dynamic partition pruning accelerates on a hive `cell=`
+    * layout) — the flat coded variant's one remaining full-codes scan,
+    * removed. The `cell` cast tolerates the hive round-trip (partition
+    * columns read back as ints). */
+  def ivfSq8KnnCoded(codedCorpus: DataFrame, scales: Array[Double],
+                     centroids: Array[(Long, Array[Float])],
+                     queries: DataFrame, k: Int,
+                     nprobe: Int = 4, rerank: Int = 32,
+                     corpusId: String = "vec_id", corpusVec: String = "embedding",
+                     queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val sl = array(scales.map(lit): _*)
+    val c = codedCorpus.filter(col("__sq8").isNotNull)
+      .select(col(corpusId), col("cell").cast("long").as("cell"),
+        transform(col("__sq8"), (cd, i) =>
+          cd.cast("double") * element_at(sl, i + 1)).as("__deq"))
+      .withColumn("__dn",
+        sqrt(aggregate(col("__deq"), lit(0.0), (acc, v) => acc + v * v)))
+      .filter(col("__dn") > 0.0)
+    val q = queries.filter(col(queryVec).isNotNull)
+      .select(col(queryId),
+        probeExpr(col(queryVec), centroids, nprobe).as("__cell0"),
+        sq8Dequant(col(queryVec), scales).as("__qdeq"))
+      // a generator can't nest inside CAST — cast the exploded column
+      .withColumn("cell", col("__cell0").cast("long")).drop("__cell0")
+      .withColumn("__qn",
+        sqrt(aggregate(col("__qdeq"), lit(0.0), (acc, v) => acc + v * v)))
+      .filter(col("__qn") > 0.0)
+    val approx =
+      aggregate(zip_with(col("__deq"), col("__qdeq"), (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v) / (col("__dn") * col("__qn"))
+    adcRerank(c.join(broadcast(q), Seq("cell")), codedCorpus, queries, rerank, k,
+      queryId, corpusId, corpusVec, queryVec, adc = approx)
+  }
+
   def sq8KnnCoded(codedCorpus: DataFrame, scales: Array[Double],
                   queries: DataFrame, k: Int, rerank: Int = 32,
                   corpusId: String = "vec_id", corpusVec: String = "embedding",

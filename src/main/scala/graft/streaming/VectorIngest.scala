@@ -99,6 +99,113 @@ object VectorIngest {
       corpusId = idCol, corpusVec = vecCol)
   }
 
+  /** Seed the growing IVF,SQ8 index: the [[seedSq8]] recipe plus the
+    * coarse quantizer — deterministic prefix centroids derived from the
+    * SEED corpus and FROZEN alongside the scales (re-deriving centroids
+    * per batch would re-cell the whole corpus, the same asymmetry frozen
+    * scales avoid; FAISS likewise trains the coarse quantizer once and
+    * adds forever). The coded seed is written hive-partitioned by `cell`
+    * under `batch_id=-1`, the layout [[SimilaritySearch.ivfSq8KnnCoded]]'s
+    * probe join prunes. Returns (frozen scales, frozen centroids). */
+  def seedIvfSq8(corpus: DataFrame, indexDir: String, scalesDir: String,
+                 centroidsDir: String, nCentroids: Int = 16,
+                 idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Array[Double], Array[(Long, Array[Float])]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scales = SimilaritySearch.sq8Scales(corpus, vecCol)
+    scales.zipWithIndex.map { case (s, d) => (d, s) }.toSeq
+      .toDF("d", "s").coalesce(1)
+      .write.mode("overwrite").parquet(scalesDir)
+    val cents = SimilaritySearch.ivfCentroids(corpus, nCentroids, idCol, vecCol)
+    cents.toSeq.toDF("cid", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(centroidsDir)
+    SimilaritySearch.ivfSq8EncodeCorpus(corpus, scales, cents, vecCol)
+      .select(col(idCol), col(vecCol), col("__sq8"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/batch_id=-1")
+    (scales, cents)
+  }
+
+  /** The frozen coarse quantizer back from `centroidsDir` — float parquet
+    * round-trips exactly, so cell assignment before and after a restart
+    * agrees. */
+  def readCentroids(spark: SparkSession,
+                    centroidsDir: String): Array[(Long, Array[Float])] =
+    spark.read.parquet(centroidsDir).orderBy("cid")
+      .select("cid", "cvec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** [[admitVectorBatch]] for the IVF tier: encode with the frozen
+    * scales, assign cells with the frozen centroids, overwrite the
+    * batch's cell-partitioned directory — the same idempotent-replay and
+    * fresh-checkpoint contract. */
+  def admitVectorBatchIvf(spark: SparkSession, batch: DataFrame,
+                          batchId: Long, indexDir: String, scalesDir: String,
+                          centroidsDir: String,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Unit = {
+    if (batchId == 0L) CorpusIngest.clearAdmittedPartitions(spark, indexDir)
+    val scales = readScales(spark, scalesDir)
+    val cents = readCentroids(spark, centroidsDir)
+    SimilaritySearch.ivfSq8EncodeCorpus(batch, scales, cents, vecCol)
+      .select(col(idCol), col(vecCol), col("__sq8"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/batch_id=$batchId")
+  }
+
+  /** kNN against the grown IVF,SQ8 state up to `uptoBatch`: probe cells
+    * from the frozen quantizer, approximate pass over only the probed
+    * cells' codes, exact re-rank from the co-persisted raw vectors —
+    * [[knnIndexed]] minus its one remaining full-codes scan. */
+  def knnIndexedIvf(spark: SparkSession, indexDir: String, scalesDir: String,
+                    centroidsDir: String, queries: DataFrame, k: Int,
+                    nprobe: Int = 4, rerank: Int = 32,
+                    uptoBatch: Long = Long.MaxValue,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val scales = readScales(spark, scalesDir)
+    val cents = readCentroids(spark, centroidsDir)
+    val coded = spark.read.parquet(indexDir)
+      .filter(col("batch_id") <= uptoBatch).drop("batch_id")
+    SimilaritySearch.ivfSq8KnnCoded(coded, scales, cents, queries, k,
+      nprobe, rerank, corpusId = idCol, corpusVec = vecCol)
+  }
+
+  /** [[annStreamingSq8Grow]] on the IVF tier: admission assigns frozen
+    * cells, serving probes them — per-batch cost drops from a full
+    * codes-column scan of the corpus-so-far to ~nprobe/nCentroids of it.
+    * Same replay contract (every read bounded to partitions this batch
+    * (re)wrote deterministically or earlier ones); growth parity is
+    * pinned by AnnServingSpec. */
+  def annStreamingIvfSq8Grow(spark: SparkSession, sourceDir: String,
+                             queries: DataFrame, indexDir: String,
+                             scalesDir: String, centroidsDir: String,
+                             outDir: String, checkpointDir: String,
+                             k: Int = 5, nprobe: Int = 4, rerank: Int = 32,
+                             maxFilesPerTrigger: Int = 1,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             schema: Option[StructType] = None): Unit = {
+    val srcSchema = schema.getOrElse(spark.read.parquet(sourceDir).schema)
+    val stream = spark.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId == 0L) CorpusIngest.clearAdmittedPartitions(spark, outDir)
+        admitVectorBatchIvf(spark, batch, batchId, indexDir, scalesDir,
+          centroidsDir, idCol, vecCol)
+        knnIndexedIvf(spark, indexDir, scalesDir, centroidsDir, queries, k,
+          nprobe, rerank, uptoBatch = batchId, idCol = idCol, vecCol = vecCol)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /**
    * The serving loop over a GROWING corpus: a file-source stream of
    * corpus-vector batches is admitted against the frozen-scale index

@@ -184,6 +184,80 @@ class AnnServingSpec extends AnyFunSuite {
     }
   }
 
+  test("growing IVF,SQ8 index: stream == sequential; grown state == batch ivfSq8Knn on the frozen artifacts; cell-partitioned layout") {
+    import graft.streaming.VectorIngest
+    val emb = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
+    val tenth = pmod(col("vec_id"), lit(10))
+    val baseCorpus = emb.filter(tenth < 7)
+    val growA = emb.filter(tenth.isin(7, 8))
+    val growB = emb.filter(tenth === 9)
+    val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 9), col("rn"))
+      .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_grow").toString
+    try {
+      def parts() = new java.io.File(s"$base/src").listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .toSet
+      growA.coalesce(1).write.parquet(s"$base/src")
+      val pA = parts()
+      growB.coalesce(1).write.mode("append").parquet(s"$base/src")
+      (parts() -- pA).foreach(f => java.nio.file.Files.setLastModifiedTime(
+        f.toPath, java.nio.file.attribute.FileTime.fromMillis(1700000005000L)))
+      pA.foreach(f => java.nio.file.Files.setLastModifiedTime(
+        f.toPath, java.nio.file.attribute.FileTime.fromMillis(1700000000000L)))
+
+      val (scales, cents) = VectorIngest.seedIvfSq8(baseCorpus,
+        s"$base/idx", s"$base/scales", s"$base/cents")
+      // frozen artifacts round-trip parquet exactly (scales: doubles,
+      // centroids: floats + ids)
+      assert(VectorIngest.readScales(spark, s"$base/scales").toSeq === scales.toSeq)
+      val centsBack = VectorIngest.readCentroids(spark, s"$base/cents")
+      assert(centsBack.map(_._1).toSeq === cents.map(_._1).toSeq)
+      assert(centsBack.map(_._2.toSeq).toSeq === cents.map(_._2.toSeq).toSeq)
+      // the coarse quantizer derives from the SEED, not the full corpus
+      assert(cents.map(_._1).toSet ===
+        baseCorpus.orderBy("vec_id").limit(16).select("vec_id").as[Long].collect().toSet)
+
+      VectorIngest.annStreamingIvfSq8Grow(spark, s"$base/src", queries,
+        s"$base/idx", s"$base/scales", s"$base/cents", s"$base/out", s"$base/ckpt")
+      val out = spark.read.parquet(s"$base/out")
+      assert(out.select("batch_id").distinct().as[Long].collect().sorted.toSeq
+        === Seq(0L, 1L), "expected two micro-batches")
+
+      // grown state == one batch-mode ivfSq8Knn over the FULL corpus with
+      // the seed-frozen scales AND centroids (codes*scale == dequant;
+      // persisted cell == cellExpr of the raw vector)
+      val want = key(SimilaritySearch.ivfSq8Knn(emb, queries, 5,
+        centroids = Some(cents), scales0 = Some(scales)))
+      assert(want.nonEmpty)
+      assert(key(VectorIngest.knnIndexedIvf(spark, s"$base/idx",
+        s"$base/scales", s"$base/cents", queries, 5)) === want,
+        "grown IVF index diverged from batch ivfSq8Knn")
+      // the last streamed batch served the full grown state
+      assert(key(out.filter(col("batch_id") === 1L)) === want,
+        "final streamed serve diverged from the grown state")
+      // growth is not vacuous: the seed alone answers differently
+      assert(key(VectorIngest.knnIndexedIvf(spark, s"$base/idx",
+        s"$base/scales", s"$base/cents", queries, 5, uptoBatch = -1L)) !== want,
+        "growth batches changed no answer — fixture too weak")
+
+      // the disk layout is the servable artifact: every batch dir is
+      // hive-partitioned by cell, so a probe prunes to its cells' files
+      for (b <- Seq("-1", "0", "1")) {
+        val cellDirs = new java.io.File(s"$base/idx/batch_id=$b").listFiles()
+          .filter(_.isDirectory).map(_.getName)
+        assert(cellDirs.nonEmpty && cellDirs.forall(_.startsWith("cell=")),
+          s"batch $b is not cell-partitioned: ${cellDirs.mkString(",")}")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("serving on PRE-TRAINED codebooks: zero in-run builds, union == batch") {
     val corpus = spark.read.parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
     val queries = corpus.filter(pmod(col("vec_id"), lit(50)) === 1)
