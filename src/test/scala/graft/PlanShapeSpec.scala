@@ -292,6 +292,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus shuffled before the IVF-SQ8 cell join:\n${joins.head.left}")
   }
 
+  test("grown IVF-SQ8 serve keeps the cell equi-join shape over the persisted index") {
+    // the coded/grown path must not regress to the flat variant's
+    // corpus x queries nested loop: the PERSISTED cell column equi-joins
+    // the broadcast probe list, and the corpus side reads the parquet
+    // index without a shuffle below the join
+    val df = SparkEntry.queries("ss_knn_ivfsq8_grow")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val joins = preparedPlan(SparkEntry.queries("ss_knn_ivfsq8_grow")(spark, sf)).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("cell")) => j
+    }
+    assert(joins.nonEmpty, p)
+    val exchangesBelow = joins.head.left.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchangesBelow.isEmpty,
+      s"persisted index shuffled before the grown cell join:\n${joins.head.left}")
+  }
+
   test("residual IVF-PQ keeps the same shuffle shape as the raw-vector variant") {
     val df = SparkEntry.queries("ss_knn_ivfpq_res")(spark, sf)
     val p = plan(df)
