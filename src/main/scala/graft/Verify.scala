@@ -23,6 +23,15 @@ object Verify {
     // tools/oracle_check.py checks exactly what was dumped.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd name would silently vanish from BOTH the dump and
+    // oracle_sql.json, so the replay reports all-OK while checking fewer
+    // queries than intended — fail fast instead.
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_QUERIES names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     def selected(name: String) = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

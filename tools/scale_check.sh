@@ -6,14 +6,16 @@
 # DuckDB-compare. BENCH_SCALING.md's curves show the hot plans' CPU scales;
 # this shows their ANSWERS stay hash-identical above the bench scale.
 #
-# Usage: tools/scale_check.sh [replicas] [workRoot]
+# Usage: tools/scale_check.sh [replicas] [workRoot] [baseDir]
+# (baseDir also via SCALE_CHECK_BASE; default /root/testdata/sf0.1)
 # Results: $workRoot/oracle_x{replicas}.txt (one OK/FAIL line per query).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 REPLICAS="${1:-3}"
 ROOT="${2:-/tmp/graft_x$REPLICAS}"
-BASE=/root/testdata/sf0.1
+BASE="${3:-${SCALE_CHECK_BASE:-/root/testdata/sf0.1}}"
+[ -d "$BASE" ] || { echo "scale_check: base dir $BASE does not exist" >&2; exit 1; }
 CORPUS="$ROOT/corpus"
 FIXTURES="$ROOT/fixtures"
 DUMP="$ROOT/dump"
