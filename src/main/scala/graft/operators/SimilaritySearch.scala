@@ -17,6 +17,20 @@ import graft.functions._
  */
 object SimilaritySearch {
 
+  /** Shared defaults of the IVF/SQ8 index family — the ONE definition the
+    * method signatures below default to AND SparkEntry's DuckDB oracle SQL
+    * interpolates, so a changed default can never desynchronize query and
+    * oracle (r17 advisory: the SQL used to hardcode 16/4/32). */
+  val DefaultNlist = 16
+  val DefaultNprobe = 4
+  val DefaultRerank = 32
+
+  /** [[chooseNprobe]]'s default candidate ladder and recall target —
+    * shared with the ss_knn_ivfsq8_auto oracle SQL for the same
+    * cannot-drift reason as the index defaults above. */
+  val AutoNprobeCandidates: Seq[Int] = Seq(2, DefaultNprobe, 8)
+  val AutoTargetRecall = 0.9
+
   /** Adds an integer `bucket` column: sign bits of `planes` random
     * hyperplane projections (fused single-pass kernel — see
     * [[graft.functions.HyperplaneBucket]]; weights from
@@ -415,7 +429,7 @@ object SimilaritySearch {
     * ([[graft.streaming.AnnServing]]); [[pqKnn]] composes it with a fresh
     * index build for the one-shot batch case. */
   def pqKnnEncoded(codedCorpus: DataFrame, books: Array[Array[Array[Double]]],
-                   queries: DataFrame, k: Int, rerank: Int = 32,
+                   queries: DataFrame, k: Int, rerank: Int = DefaultRerank,
                    corpusId: String = "vec_id", corpusVec: String = "embedding",
                    queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     val q = queries.select(col(queryId),
@@ -482,7 +496,7 @@ object SimilaritySearch {
    * the [[pqKnn]] plan.
    */
   def sq8Knn(corpus: DataFrame, queries: DataFrame, k: Int,
-             rerank: Int = 32,
+             rerank: Int = DefaultRerank,
              corpusId: String = "vec_id", corpusVec: String = "embedding",
              queryId: String = "query_id", queryVec: String = "query_vec",
              scales0: Option[Array[Double]] = None): DataFrame = {
@@ -528,7 +542,7 @@ object SimilaritySearch {
    * dedup needed before the ADC window (the [[ivfPqKnn]] argument).
    */
   def ivfSq8Knn(corpus: DataFrame, queries: DataFrame, k: Int,
-                nCentroids: Int = 16, nprobe: Int = 4, rerank: Int = 32,
+                nCentroids: Int = DefaultNlist, nprobe: Int = DefaultNprobe, rerank: Int = DefaultRerank,
                 corpusId: String = "vec_id", corpusVec: String = "embedding",
                 queryId: String = "query_id", queryVec: String = "query_vec",
                 centroids: Option[Array[(Long, Array[Float])]] = None,
@@ -553,6 +567,84 @@ object SimilaritySearch {
         lit(0.0), (acc, v) => acc + v) / (col("__dn") * col("__qn"))
     adcRerank(c.join(broadcast(q), Seq("cell")), corpus, queries, rerank, k,
       queryId, corpusId, corpusVec, queryVec, adc = approx)
+  }
+
+  /**
+   * Recall-targeted nprobe selection — the `nm_match_topk_auto` pattern
+   * applied to ANN serving: a DOCUMENTED, MEASURED statistic picks the
+   * configuration, not a guess. For each candidate nprobe (ascending),
+   * the IVF,SQ8 index's top-k on a HELD-OUT tuning-query slice is graded
+   * against the exact brute-force top-k (the ss_recall_eval measurement
+   * reduced to one ratio: |approx ∩ exact| / |exact|), and the FIRST
+   * candidate whose recall reaches `targetRecall` wins — the narrowest
+   * probe width that is measurably good enough. When none reaches the
+   * target the LAST candidate is the documented fallback (the grade then
+   * says nlist/rerank need work, not nprobe). Returns (chosen nprobe,
+   * recall per candidate — the audit trail).
+   *
+   * Scale shape: the tuning slice bounds everything — the exact leg is
+   * one [[bruteForceKnn]] of |tuning| broadcast queries, each candidate
+   * leg probes nprobe/nlist of the corpus, and the pair sets collected
+   * to the driver are ≤ k·|tuning| rows each. The decision is a pure
+   * function of the corpus (prefix centroids + absmax scales), so the
+   * whole chooser replays in DuckDB (ss_knn_ivfsq8_auto's oracle).
+   */
+  def chooseNprobe(corpus: DataFrame, tuningQueries: DataFrame, k: Int,
+                   candidates: Seq[Int] = AutoNprobeCandidates,
+                   targetRecall: Double = AutoTargetRecall,
+                   nCentroids: Int = DefaultNlist,
+                   rerank: Int = DefaultRerank,
+                   corpusId: String = "vec_id", corpusVec: String = "embedding",
+                   queryId: String = "query_id", queryVec: String = "query_vec",
+                   centroids: Option[Array[(Long, Array[Float])]] = None,
+                   scales0: Option[Array[Double]] = None): (Int, Seq[(Int, Double)]) = {
+    require(candidates.nonEmpty && candidates == candidates.sorted,
+      s"nprobe candidates must be ascending and non-empty, got $candidates")
+    val cents = centroids.getOrElse(ivfCentroids(corpus, nCentroids, corpusId, corpusVec))
+    val scales = scales0.getOrElse(sq8Scales(corpus, corpusVec))
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col(queryId), col(corpusId)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(bruteForceKnn(corpus, tuningQueries, k,
+      corpusId, corpusVec, queryId, queryVec))
+    val graded = candidates.map { np =>
+      val approx = pairs(ivfSq8Knn(corpus, tuningQueries, k, nCentroids, np,
+        rerank, corpusId, corpusVec, queryId, queryVec,
+        centroids = Some(cents), scales0 = Some(scales)))
+      // the ss_recall_eval ratio: hit pairs over exact pairs (a query with
+      // zero exact rows contributes nothing to either count)
+      np -> (if (exact.isEmpty) 1.0
+             else exact.count(approx.contains).toDouble / exact.size)
+    }
+    val chosen = graded.collectFirst {
+      case (np, r) if r >= targetRecall => np
+    }.getOrElse(candidates.last)
+    (chosen, graded)
+  }
+
+  /** IVF,SQ8 search with [[chooseNprobe]]'s recall-targeted probe width:
+    * grade on the tuning slice, serve the real queries at the chosen
+    * nprobe — one index build (centroids + scales derived once, shared by
+    * the grading legs and the serve). The auto pattern's contract: the
+    * decision statistic is measured, documented, and replayable
+    * (ss_knn_ivfsq8_auto hash-matches a DuckDB replay of grade + choice +
+    * serve); AnnAutoSpec pins both decision branches. */
+  def ivfSq8KnnAuto(corpus: DataFrame, queries: DataFrame,
+                    tuningQueries: DataFrame, k: Int,
+                    candidates: Seq[Int] = AutoNprobeCandidates,
+                    targetRecall: Double = AutoTargetRecall,
+                    nCentroids: Int = DefaultNlist,
+                    rerank: Int = DefaultRerank,
+                    corpusId: String = "vec_id", corpusVec: String = "embedding",
+                    queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val cents = ivfCentroids(corpus, nCentroids, corpusId, corpusVec)
+    val scales = sq8Scales(corpus, corpusVec)
+    val (np, _) = chooseNprobe(corpus, tuningQueries, k, candidates,
+      targetRecall, nCentroids, rerank, corpusId, corpusVec, queryId, queryVec,
+      centroids = Some(cents), scales0 = Some(scales))
+    ivfSq8Knn(corpus, queries, k, nCentroids, np, rerank,
+      corpusId, corpusVec, queryId, queryVec,
+      centroids = Some(cents), scales0 = Some(scales))
   }
 
   /** The SQ8 ENCODE expression: per dimension, the clamped rounded code
@@ -615,7 +707,7 @@ object SimilaritySearch {
   def ivfSq8KnnCoded(codedCorpus: DataFrame, scales: Array[Double],
                      centroids: Array[(Long, Array[Float])],
                      queries: DataFrame, k: Int,
-                     nprobe: Int = 4, rerank: Int = 32,
+                     nprobe: Int = DefaultNprobe, rerank: Int = DefaultRerank,
                      corpusId: String = "vec_id", corpusVec: String = "embedding",
                      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     val sl = array(scales.map(lit): _*)
@@ -643,7 +735,7 @@ object SimilaritySearch {
   }
 
   def sq8KnnCoded(codedCorpus: DataFrame, scales: Array[Double],
-                  queries: DataFrame, k: Int, rerank: Int = 32,
+                  queries: DataFrame, k: Int, rerank: Int = DefaultRerank,
                   corpusId: String = "vec_id", corpusVec: String = "embedding",
                   queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     val sl = array(scales.map(lit): _*)
@@ -667,7 +759,7 @@ object SimilaritySearch {
   }
 
   def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-            m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+            m: Int = 8, ksub: Int = 16, rerank: Int = DefaultRerank,
             corpusId: String = "vec_id", corpusVec: String = "embedding",
             queryId: String = "query_id", queryVec: String = "query_vec",
             books: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
@@ -691,8 +783,8 @@ object SimilaritySearch {
    * [[pqKnn]].
    */
   def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-               nCentroids: Int = 16, nprobe: Int = 4,
-               m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+               nCentroids: Int = DefaultNlist, nprobe: Int = DefaultNprobe,
+               m: Int = 8, ksub: Int = 16, rerank: Int = DefaultRerank,
                corpusId: String = "vec_id", corpusVec: String = "embedding",
                queryId: String = "query_id", queryVec: String = "query_vec",
                centroids: Option[Array[(Long, Array[Float])]] = None,
@@ -819,8 +911,8 @@ object SimilaritySearch {
    * re-rank of the top `rerank` survivors via broadcast joins.
    */
   def ivfPqKnnResidual(corpus: DataFrame, queries: DataFrame, k: Int,
-                       nCentroids: Int = 16, nprobe: Int = 4,
-                       m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+                       nCentroids: Int = DefaultNlist, nprobe: Int = DefaultNprobe,
+                       m: Int = 8, ksub: Int = 16, rerank: Int = DefaultRerank,
                        corpusId: String = "vec_id", corpusVec: String = "embedding",
                        queryId: String = "query_id", queryVec: String = "query_vec",
                        centroids: Option[Array[(Long, Array[Float])]] = None,
@@ -857,7 +949,7 @@ object SimilaritySearch {
    * adversarial case), alongside [[lshKnn]]'s multi-probe numbers.
    */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             nCentroids: Int = 16, nprobe: Int = 4,
+             nCentroids: Int = DefaultNlist, nprobe: Int = DefaultNprobe,
              corpusId: String = "vec_id", corpusVec: String = "embedding",
              queryId: String = "query_id", queryVec: String = "query_vec",
              centroids: Option[Array[(Long, Array[Float])]] = None): DataFrame = {

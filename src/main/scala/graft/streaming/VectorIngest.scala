@@ -1,11 +1,12 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.SimilaritySearch
+import graft.sources.Compaction
 
 /**
  * Incremental vector admission against a persisted, GROWING SQ8 index —
@@ -75,12 +76,194 @@ object VectorIngest {
   def admitVectorBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                        indexDir: String, scalesDir: String,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit = {
+                       vecCol: String = "embedding",
+                       scales0: Option[Array[Double]] = None): Unit = {
     if (batchId == 0L) CorpusIngest.clearAdmittedPartitions(spark, indexDir)
-    val scales = readScales(spark, scalesDir)
+    val scales = scales0.getOrElse(readScales(spark, scalesDir))
     SimilaritySearch.sq8EncodeCorpus(batch, scales, vecCol)
       .select(col(idCol), col(vecCol), col("__sq8"))
       .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+  }
+
+  /** Retract vectors from the growing index WITHOUT rewriting its
+    * immutable batch partitions: append the ids to a tombstone frame
+    * that [[knnIndexed]]/[[knnIndexedIvf]] anti-join at serve time and
+    * [[compactBatches]] purges physically at its next rewrite — the
+    * standard delete path for an append-only index (the codes stay
+    * frozen; only the serve-time view shrinks). The frame is
+    * deletion-sized (ids only, never vectors), so the serve-side
+    * anti-join broadcasts it. Appending the same id twice is harmless:
+    * readers deduplicate. Reference analogue: the upload loop replacing
+    * roster rows wholesale (main.py:146) — here retraction is targeted. */
+  def addTombstones(spark: SparkSession, ids: DataFrame,
+                    tombstonesDir: String,
+                    idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol)).write.mode("append").parquet(tombstonesDir)
+
+  /** The serve-time delete filter: anti-join `df` against the tombstone
+    * ids (deduplicated, broadcast — the tombstone frame is ids-only and
+    * deletion-sized by contract). A missing/empty tombstone dir filters
+    * nothing, so serving paths can pass the dir unconditionally. */
+  private def dropTombstoned(spark: SparkSession, df: DataFrame,
+                             tombstonesDir: Option[String],
+                             idCol: String): DataFrame =
+    tombstonesDir match {
+      case Some(dir) =>
+        val path = new org.apache.hadoop.fs.Path(dir)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(path)) df
+        else df.join(
+          broadcast(spark.read.parquet(dir).select(col(idCol)).distinct()),
+          Seq(idCol), "left_anti")
+      case None => df
+    }
+
+  /** Batch ids currently admitted under `indexDir` (hive `batch_id=`
+    * dirs), ascending — the compaction planner's input. */
+  def admittedBatchIds(spark: SparkSession, indexDir: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption)
+      .sorted
+  }
+
+  /** Data-file count under `dir` (recursive, non-hidden) — the
+    * small-files metric compaction exists to shrink; exposed so specs and
+    * maintenance jobs can assert the drop. */
+  def dataFileCount(spark: SparkSession, dir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0
+    else {
+      val it = fs.listFiles(path, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
+  /**
+   * Compact the admitted batch partitions `fromBatch..toBatch`
+   * (inclusive) into the single partition `batch_id=toBatch` — the
+   * vector-index analogue of [[graft.sources.Compaction]], closing the
+   * growth story's lifecycle gap: a long-running serve admits one
+   * `batch_id=` directory per micro-batch, and at 100 TB that
+   * small-files accumulation degrades every probe (per-file open cost,
+   * tiny row groups, driver-side listing). Because the codes are
+   * IMMUTABLE and the scales/centroids frozen at seed time, compaction
+   * is a pure file rewrite — no re-encode, no re-cell — so serving
+   * results are byte-identical before and after (AnnServingSpec pins
+   * it; the ss_knn_sq8_compact oracle replays the compacted index
+   * against the same SQL as the uncompacted one).
+   *
+   * Output file count follows [[Compaction]]'s actual-byte sizing. The
+   * IVF tier (a `cell` column present) is rewritten hash-partitioned by
+   * `cell` and hive-laid-out `cell=` again, so the probe join's
+   * partition pruning survives compaction (one file per cell per size
+   * target — the cell is the pruning unit).
+   *
+   * `tombstonesDir` purges retracted ids physically during the rewrite
+   * (the [[addTombstones]] lifecycle: serve-time anti-join until the
+   * next compaction, gone from disk after). Tombstones for ids outside
+   * the compacted range keep applying at serve time — purge here is a
+   * space reclaim, not the correctness mechanism.
+   *
+   * Crash safety: the rewrite lands in a hidden `.compact_tmp` dir
+   * (invisible to partition discovery), the covered `batch_id=` dirs
+   * are dropped only after it completes, and the rename is last — a
+   * crash mid-rewrite leaves the original partitions serving. Only
+   * compact ranges wholly at-or-below the serving watermark: merged
+   * rows take `batch_id=toBatch`, so an `uptoBatch` INSIDE the range
+   * would lose its prefix view (the immutable-history contract).
+   */
+  def compactBatches(spark: SparkSession, indexDir: String,
+                     fromBatch: Long, toBatch: Long,
+                     targetBytes: Long = 128L << 20,
+                     tombstonesDir: Option[String] = None,
+                     idCol: String = "vec_id"): Unit = {
+    require(fromBatch <= toBatch, s"need fromBatch <= toBatch, got [$fromBatch, $toBatch]")
+    val covered = admittedBatchIds(spark, indexDir)
+      .filter(b => b >= fromBatch && b <= toBatch)
+    require(covered.nonEmpty,
+      s"no batch_id partitions in [$fromBatch, $toBatch] under $indexDir")
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = covered.map(b => Compaction.inputBytes(spark, s"$indexDir/batch_id=$b")).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val rows0 = spark.read.parquet(indexDir)
+      .filter(col("batch_id").between(fromBatch, toBatch))
+      .drop("batch_id")
+    val rows = dropTombstoned(spark, rows0, tombstonesDir, idCol)
+    val tmp = new org.apache.hadoop.fs.Path(indexDir, s".compact_tmp_$toBatch")
+    val hasCell = rows.columns.contains("cell")
+    if (hasCell)
+      // hash-partition by cell: every cell's rows land in one task, so the
+      // hive layout writes one file per cell (the probe-pruning unit)
+      rows.repartition(nFiles, col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    else
+      rows.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    covered.foreach(b =>
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir, s"batch_id=$b"), true))
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(indexDir, s"batch_id=$toBatch"))
+  }
+
+  /**
+   * Health stats of the grown index, per admitted batch — the re-seed
+   * signal the frozen-quantizer design owes its operator: scales and
+   * coarse centroids freeze at seed time (correctly — re-deriving would
+   * re-encode/re-cell the corpus), so drift shows up as (a) SQ8 CLAMP
+   * SATURATION — codes pinned at ±127 because a later batch stretched a
+   * dimension's range past the seed's absmax — and (b) CELL IMBALANCE —
+   * batches concentrating in few cells because the seed's centroids no
+   * longer span the data. Both are computed from the PERSISTED artifact
+   * (codes + cells), map-side aggregates only, no vector math.
+   *
+   * Returns one row per batch: (batch_id, n_vecs, max_cell, imbalance,
+   * n_sat, sat_rate) where imbalance = max cell occupancy / mean
+   * occupancy over `nlist` cells (1.0 = perfectly even; → nlist as a
+   * batch collapses into one cell; NULL for a flat index), and sat_rate
+   * = fraction of code slots at ±127 (the seed's own rate is the
+   * baseline — each dimension's absmax row sits at exactly 127 by
+   * construction; a JUMP above it is the "time to re-seed" signal,
+   * AnnServingSpec pins one by admitting an out-of-range batch).
+   */
+  def indexStats(spark: SparkSession, indexDir: String,
+                 nlist: Int): DataFrame = {
+    // stats cover SERVABLE vectors only: >= 1 nonzero code, the dn > 0
+    // criterion every serving path applies (an all-zero-codes row — NULL
+    // or sub-quantum vector — never scores, so it isn't index health)
+    val idx = spark.read.parquet(indexDir).filter(col("__sq8").isNotNull)
+      .filter(exists(col("__sq8"), c => c =!= 0))
+    val hasCell = idx.columns.contains("cell")
+    val satPerRow = aggregate(col("__sq8"),
+      lit(0L), (acc, c) => acc + when(abs(c) === 127, 1L).otherwise(0L))
+    val base = idx.groupBy(col("batch_id").cast("long").as("batch_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(satPerRow).as("n_sat"),
+        sum(size(col("__sq8")).cast("long")).as("n_slots"))
+    val withCell =
+      if (!hasCell) base.withColumn("max_cell", lit(null).cast("long"))
+      else {
+        val cells = idx.groupBy(col("batch_id").cast("long").as("batch_id"),
+            col("cell").cast("long").as("cell"))
+          .agg(count(lit(1)).as("cn"))
+          .groupBy("batch_id").agg(max(col("cn")).as("max_cell"))
+        base.join(cells, Seq("batch_id"), "left")
+      }
+    withCell.select(col("batch_id"), col("n_vecs"), col("max_cell"),
+        round(col("max_cell") * lit(nlist.toLong) / col("n_vecs"), 5)
+          .as("imbalance"),
+        col("n_sat"),
+        round(col("n_sat") / col("n_slots"), 5).as("sat_rate"))
   }
 
   /** kNN against the admitted index state up to `uptoBatch` (inclusive;
@@ -88,13 +271,18 @@ object VectorIngest {
     * admitted so far): [[SimilaritySearch.sq8KnnCoded]] over the pruned
     * codes scan + exact re-rank from the co-persisted raw vectors. */
   def knnIndexed(spark: SparkSession, indexDir: String, scalesDir: String,
-                 queries: DataFrame, k: Int, rerank: Int = 32,
+                 queries: DataFrame, k: Int,
+                 rerank: Int = SimilaritySearch.DefaultRerank,
                  uptoBatch: Long = Long.MaxValue,
                  idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
-    val scales = readScales(spark, scalesDir)
-    val coded = spark.read.parquet(indexDir)
-      .filter(col("batch_id") <= uptoBatch).drop("batch_id")
+                 vecCol: String = "embedding",
+                 scales0: Option[Array[Double]] = None,
+                 tombstonesDir: Option[String] = None): DataFrame = {
+    val scales = scales0.getOrElse(readScales(spark, scalesDir))
+    val coded = dropTombstoned(spark,
+      spark.read.parquet(indexDir)
+        .filter(col("batch_id") <= uptoBatch).drop("batch_id"),
+      tombstonesDir, idCol)
     SimilaritySearch.sq8KnnCoded(coded, scales, queries, k, rerank,
       corpusId = idCol, corpusVec = vecCol)
   }
@@ -144,10 +332,12 @@ object VectorIngest {
                           batchId: Long, indexDir: String, scalesDir: String,
                           centroidsDir: String,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): Unit = {
+                          vecCol: String = "embedding",
+                          scales0: Option[Array[Double]] = None,
+                          cents0: Option[Array[(Long, Array[Float])]] = None): Unit = {
     if (batchId == 0L) CorpusIngest.clearAdmittedPartitions(spark, indexDir)
-    val scales = readScales(spark, scalesDir)
-    val cents = readCentroids(spark, centroidsDir)
+    val scales = scales0.getOrElse(readScales(spark, scalesDir))
+    val cents = cents0.getOrElse(readCentroids(spark, centroidsDir))
     SimilaritySearch.ivfSq8EncodeCorpus(batch, scales, cents, vecCol)
       .select(col(idCol), col(vecCol), col("__sq8"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
@@ -160,14 +350,20 @@ object VectorIngest {
     * [[knnIndexed]] minus its one remaining full-codes scan. */
   def knnIndexedIvf(spark: SparkSession, indexDir: String, scalesDir: String,
                     centroidsDir: String, queries: DataFrame, k: Int,
-                    nprobe: Int = 4, rerank: Int = 32,
+                    nprobe: Int = SimilaritySearch.DefaultNprobe,
+                    rerank: Int = SimilaritySearch.DefaultRerank,
                     uptoBatch: Long = Long.MaxValue,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
-    val scales = readScales(spark, scalesDir)
-    val cents = readCentroids(spark, centroidsDir)
-    val coded = spark.read.parquet(indexDir)
-      .filter(col("batch_id") <= uptoBatch).drop("batch_id")
+                    vecCol: String = "embedding",
+                    scales0: Option[Array[Double]] = None,
+                    cents0: Option[Array[(Long, Array[Float])]] = None,
+                    tombstonesDir: Option[String] = None): DataFrame = {
+    val scales = scales0.getOrElse(readScales(spark, scalesDir))
+    val cents = cents0.getOrElse(readCentroids(spark, centroidsDir))
+    val coded = dropTombstoned(spark,
+      spark.read.parquet(indexDir)
+        .filter(col("batch_id") <= uptoBatch).drop("batch_id"),
+      tombstonesDir, idCol)
     SimilaritySearch.ivfSq8KnnCoded(coded, scales, cents, queries, k,
       nprobe, rerank, corpusId = idCol, corpusVec = vecCol)
   }
@@ -188,6 +384,11 @@ object VectorIngest {
                              vecCol: String = "embedding",
                              schema: Option[StructType] = None): Unit = {
     val srcSchema = schema.getOrElse(spark.read.parquet(sourceDir).schema)
+    // frozen artifacts are immutable for the life of the index — read them
+    // ONCE per run, not once per micro-batch (bounded either way, but a
+    // long-running serve pays two parquet reads per admission for nothing)
+    val scales = readScales(spark, scalesDir)
+    val cents = readCentroids(spark, centroidsDir)
     val stream = spark.readStream.schema(srcSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
@@ -195,9 +396,11 @@ object VectorIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId == 0L) CorpusIngest.clearAdmittedPartitions(spark, outDir)
         admitVectorBatchIvf(spark, batch, batchId, indexDir, scalesDir,
-          centroidsDir, idCol, vecCol)
+          centroidsDir, idCol, vecCol, scales0 = Some(scales),
+          cents0 = Some(cents))
         knnIndexedIvf(spark, indexDir, scalesDir, centroidsDir, queries, k,
-          nprobe, rerank, uptoBatch = batchId, idCol = idCol, vecCol = vecCol)
+          nprobe, rerank, uptoBatch = batchId, idCol = idCol, vecCol = vecCol,
+          scales0 = Some(scales), cents0 = Some(cents))
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
@@ -217,9 +420,9 @@ object VectorIngest {
    * Growth parity — stream over a growing corpus == sequential
    * [[admitVectorBatch]] + [[knnIndexed]] calls — is pinned by
    * AnnServingSpec. Per-batch cost: encode(delta) + one codes-column scan
-   * of the corpus-so-far for the approximate pass; the scales collect is
-   * per-batch but dim-bounded (a parquet footer read, not an index
-   * build — [[SimilaritySearch.scaleBuilds]] stays flat, spec-pinned).
+   * of the corpus-so-far for the approximate pass; the frozen scales are
+   * read ONCE per run and carried through the loop in the closure
+   * ([[SimilaritySearch.scaleBuilds]] stays flat, spec-pinned).
    */
   def annStreamingSq8Grow(spark: SparkSession, sourceDir: String,
                           queries: DataFrame, indexDir: String,
@@ -231,6 +434,8 @@ object VectorIngest {
                           vecCol: String = "embedding",
                           schema: Option[StructType] = None): Unit = {
     val srcSchema = schema.getOrElse(spark.read.parquet(sourceDir).schema)
+    // frozen scales read ONCE per run (see the IVF loop's rationale)
+    val scales = readScales(spark, scalesDir)
     val stream = spark.readStream.schema(srcSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
@@ -238,9 +443,10 @@ object VectorIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId == 0L) CorpusIngest.clearAdmittedPartitions(spark, outDir)
         admitVectorBatch(spark, batch, batchId, indexDir, scalesDir,
-          idCol, vecCol)
+          idCol, vecCol, scales0 = Some(scales))
         knnIndexed(spark, indexDir, scalesDir, queries, k, rerank,
-          uptoBatch = batchId, idCol = idCol, vecCol = vecCol)
+          uptoBatch = batchId, idCol = idCol, vecCol = vecCol,
+          scales0 = Some(scales))
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
