@@ -133,6 +133,30 @@ object CorpusIngest {
         .foreach(st => fs.delete(st.getPath, true))
   }
 
+  /** FILE-LEVEL compaction of the growing band index's admitted
+    * partitions — the text-side twin of
+    * [[VectorIngest.compactBatches]], closing the same small-files
+    * lifecycle gap: a long-running ingest admits one `batch_id=`
+    * directory per micro-batch under `indexDir` AND `textsDir`; this
+    * merges `fromBatch..toBatch` of both into single partitions. Band
+    * rows and texts are immutable once admitted and serving filters
+    * `batch_id < k`, so the merge (into `batch_id=toBatch`, for ranges
+    * wholly below the serving watermark) is a pure file rewrite —
+    * CorpusIngestSpec pins that post-compaction admissions produce
+    * byte-identical verdicts. This complements (not replaces) the
+    * periodic corpus-wide REBUILD ([[seedIndex]] after
+    * [[Dedup.corpusDedup]]), which re-applies the global hot-bucket cap;
+    * file-level compaction is the cheap maintenance pass between
+    * rebuilds. */
+  def compactAdmitted(spark: SparkSession, indexDir: String,
+                      textsDir: String, fromBatch: Long, toBatch: Long,
+                      targetBytes: Long = 128L << 20): Unit = {
+    graft.sources.Compaction.compactBatchPartitions(
+      spark, indexDir, fromBatch, toBatch, targetBytes)
+    graft.sources.Compaction.compactBatchPartitions(
+      spark, textsDir, fromBatch, toBatch, targetBytes)
+  }
+
   /** Seed the [[admitBatchIndexed]] layout from a static corpus: band
     * index and (id, text) side under `batch_id=-1`. Run once per base
     * corpus (or per compaction). */

@@ -120,35 +120,14 @@ object VectorIngest {
 
   /** Batch ids currently admitted under `indexDir` (hive `batch_id=`
     * dirs), ascending — the compaction planner's input. */
-  def admittedBatchIds(spark: SparkSession, indexDir: String): Seq[Long] = {
-    val path = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Seq.empty
-    else fs.listStatus(path).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .flatMap(n => scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption)
-      .sorted
-  }
+  def admittedBatchIds(spark: SparkSession, indexDir: String): Seq[Long] =
+    Compaction.admittedBatchIds(spark, indexDir)
 
   /** Data-file count under `dir` (recursive, non-hidden) — the
     * small-files metric compaction exists to shrink; exposed so specs and
     * maintenance jobs can assert the drop. */
-  def dataFileCount(spark: SparkSession, dir: String): Int = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) 0
-    else {
-      val it = fs.listFiles(path, true)
-      var n = 0
-      while (it.hasNext) {
-        val f = it.next()
-        val name = f.getPath.getName
-        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
-      }
-      n
-    }
-  }
+  def dataFileCount(spark: SparkSession, dir: String): Int =
+    Compaction.dataFileCount(spark, dir)
 
   /**
    * Compact the admitted batch partitions `fromBatch..toBatch`
@@ -188,33 +167,9 @@ object VectorIngest {
                      fromBatch: Long, toBatch: Long,
                      targetBytes: Long = 128L << 20,
                      tombstonesDir: Option[String] = None,
-                     idCol: String = "vec_id"): Unit = {
-    require(fromBatch <= toBatch, s"need fromBatch <= toBatch, got [$fromBatch, $toBatch]")
-    val covered = admittedBatchIds(spark, indexDir)
-      .filter(b => b >= fromBatch && b <= toBatch)
-    require(covered.nonEmpty,
-      s"no batch_id partitions in [$fromBatch, $toBatch] under $indexDir")
-    val path = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = covered.map(b => Compaction.inputBytes(spark, s"$indexDir/batch_id=$b")).sum
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val rows0 = spark.read.parquet(indexDir)
-      .filter(col("batch_id").between(fromBatch, toBatch))
-      .drop("batch_id")
-    val rows = dropTombstoned(spark, rows0, tombstonesDir, idCol)
-    val tmp = new org.apache.hadoop.fs.Path(indexDir, s".compact_tmp_$toBatch")
-    val hasCell = rows.columns.contains("cell")
-    if (hasCell)
-      // hash-partition by cell: every cell's rows land in one task, so the
-      // hive layout writes one file per cell (the probe-pruning unit)
-      rows.repartition(nFiles, col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    else
-      rows.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-    covered.foreach(b =>
-      fs.delete(new org.apache.hadoop.fs.Path(indexDir, s"batch_id=$b"), true))
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(indexDir, s"batch_id=$toBatch"))
-  }
+                     idCol: String = "vec_id"): Unit =
+    Compaction.compactBatchPartitions(spark, indexDir, fromBatch, toBatch,
+      targetBytes, dropIds = tombstonesDir.map(d => (d, idCol)))
 
   /**
    * Health stats of the grown index, per admitted batch — the re-seed

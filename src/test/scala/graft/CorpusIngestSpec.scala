@@ -179,4 +179,69 @@ class CorpusIngestSpec extends AnyFunSuite {
       rm(new java.io.File(base))
     }
   }
+
+  test("band-index compaction: admitted partitions merge; later admissions see identical state") {
+    // the text-side twin of AnnLifecycleSpec's compaction pins: admitted
+    // band/text partitions are immutable and serving filters
+    // batch_id < k, so the file-level merge must not change any verdict
+    def doc(i: Long, extra: String = "") =
+      (i, s"doc $i token${i}a token${i}b token${i}c token${i}d token${i}e$extra")
+    val corpus = spark.createDataFrame((1L to 10L).map(i => doc(i)))
+      .toDF("doc_id", "text")
+    val batch0 = spark.createDataFrame(Seq(
+      doc(100L), (300L, doc(3L)._2))).toDF("doc_id", "text")
+    val batch1 = spark.createDataFrame(Seq(
+      (200L, doc(100L)._2 + " tailtok"), doc(400L))).toDF("doc_id", "text")
+    // the probe batch: an exact dup of the batch-1 admission (identical
+    // sigs -> guaranteed band collision; a near-dup suffix here drew the
+    // deterministic ~0.5% no-collision outcome for this id pair), a
+    // near-dup of the batch-0 admission, and a novel — every index tier
+    // must answer
+    val batch2 = spark.createDataFrame(Seq(
+      (500L, doc(400L)._2),
+      (600L, doc(100L)._2 + " othertok"),
+      doc(700L))).toDF("doc_id", "text")
+    type V = (Long, Option[Long], Option[Double], Boolean)
+    implicit val vEnc: org.apache.spark.sql.Encoder[V] =
+      org.apache.spark.sql.Encoders.product[
+        (Long, Option[Long], Option[Double], Boolean)]
+
+    def runTo2(root: String, compactFirst: Boolean): Set[V] = {
+      CorpusIngest.seedIndex(corpus, "text", "doc_id", s"$root/idx", s"$root/txt")
+      CorpusIngest.admitBatchIndexed(spark, batch0, 0L, "text", "doc_id",
+        s"$root/idx", s"$root/txt", s"$root/out", jaccardThreshold = 0.5)
+      CorpusIngest.admitBatchIndexed(spark, batch1, 1L, "text", "doc_id",
+        s"$root/idx", s"$root/txt", s"$root/out", jaccardThreshold = 0.5)
+      if (compactFirst)
+        CorpusIngest.compactAdmitted(spark, s"$root/idx", s"$root/txt", 0L, 1L)
+      CorpusIngest.admitBatchIndexed(spark, batch2, 2L, "text", "doc_id",
+        s"$root/idx", s"$root/txt", s"$root/out", jaccardThreshold = 0.5)
+        .select(col("id"), col("dup_of"), col("jaccard"), col("is_new"))
+        .as[V].collect().toSet
+    }
+
+    val a = java.nio.file.Files.createTempDirectory("graft_bandcomp_a").toString
+    val b = java.nio.file.Files.createTempDirectory("graft_bandcomp_b").toString
+    try {
+      val plain = runTo2(a, compactFirst = false)
+      val compacted = runTo2(b, compactFirst = true)
+      assert(plain.nonEmpty && plain === compacted,
+        "compaction changed admission verdicts")
+      // the probe batch exercised cross-tier blocking (not vacuous)
+      val byId = compacted.map(v => v._1 -> v).toMap
+      assert(byId(500L)._2.contains(400L) && !byId(500L)._4)
+      assert(byId(600L)._2.contains(100L) && !byId(600L)._4)
+      assert(byId(700L)._4)
+      // partitions merged on both artifacts, files dropped
+      import graft.sources.Compaction
+      assert(Compaction.admittedBatchIds(spark, s"$b/idx") === Seq(-1L, 1L, 2L))
+      assert(Compaction.admittedBatchIds(spark, s"$b/txt") === Seq(-1L, 1L, 2L))
+      assert(Compaction.dataFileCount(spark, s"$b/idx") <
+        Compaction.dataFileCount(spark, s"$a/idx"),
+        "compaction must shrink the band index's file count")
+    } finally {
+      Seq(a, b).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
 }
