@@ -314,8 +314,11 @@ object Multimodal {
      * the cell's mean luminance exceeds the image's GLOBAL mean. Invariant
      * to lossless re-encoding (PNG <-> BMP: same pixels, same hash) and to
      * pixel-replicating resizes (each cell's sum and count scale by the
-     * same factor); JPEG-style lossy wiggle flips at most a few
-     * near-threshold bits, which the Hamming verify absorbs.
+     * same factor); JPEG-style lossy wiggle flips a few near-threshold
+     * bits, which the Hamming verify absorbs — MEASURED, not asserted
+     * (r18): mm_lossy_jpeg_eval grades 100 genuinely lossy quality-0.75
+     * pairs through the production bucketed detector (mean Hamming 2.5,
+     * max 4; recall 0.75 at the <=3 gate, 1.0 at <=4 — LossyJpegSpec).
      *
      * INTEGER-EXACT by construction (the engine-exact convention every
      * oracled kernel follows): per-pixel luminance is the per-mille
