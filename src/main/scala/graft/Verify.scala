@@ -7,9 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE: shuffle-partition override (defaults to the core
+    // count, the repo-wide local convention). The beyond-bench-scale replay
+    // re-runs the dump at a scaled partition count to prove the answers are
+    // partition-count-invariant — the hash-level version of the
+    // BENCH_SCALING.md caveat that fixed-32 partitions can't exercise how a
+    // real cluster scales partitions with data.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -47,10 +47,23 @@ gen_match_synth_gz(corpus, f"{fixtures}/match_synth_wide_sf01.csv.gz",
                    synth_workload_wide)
 EOF
 
-echo "== 3/4 Verify dump (hot queries) -> $DUMP"
-SPARK_GRAFT_QUERIES="$QUERIES" SPARK_GRAFT_CPUS=16 \
-  GRAFT_FIXTURES_DIR="$FIXTURES" \
-  sbt -batch "runMain graft.Verify $CORPUS $DUMP"
+# SCALE_CHECK_SHUFFLES: comma list of shuffle-partition counts to replay at
+# (default 16 = the core count below). More than one value re-runs the dump
+# + compare per count against the SAME corpus/fixtures — hash-matching at
+# every count proves the answers are partition-count-invariant, the
+# correctness face of BENCH_SCALING.md's "partitions scale with data" caveat.
+SHUFFLES="${SCALE_CHECK_SHUFFLES:-16}"
+IFS=',' read -ra SHUF_ARR <<< "$SHUFFLES"
+for SHUF in "${SHUF_ARR[@]}"; do
+  SUFFIX=""
+  [ "${#SHUF_ARR[@]}" -gt 1 ] && SUFFIX="_p$SHUF"
+  echo "== 3/4 Verify dump (hot queries, shuffle=$SHUF) -> $DUMP$SUFFIX"
+  SPARK_GRAFT_QUERIES="$QUERIES" SPARK_GRAFT_CPUS=16 \
+    SPARK_GRAFT_SHUFFLE="$SHUF" \
+    GRAFT_FIXTURES_DIR="$FIXTURES" \
+    sbt -batch "runMain graft.Verify $CORPUS $DUMP$SUFFIX"
 
-echo "== 4/4 DuckDB oracle compare"
-python3 tools/oracle_check.py "$CORPUS" "$DUMP" | tee "$ROOT/oracle_x$REPLICAS.txt"
+  echo "== 4/4 DuckDB oracle compare (shuffle=$SHUF)"
+  python3 tools/oracle_check.py "$CORPUS" "$DUMP$SUFFIX" \
+    | tee "$ROOT/oracle_x$REPLICAS$SUFFIX.txt"
+done
