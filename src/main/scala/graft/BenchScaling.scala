@@ -112,6 +112,42 @@ object BenchScaling {
     scaled.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 
+  /** Scaled embeddings table (the ANN/index-lifecycle workload driver,
+    * r18 verdict #7): key-offset replicas pushed through a PER-REPLICA
+    * deterministic sign flip — replica k negates dimension i iff bit
+    * (i % 5) of k is set (k = 0 is the identity). Negating a fixed
+    * dimension subset is an orthogonal transform, so every replica's
+    * INTERNAL cosine/neighbor structure is bit-exactly the base corpus's
+    * (IEEE-754 negation is exact) while cross-replica cosines scramble —
+    * the docs-side bijective-token-tag trick applied to vector space.
+    * Near-neighbor density therefore stays constant as rows grow; naive
+    * replication would make each query's top-k a tie-class of its own
+    * copies, grading the id tiebreak instead of the index. Per-dimension
+    * absmax is flip-invariant, so the SQ8 scales the lifecycle queries
+    * freeze at seed time match the base corpus's at every scale, and the
+    * 97-divisible key offset preserves every %10/%20/%100 slice the
+    * ss_* queries cut. The oracle needs none of this recipe: it derives
+    * scales/centroids/codes from the written table, exactly like Spark. */
+  def writeScaledEmbeddings(spark: SparkSession, baseDir: String,
+                            outDir: String, replicas: Int): Unit = {
+    val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    def flipped(k: Int): DataFrame = {
+      val signs = (0 until dim).map(i =>
+        if (((k >> (i % 5)) & 1) == 1) -1.0f else 1.0f)
+      base.select(
+        (col("vec_id") + lit(k * Offset)).as("vec_id"),
+        zip_with(col("embedding"), array(signs.map(lit): _*),
+          (v, s) => v * s).as("embedding"),
+        col("label"))
+    }
+    val scaled =
+      if (replicas == 0)
+        flipped(0).filter(pmod(col("vec_id"), lit(10)) === 0)
+      else (0 until replicas).map(flipped).reduce(_ unionByName _)
+    scaled.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
   private def processCpuNs(): Long =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime

@@ -189,8 +189,15 @@ object SimilaritySearch {
       .select(col(corpusId), col(corpusVec)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
-  /** Trained IVF coarse-quantizer: k-means centroids fit with MLlib
-    * (seed-pinned, so the index build is reproducible run-to-run). Same
+  /** Trained IVF coarse-quantizer: SPHERICAL k-means centroids fit with
+    * MLlib (seed-pinned, so the index build is reproducible run-to-run).
+    * Vectors are L2-NORMALIZED before the fit: the serve path assigns
+    * cells by COSINE argmax ([[cellExpr]]), and Euclidean k-means on the
+    * unit sphere is the cosine-aligned training objective (Dhillon &
+    * Modha 2001) — fitting raw magnitudes instead trains cells the
+    * cosine assignment then disagrees with (measured r19 on the sf0.1
+    * corpus: raw-magnitude training graded recall@5 0.61 vs the prefix
+    * quantizer's 0.67 at equal nprobe; spherical training 0.79). Same
     * signature and (cid, vector) shape as [[ivfCentroids]] — pass the
     * result to [[ivfKnn]]'s `centroids` parameter. Training is the one-off
     * index build: at 100 TB it runs on a sample — pass `sampleFraction`
@@ -212,7 +219,12 @@ object SimilaritySearch {
     val base = sampleFraction.fold(corpus)(f =>
       corpus.sample(withReplacement = false, f, seed))
     val features = base
-      .select(array_to_vector(col(corpusVec).cast("array<double>")).as("features"))
+      .filter(col(corpusVec).isNotNull)
+      .withColumn("__norm", sqrt(aggregate(col(corpusVec),
+        lit(0.0), (acc, v) => acc + v * v)))
+      .filter(col("__norm") > 0.0)
+      .select(array_to_vector(transform(col(corpusVec).cast("array<double>"),
+        v => v / col("__norm"))).as("features"))
     val model = new KMeans().setK(n).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").fit(features)
     model.clusterCenters.zipWithIndex.map { case (c, i) =>
