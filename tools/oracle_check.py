@@ -18,8 +18,27 @@ jobs = int(sys.argv[3]) if len(sys.argv) > 3 else min(16, os.cpu_count() or 4)
 _con = None
 
 
+def _mem_limit_gb():
+    """Per-connection DuckDB memory cap: DuckDB's default limit is 80% of
+    RAM PER CONNECTION, so `jobs` workers each replaying a 100M-pair match
+    oracle at the x10 scale stack to several hundred percent of the box —
+    the r19 x10 run lost a worker to the OOM killer at 60 GB RSS. Cap each
+    connection to its fair share of 80% of RAM (floor 2 GB) and give it a
+    spill directory so past-limit operators page to disk instead of dying.
+    Override with ORACLE_CHECK_MEM_GB."""
+    env = os.environ.get("ORACLE_CHECK_MEM_GB")
+    if env:
+        return max(1, int(env))
+    pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    return max(2, int(pages * 0.8 / jobs / 2**30))
+
+
 def _connect():
     con = duckdb.connect()
+    con.execute(f"SET memory_limit='{_mem_limit_gb()}GB'")
+    spill = f"/tmp/duckdb_spill_{os.getpid()}"
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for p in glob.glob(f"{sf}/*.parquet"):
         name = os.path.basename(p)[:-8]
         src = f"'{p}/**/*.parquet'" if os.path.isdir(p) else f"'{p}'"
@@ -64,8 +83,10 @@ items = sorted(oracles.items())
 fails = []
 with ProcessPoolExecutor(max_workers=jobs, initializer=_init) as pool:
     for q, ok, ns, no, detail in sorted(pool.map(_check, items)):
-        print(("OK  " if ok else "FAIL"), q, ns, no)
+        # flush per line: multi-hour beyond-bench replays are watched
+        # through a redirected file, and block buffering hides progress
+        print(("OK  " if ok else "FAIL"), q, ns, no, flush=True)
         if not ok:
             fails.append(q)
-            print(detail)
-print("FAILS:", fails)
+            print(detail, flush=True)
+print("FAILS:", fails, flush=True)
