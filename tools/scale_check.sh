@@ -42,7 +42,16 @@ DUMP="$ROOT/dump"
 # as the serve path — both replay the full index lifecycle (seed-frozen
 # scales, batch admission, compaction rewrite / tombstone anti-join)
 # against the scaled embeddings table.
-QUERIES="nm_match_topk,nm_match_topk_blocked,nm_match_topk_wide,nm_match_topk_blocked_wide,nm_match_topk_auto,dd_lsh_eval,tx_curate_e2e,q16_sketches,dd_ngram_jaccard,dd_cluster_split_lsh,tx_lm_score,dd_containment,dd_corpus_dedup_quality,ss_knn_sq8_compact,ss_knn_sq8_delete"
+#
+# SCALE_CHECK_QUERIES overrides the set. COST WARNING (measured r19): the
+# SPARK side dumps all 15 at x10 in ~16 min, but the DuckDB legs for the
+# match/dedup queries grow brutally — the wide match replay is a 200M-row
+# CASE cascade (11.2 CPU-h at x10) and the dedup pair-verifies are
+# unindexed list intersections (3.5-11 CPU-h each) — >25 CPU-h total at
+# x10 vs minutes at x3. For x10+ runs, anchor a cheap subset (e.g. the
+# lifecycle pair) in DuckDB and rely on dump_diff + the x3/tri-scale
+# anchors for the rest; that asymmetry is itself the scale story.
+QUERIES="${SCALE_CHECK_QUERIES:-nm_match_topk,nm_match_topk_blocked,nm_match_topk_wide,nm_match_topk_blocked_wide,nm_match_topk_auto,dd_lsh_eval,tx_curate_e2e,q16_sketches,dd_ngram_jaccard,dd_cluster_split_lsh,tx_lm_score,dd_containment,dd_corpus_dedup_quality,ss_knn_sq8_compact,ss_knn_sq8_delete}"
 
 mkdir -p "$ROOT"
 echo "== 1/4 scaled corpus (x$REPLICAS) -> $CORPUS"
