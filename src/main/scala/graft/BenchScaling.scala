@@ -132,9 +132,30 @@ object BenchScaling {
                             outDir: String, replicas: Int): Unit = {
     val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val dim = base.select(size(col("embedding"))).head().getInt(0)
+    // Per-dimension sign = bit i of splitmix64(k) (ADVICE r19): the first
+    // cut took bit (i % 5) of the raw replica index, so replicas whose
+    // indices differ in one low bit flipped only ~13/64 dims and a vector
+    // sat at cosine ~0.59 against its own copy — far above the isotropic
+    // background (sigma ~ 1/sqrt(64) ~ 0.125), i.e. every query's
+    // neighborhood was still dominated by its flipped twins. With mixed
+    // bits each dim flips independently (p = 1/2) between any two
+    // replicas, so corresponding copies land at cosine ~ N(0, 1/sqrt(dim))
+    // — indistinguishable from background, which is the stated contract
+    // (cross-replica cosines scramble, near-neighbor density constant).
+    // k = 0 keeps the identity transform so the x1/x0.1 points stay the
+    // raw base table. Dims beyond 64 reuse bits (i % 64) — fine at the
+    // fixture's dim = 64. absmax/SQ8-scale invariance is preserved: signs
+    // are +/-1 per dimension.
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
     def flipped(k: Int): DataFrame = {
+      val mix = if (k == 0) 0L else splitmix64(k.toLong)
       val signs = (0 until dim).map(i =>
-        if (((k >> (i % 5)) & 1) == 1) -1.0f else 1.0f)
+        if (((mix >>> (i % 64)) & 1L) == 1L) -1.0f else 1.0f)
       base.select(
         (col("vec_id") + lit(k * Offset)).as("vec_id"),
         zip_with(col("embedding"), array(signs.map(lit): _*),

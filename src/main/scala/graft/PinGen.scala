@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Regeneration main for the PINNED-OUTPUT oracles (r19 verdict #7):
+  * re-runs the three queries whose oracles pin measured constants —
+  * `ss_recall_trained`, `ss_knn_ivfsq8_trained` (MLlib-trained centroids,
+  * not SQL-derivable) and `mm_lossy_jpeg_eval` (JRE-dependent JPEG
+  * quantization) — at the driver scales and prints each pin constant as
+  * a ready-to-splice Scala block between `// PIN-SPLICE <name>` markers.
+  * `tools/repin.sh` drives it and splices the blocks into
+  * SparkEntry.scala between the matching `PIN-BEGIN`/`PIN-END` markers,
+  * so codec/MLlib-version drift is a one-command re-pin with a
+  * reviewable diff instead of hand-copied literals.
+  *
+  * Runs under Verify's exact session config (local[SPARK_GRAFT_CPUS=4],
+  * shuffle = cpus) so the measured values are the ones the driver's
+  * correctness gate will see. The queries themselves never read the pins
+  * (pins live only in the oracle SQL), so regeneration is not circular.
+  */
+object PinGen {
+  def main(args: Array[String]): Unit = {
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def block(name: String, body: String): Unit =
+      println(s"// PIN-SPLICE $name\n$body\n// PIN-SPLICE-END")
+
+    // (corpus count, prefix n_hit) per dir — the shared pin key
+    val keyed = dirs.map { d =>
+      val rows = SparkEntry.queries("ss_recall_trained")(spark, d).collect()
+      val pref = rows.find(_.getString(0) == "prefix").get
+      val tr = rows.find(_.getString(0) == "trained_kmeans").get
+      val c = spark.read.parquet(s"$d/embeddings.parquet").count()
+      (d, c, pref.getLong(3), tr)
+    }
+
+    block("ssRecallTrainedPins", {
+      val tuples = keyed.map { case (_, c, ph, tr) =>
+        s"($c, $ph, ${tr.getLong(2)}, ${tr.getLong(3)}, ${tr.getDouble(4)})"
+      }
+      "  private val ssRecallTrainedPins: String =\n" +
+        s"""    "${tuples.mkString(", ")}""""
+    })
+
+    block("ssKnnIvfSq8TrainedPins", {
+      val lines = keyed.flatMap { case (d, c, ph, _) =>
+        SparkEntry.queries("ss_knn_ivfsq8_trained")(spark, d)
+          .orderBy("query_id", "rn").collect()
+          .map(r => s"($c, $ph, ${r.getLong(0)}, ${r.getLong(1)}, " +
+            s"${r.getDouble(2)}, ${r.getLong(3)})")
+      }
+      // 3-tuples-per-line string concatenation keeps the generated
+      // literal diffable and under scalac's line-length comfort zone
+      val grouped = lines.grouped(3).map(_.mkString(", ")).toSeq
+      "  private val ssKnnIvfSq8TrainedPins: String =\n" +
+        grouped.zipWithIndex.map { case (g, i) =>
+          val sep = if (i == grouped.size - 1) "" else " +"
+          val lead = if (i == 0) "    \"" else "    \", "
+          s"$lead$g\"$sep"
+        }.mkString("\n")
+    })
+
+    block("mmLossyJpegPin", {
+      // scale-invariant (seeded synthetic payloads): one run suffices
+      val r = SparkEntry.queries("mm_lossy_jpeg_eval")(spark, dirs.head)
+        .collect().head
+      val jdk = System.getProperty("java.version")
+      s"  private val mmLossyJpegPin: String = " +
+        s""""(${r.getLong(1)}, ${r.getLong(2)}, ${r.getDouble(3)}, """ +
+        s"""${r.getDouble(4)}, ${r.getLong(5)})" // measured on JDK $jdk"""
+    })
+
+    spark.stop()
+  }
+}

