@@ -7,8 +7,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 OUT="${1:-/tmp/graft_sweeps.jsonl}"
+# sbt prefixes runMain stdout with "[info] " — strip it before matching
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
-  | grep -E '^\{"metric"' >> "$OUT"
+  | sed -E 's/^\[info\] //' | grep -E '^\{"metric"' >> "$OUT"
 tail -1 "$OUT" | python3 -c "
 import json,sys
 d=json.loads(sys.stdin.read())
