@@ -139,9 +139,15 @@ object BenchScaling {
     // background (sigma ~ 1/sqrt(64) ~ 0.125), i.e. every query's
     // neighborhood was still dominated by its flipped twins. With mixed
     // bits each dim flips independently (p = 1/2) between any two
-    // replicas, so corresponding copies land at cosine ~ N(0, 1/sqrt(dim))
-    // — indistinguishable from background, which is the stated contract
-    // (cross-replica cosines scramble, near-neighbor density constant).
+    // replicas, so a copy-pair cosine is sum(s_i * v_i^2): mean 0, spread
+    // set by the corpus's coordinate kurtosis (sum v_i^4), not by 1/dim.
+    // MEASURED r20 on the sf0.1 embeddings: copy-pair mean |cos| 0.25
+    // (sd ~0.3; 200 sampled pairs) vs the 0.10 independent-pair
+    // background — no longer deterministic-dominant, though a kurtosis
+    // tail pair can still brush the top-5 band. Sign flips are the ONLY
+    // absmax/SQ8-scale-preserving diagonal orthogonal transforms, so this
+    // residual is the floor for this construction; non-copy cross-replica
+    // pairs sit at the exact independent background (signs cancel).
     // k = 0 keeps the identity transform so the x1/x0.1 points stay the
     // raw base table. Dims beyond 64 reuse bits (i % 64) — fine at the
     // fixture's dim = 64. absmax/SQ8-scale invariance is preserved: signs
