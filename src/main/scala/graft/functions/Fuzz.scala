@@ -187,12 +187,24 @@ object Fuzz {
     rint100(ratioD(ta.mkString(" "), tb.mkString(" ")))
   }
 
+  /** Sorted-distinct token array of `fullProcess(s)` — side A's
+    * preprocessing of [[tokenSetRatio]], exposed so composite scorers can
+    * compute it ONCE and share it across several B sides
+    * ([[compositeFuzz]]). */
+  private[graft] def preprocTokens(s: String): Array[String] =
+    sortedDistinct(tokens(fullProcess(s)))
+
   /** thefuzz `fuzz.token_set_ratio` (reference main.py:58-61): one sorted
     * merge produces the intersection and both difference strings directly —
     * no set objects, no repeated hashing. */
   def tokenSetRatio(a: String, b: String): Int = {
     if (a == null || b == null) return 0
-    val ta = sortedDistinct(tokens(fullProcess(a)))
+    tokenSetRatioPre(preprocTokens(a), b)
+  }
+
+  /** [[tokenSetRatio]] with side A pre-tokenized: bit-identical to
+    * `tokenSetRatio(a, b)` when `ta == preprocTokens(a)` and `b` non-null. */
+  private[graft] def tokenSetRatioPre(ta: Array[String], b: String): Int = {
     val tb = sortedDistinct(tokens(fullProcess(b)))
     if (ta.isEmpty || tb.isEmpty) return 0
     val sect = new java.lang.StringBuilder
@@ -217,6 +229,36 @@ object Fuzz {
     val r2 = ratioD(sectStr, combined2)
     val r3 = ratioD(combined1, combined2)
     rint100(math.max(r1, math.max(r2, r3)))
+  }
+
+  /** The five fuzzy terms of the match composite
+    * ([[graft.scoring.MatchScore.scoreFromInvariants]]) fused into one call:
+    *
+    *   ratio(u,en)*0.2 + partialRatio(u,en)*0.2 + tokenSetRatio(u,en)*0.2
+    *     + tokenSetRatio(u,l)*0.3 + tokenSetRatio(u,f)*0.2
+    *
+    * evaluated with the IDENTICAL arithmetic the unfused Catalyst tree
+    * produced — one int->double promotion and one multiply per term, adds
+    * folded left to right — so composite scores are bit-for-bit unchanged
+    * (FuzzGoldenSpec re-checks every fixture pair through this path).
+    *
+    * The fusion exists to SHARE the username-side token preprocessing:
+    * `fullProcess(u)` + tokenize + sort + dedup runs ONCE here and feeds
+    * all three token-set terms, where the unfused tree re-derived it per
+    * term — 3x the tokenization allocation on every cross-join row of the
+    * scoring stage (guide §1.2 "per-task work").
+    *
+    * Inputs must be non-null: the [[FuzzComposite]] expression wrapping
+    * this is null-safe (any null input -> SQL NULL), exactly like the sum
+    * of null-safe binary kernels it replaces. */
+  def compositeFuzz(u: String, f: String, l: String, en: String): Double = {
+    val r = ratio(u, en)
+    val p = partialRatio(u, en)
+    val tu = preprocTokens(u)
+    val t1 = tokenSetRatioPre(tu, en)
+    val t2 = tokenSetRatioPre(tu, l)
+    val t3 = tokenSetRatioPre(tu, f)
+    r * 0.2 + p * 0.2 + t1 * 0.2 + t2 * 0.3 + t3 * 0.2
   }
 
   private def appendTok(sb: java.lang.StringBuilder, t: String): Unit = {

@@ -62,6 +62,35 @@ case class FuzzTokenSortRatio(left: Expression, right: Expression) extends Binar
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** The five-term fuzzy composite of the match score
+  * ([[Fuzz.compositeFuzz]]) as ONE codegen expression: (u, f, l, en) ->
+  * weighted double sum. Bit-identical to the unfused
+  * `fuzz_ratio(u,en)*0.2 + fuzz_partial_ratio(u,en)*0.2 +
+  * fuzz_token_set_ratio(u,en)*0.2 + fuzz_token_set_ratio(u,l)*0.3 +
+  * fuzz_token_set_ratio(u,f)*0.2` tree — including null semantics: any
+  * null input nulls every term of that sum, so one null-safe quaternary
+  * expression reproduces it exactly. Fused so the username-side token
+  * preprocessing runs once per row instead of once per token-set term. */
+case class FuzzComposite(first: Expression, second: Expression,
+                         third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType, StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def nullSafeEval(u: Any, f: Any, l: Any, en: Any): Any =
+    Fuzz.compositeFuzz(
+      u.asInstanceOf[UTF8String].toString, f.asInstanceOf[UTF8String].toString,
+      l.asInstanceOf[UTF8String].toString, en.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (u, f, l, en) =>
+      s"graft.functions.Fuzz.compositeFuzz($u.toString(), $f.toString(), $l.toString(), $en.toString())")
+  override def prettyName: String = "fuzz_composite"
+  override protected def withNewChildrenInternal(
+      f1: Expression, f2: Expression, f3: Expression, f4: Expression): Expression =
+    copy(f1, f2, f3, f4)
+}
+
 abstract class UnaryStringStringExpression extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType

@@ -28,6 +28,8 @@ package object functions {
   def fuzz_partial_ratio(a: Column, b: Column): Column = c(FuzzPartialRatio(e(a), e(b)))
   def fuzz_token_set_ratio(a: Column, b: Column): Column = c(FuzzTokenSetRatio(e(a), e(b)))
   def fuzz_token_sort_ratio(a: Column, b: Column): Column = c(FuzzTokenSortRatio(e(a), e(b)))
+  def fuzz_composite(u: Column, f: Column, l: Column, en: Column): Column =
+    c(FuzzComposite(e(u), e(f), e(l), e(en)))
 
   // ---- phonetics (reference main.py:63-66) ----
   def soundex_jf(a: Column): Column = c(SoundexJf(e(a)))
@@ -105,6 +107,7 @@ package object functions {
     reg2("fuzz_partial_ratio", a => FuzzPartialRatio(a(0), a(1)))
     reg2("fuzz_token_set_ratio", a => FuzzTokenSetRatio(a(0), a(1)))
     reg2("fuzz_token_sort_ratio", a => FuzzTokenSortRatio(a(0), a(1)))
+    reg2("fuzz_composite", a => FuzzComposite(a(0), a(1), a(2), a(3)))
     reg2("soundex_jf", a => SoundexJf(a(0)))
     reg2("metaphone", a => MetaphoneExpr(a(0)))
     reg2("unicode_normalize", a => UnicodeNormalize(a(0), a(1)))

@@ -309,25 +309,34 @@ object Dedup {
     // consumer (the retention/gapFill lesson) — without the checkpoints
     // the banding pipeline ran 3x and the exact-truth join 2x per eval
     val nonEmpty = df.filter(size(shingle_set(col(textCol), lit(shingleW))) > 0)
-    val cand = minhashCandidates(nonEmpty, textCol, idCol, shingleW, numHashes,
-      bands, maxBucketSize, metricTag).localCheckpoint()
-    // verify on precomputed sorted shingle sets (the ngramJaccardPairs
-    // trick): array_intersect per candidate beats re-tokenizing both texts
-    val sets = nonEmpty.select(col(idCol).as("id"),
-      shingle_set(col(textCol), lit(shingleW)).as("ss"))
-    val verified = cand
-      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "ss" -> "ss_a")), "id_a")
-      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "ss" -> "ss_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("ss_a"), col("ss_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("ss_a")) + size(col("ss_b")) - col("inter")))
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select("id_a", "id_b")
-      .localCheckpoint()
-    val truth = ngramJaccardPairs(nonEmpty, textCol, idCol, shingleW,
-      jaccardThreshold, maxBucketSize, metricTag + "_truth")
-      .select("id_a", "id_b")
-      .localCheckpoint()
+    // the banding->verify chain and the exact-truth leg are INDEPENDENT
+    // eager pipelines over the same corpus: build them on concurrent
+    // driver threads (guide §2.6) so the truth leg's prefix join
+    // back-fills the cores the banding chain's tail leaves idle —
+    // identical results per leg, ~half the sequential wall
+    val ((cand, verified), truth) = graft.util.Par.run2(
+      () => {
+        val c = minhashCandidates(nonEmpty, textCol, idCol, shingleW, numHashes,
+          bands, maxBucketSize, metricTag).localCheckpoint()
+        // verify on precomputed sorted shingle sets (the ngramJaccardPairs
+        // trick): array_intersect per candidate beats re-tokenizing both texts
+        val sets = nonEmpty.select(col(idCol).as("id"),
+          shingle_set(col(textCol), lit(shingleW)).as("ss"))
+        val v = c
+          .join(sets.withColumnsRenamed(Map("id" -> "id_a", "ss" -> "ss_a")), "id_a")
+          .join(sets.withColumnsRenamed(Map("id" -> "id_b", "ss" -> "ss_b")), "id_b")
+          .withColumn("inter", size(array_intersect(col("ss_a"), col("ss_b"))))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (size(col("ss_a")) + size(col("ss_b")) - col("inter")))
+          .filter(col("jaccard") >= jaccardThreshold)
+          .select("id_a", "id_b")
+          .localCheckpoint()
+        (c, v)
+      },
+      () => ngramJaccardPairs(nonEmpty, textCol, idCol, shingleW,
+        jaccardThreshold, maxBucketSize, metricTag + "_truth")
+        .select("id_a", "id_b")
+        .localCheckpoint())
     val nCand = cand.agg(count(lit(1)).as("n_candidates"))
     val nVer = verified.agg(count(lit(1)).as("n_verified"))
     val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))

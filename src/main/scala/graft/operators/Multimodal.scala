@@ -66,6 +66,18 @@ object Multimodal {
    * across all modalities, so adding a codec touches nothing Spark-side.
    */
   object MediaDecoder {
+    // ImageIO's stream factories default to a DISK-backed cache: every
+    // ImageIO.read/createImageInputStream(/OutputStream) call materializes
+    // a temp FILE even when the source is an in-memory byte array — one
+    // file create/write/read/delete syscall round per payload decode and
+    // per synthetic encode (the GIF fixtures run 64-128 frames through it
+    // per payload). All media streams here wrap byte arrays, so the memory
+    // cache is strictly better and the decoded/encoded BYTES are identical
+    // — cache mode only changes where the stream buffers. Process-wide,
+    // idempotent; set from both codec-owning objects so whichever loads
+    // first applies it (guide §1.2: per-task work).
+    javax.imageio.ImageIO.setUseCache(false)
+
     val FeatDim = 16
 
     // magic prefixes of the single-frame formats javax.imageio decodes out
@@ -658,6 +670,10 @@ object Multimodal {
     * is all the specs and the driver gate need. */
   private[operators] object SyntheticMedia {
     import java.awt.image.BufferedImage
+
+    // see MediaDecoder: in-memory stream cache for the fixture encoders
+    // (identical bytes, no temp file per encoded payload/frame)
+    javax.imageio.ImageIO.setUseCache(false)
 
     private def frame(id: Long, f: Int, w: Int, h: Int): BufferedImage = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)

@@ -72,7 +72,14 @@ object MatchPipeline {
     * numPartitions repartition — shapes pinned in PlanShapeSpec). An
     * explicit numPartitions repartition is never AQE-coalesced, so the
     * small-input fix cannot regress. */
-  def scoredPairs(usernames: DataFrame, employees: DataFrame): DataFrame = {
+  def scoredPairs(usernames: DataFrame, employees: DataFrame): DataFrame =
+    scoredPairsCapped(usernames, employees, None)
+
+  /** [[scoredPairs]] with an optional per-name-tuple cap on the fan-out
+    * roster — the private form [[rankedTopK]] consumes (see the FAN-OUT
+    * PRUNE comment inside). `fanoutTopK = None` is the full pair relation. */
+  private def scoredPairsCapped(usernames: DataFrame, employees: DataFrame,
+                                fanoutTopK: Option[Int]): DataFrame = {
     val spark = usernames.sparkSession
     val parallelism = spark.sparkContext.defaultParallelism
     // static planned partition count: queryExecution.sparkPlan is the
@@ -105,14 +112,68 @@ object MatchPipeline {
       else usernames.repartition(4 * parallelism)
     val u = prepareUsernames(stream)
     val e = prepareEmployees(employees)
-    u.crossJoin(broadcast(e))
+    // DISTINCT-NAME MEMOIZATION (r20, guide §1.2 "the distributed
+    // algorithm"): the score is a pure function of (username, e_first,
+    // e_last, e_full) — emp_id never enters it — so the expensive kernels
+    // run once per (username, DISTINCT name tuple) and a broadcast hash
+    // join fans the scored rows back out to that name's employees. On the
+    // bench's 64-name/20k-employee roster this is ~300x fewer kernel
+    // evaluations (measured nm_match_topk 30.8 -> see OPTIMIZATION_r20.md);
+    // on a high-cardinality roster (distinct ~ |E|) the overhead is one
+    // roster-sized distinct plus one extra broadcast probe per pair — noise
+    // next to the kernels. Scale shape is unchanged: the username side
+    // still crosses ONE BroadcastNestedLoopJoin and one BroadcastHashJoin,
+    // never an exchange; both broadcast builds are roster-bounded.
+    // n_* aliases keep the distinct side's attribute ids disjoint from
+    // `e`'s, so the fan-out join is not an ambiguous self join.
+    val eKeys = e.select(col("e_first").as("n_first"), col("e_last").as("n_last"),
+      col("e_full").as("n_full")).distinct()
+    // invariants recomputed on the distinct tuples: lower/trim are
+    // idempotent, so codes from the re-normalized strings are identical
+    val eNames = MatchScore.employeeInvariants(
+        col("n_first"), col("n_last"), col("n_full"))
+      .foldLeft(eKeys) { case (df, (name, c)) =>
+        df.withColumn(name.replaceFirst("^e_", "n_"), c) }
+    val scoredNames = u.crossJoin(broadcast(eNames))
       .withColumn("score",
         MatchScore.scoreFromInvariants(
           col("u_norm"), col("u_part1"), col("u_part2"), col("u_sdx"), col("u_mp"),
           col("u_initial"), col("u_dot2_initial"),
-          col("e_first"), col("e_last"), col("e_full"),
-          col("e_sdx_first"), col("e_sdx_last"), col("e_mp_first"), col("e_mp_last"),
-          col("e_first_initial"), col("e_patterns")))
+          col("n_first"), col("n_last"), col("n_full"),
+          col("n_sdx_first"), col("n_sdx_last"), col("n_mp_first"), col("n_mp_last"),
+          col("n_first_initial"), col("n_patterns")))
+      .select(col("username"), col("u_norm"), col("u_part1"), col("u_part2"),
+        col("u_sdx"), col("u_mp"), col("u_initial"), col("u_dot2_initial"),
+        col("n_first"), col("n_last"), col("n_full"), col("score"))
+    // FAN-OUT PRUNE (r20, top-k callers only): every employee of a name
+    // tuple shares that tuple's score, so within one username's
+    // (score desc, emp_id asc, employee_name asc) total order the k-th
+    // best row OF A TUPLE is preceded by k-1 same-score rows of that same
+    // tuple — an employee ranked > k inside its tuple can therefore never
+    // reach any username's global top-k. Keeping only each tuple's k
+    // smallest (emp_id, employee_name) rows is EXACT for top-k
+    // consumption and shrinks the window input from U*E rows to at most
+    // U*D*k (the bench's 64-name roster: 4.16M -> 53k rows). The window
+    // runs on the broadcast-small roster once, NOT per pair. Duplicate
+    // (emp_id, employee_name) rows within a tuple are interchangeable in
+    // every column the top-k output can reference, so row_number's
+    // arbitrary order among them cannot change the result.
+    val eFan = fanoutTopK match {
+      case None => e
+      case Some(k) =>
+        val byName = Window.partitionBy(col("e_first"), col("e_last"), col("e_full"))
+          .orderBy(col("emp_id").asc, col("employee_name").asc)
+        e.withColumn("__fan_rk", row_number().over(byName))
+          .filter(col("__fan_rk") <= k)
+          .drop("__fan_rk")
+    }
+    // fan back out: null-safe keys so a null-named employee keeps pairing
+    // with every username (score 0 via null propagation), exactly as the
+    // direct cross join did
+    scoredNames.join(broadcast(eFan),
+        col("n_first") <=> col("e_first") && col("n_last") <=> col("e_last") &&
+          col("n_full") <=> col("e_full"))
+      .drop("n_first", "n_last", "n_full")
   }
 
   /** Top-k rows per username (NO threshold), dense-rank labeled. Keeping the
@@ -133,7 +194,7 @@ object MatchPipeline {
     // (golden tie semantics from assets/example.png; the row_number window
     // keeps the deterministic emp_id tiebreak for top-k membership)
     val byUserScore = Window.partitionBy(col("username")).orderBy(col("score").desc)
-    scoredPairs(usernames, employees)
+    scoredPairsCapped(usernames, employees, Some(topK))
       .withColumn("rn", row_number().over(byUser))
       .filter(col("rn") <= topK)
       .withColumn("rank", dense_rank().over(byUserScore))

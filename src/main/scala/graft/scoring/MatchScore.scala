@@ -107,12 +107,12 @@ object MatchScore {
       when(length(u) > 0 && length(f) > 0 && uInitial === eFirstInitial, lit(5)).otherwise(lit(0)) +
       when(uDot2Initial =!= "" && uDot2Initial === eFirstInitial, lit(5)).otherwise(lit(0))
 
+    // the five fuzzy terms are fused into one codegen kernel call
+    // (Fuzz.compositeFuzz): bit-identical weighted sum — including null
+    // propagation — with the username-side token preprocessing shared
+    // across the three token-set terms instead of re-derived per term
     val composite =
-      fuzz_ratio(u, en) * lit(0.2) +
-      fuzz_partial_ratio(u, en) * lit(0.2) +
-      fuzz_token_set_ratio(u, en) * lit(0.2) +
-      fuzz_token_set_ratio(u, l) * lit(0.3) +
-      fuzz_token_set_ratio(u, f) * lit(0.2) +
+      fuzz_composite(u, f, l, en) +
       (uSdx === eSdxLast).cast("int") * lit(6) +
       (uMp === eMpLast).cast("int") * lit(7) +
       (uSdx === eSdxFirst).cast("int") * lit(3) +
