@@ -323,6 +323,21 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // SORT-based shuffle writer for ALL shuffles (r20, guide §2.2 "many
+      // small files"): with reduce counts at/below the 200-partition bypass
+      // threshold, Spark's BypassMergeSortShuffleWriter opens one TEMP FILE
+      // PER (map task x reduce partition) and then merges — on this suite's
+      // many small exchanges that is thousands of ext4 create/write/delete
+      // rounds per query, and thread-dump sampling showed 60-87% of
+      // RUNNABLE executor samples inside file syscalls (open0/unmap0/
+      // getBooleanAttributes0). The sort writer emits ONE data+index file
+      // per map task regardless of reduce count: measured r20,
+      // mm_image_neardup 6.4 -> 2.6 CPU-s, mm_media_dedup ~20 -> 11.2,
+      // kernel-bound queries unchanged. NOT scale-dependent tuning: with
+      // production reduce counts (>200) the bypass writer never engages,
+      // so this default is a no-op on a real cluster and strictly removes
+      // a small-R pathology everywhere else.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

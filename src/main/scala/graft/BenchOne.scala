@@ -27,6 +27,9 @@ object BenchOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // sort-based shuffle writer for all shuffles — see the measured
+      // rationale in Bench.scala (small-R bypass writer file churn)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -29,6 +29,9 @@ object PinGen {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      // sort-based shuffle writer for all shuffles — see the measured
+      // rationale in Bench.scala (small-R bypass writer file churn)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

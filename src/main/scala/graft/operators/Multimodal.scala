@@ -65,6 +65,77 @@ object Multimodal {
    * no fake/hash fallback. The signature and batch shape are identical
    * across all modalities, so adding a codec touches nothing Spark-side.
    */
+  /** javax.sound.sampled provider dispatch with the PROVIDER LISTS CACHED.
+    *
+    * `AudioSystem.getAudioInputStream` / `AudioSystem.write` re-enumerate
+    * their SPI providers on EVERY call through
+    * `com.sun.media.sound.JSSecurityManager.getProviders`, which takes a
+    * process-global lock — measured r20 (thread-dump sampling during the
+    * mm_media_dedup bench): 154 of ~700 sampled executor-thread states
+    * BLOCKED on that lock, a convoy across all 32 task threads decoding
+    * tiny clips concurrently (guide §1.2 "per-task work"). The provider
+    * set is process-static, so enumerate it ONCE here (same ServiceLoader
+    * the JDK uses → same providers, same first-match order, byte-identical
+    * decode/encode results — AudioCodecSpec pins parity against the
+    * AudioSystem path) and dispatch lock-free.
+    */
+  private[graft] object AudioIO {
+    import javax.sound.sampled._
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter, FormatConversionProvider}
+    import scala.jdk.CollectionConverters._
+
+    private val readers: Array[AudioFileReader] =
+      java.util.ServiceLoader.load(classOf[AudioFileReader]).asScala.toArray
+    private val converters: Array[FormatConversionProvider] =
+      java.util.ServiceLoader.load(classOf[FormatConversionProvider]).asScala.toArray
+    private val writers: Array[AudioFileWriter] =
+      java.util.ServiceLoader.load(classOf[AudioFileWriter]).asScala.toArray
+
+    /** `AudioSystem.getAudioInputStream(InputStream)`: first provider that
+      * parses wins; a failed provider leaves the (markable) stream reset,
+      * per the AudioFileReader SPI contract. */
+    def audioInputStream(in: java.io.InputStream): AudioInputStream = {
+      var i = 0
+      while (i < readers.length) {
+        try return readers(i).getAudioInputStream(in)
+        catch { case _: UnsupportedAudioFileException => () }
+        i += 1
+      }
+      throw new UnsupportedAudioFileException(
+        "Stream of unsupported format")
+    }
+
+    /** `AudioSystem.getAudioInputStream(AudioFormat, AudioInputStream)`:
+      * identity when the source already matches, else the first supporting
+      * conversion provider. */
+    def convert(target: AudioFormat, src: AudioInputStream): AudioInputStream = {
+      if (src.getFormat.matches(target)) return src
+      var i = 0
+      while (i < converters.length) {
+        val c = converters(i)
+        if (c.isConversionSupported(target, src.getFormat))
+          return c.getAudioInputStream(target, src)
+        i += 1
+      }
+      throw new IllegalArgumentException(
+        s"Unsupported conversion: $target from ${src.getFormat}")
+    }
+
+    /** `AudioSystem.write(AudioInputStream, Type, OutputStream)`: first
+      * provider supporting the file type for this stream. */
+    def write(ais: AudioInputStream, tpe: AudioFileFormat.Type,
+              out: java.io.OutputStream): Int = {
+      var i = 0
+      while (i < writers.length) {
+        val w = writers(i)
+        if (w.getAudioFileTypes(ais).contains(tpe))
+          return w.write(ais, tpe, out)
+        i += 1
+      }
+      throw new IllegalArgumentException(s"could not write audio type $tpe")
+    }
+  }
+
   object MediaDecoder {
     // ImageIO's stream factories default to a DISK-backed cache: every
     // ImageIO.read/createImageInputStream(/OutputStream) call materializes
@@ -210,7 +281,7 @@ object Multimodal {
       * return None (the decode-failure path). */
     private[operators] def decodeAudio(payload: Array[Byte]): Option[Array[Float]] =
       try {
-        val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val src = AudioIO.audioInputStream(
           new java.io.ByteArrayInputStream(payload))
         try {
           val f = src.getFormat
@@ -218,7 +289,7 @@ object Multimodal {
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
             f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
             f.getSampleRate, false)
-          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+          val pcm = AudioIO.convert(target, src)
           val bytes = try pcm.readAllBytes() finally pcm.close()
           val channels = target.getChannels
           val frameBytes = channels * 2
@@ -410,7 +481,7 @@ object Multimodal {
     private[graft] def audioAHash64(payload: Array[Byte]): Option[Long] =
       try {
         if (payload == null || payload.isEmpty) return None
-        val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val src = AudioIO.audioInputStream(
           new java.io.ByteArrayInputStream(payload))
         try {
           val f = src.getFormat
@@ -418,7 +489,7 @@ object Multimodal {
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
             f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
             f.getSampleRate, false)
-          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+          val pcm = AudioIO.convert(target, src)
           try {
             val bytes = pcm.readAllBytes()
             val nSamples = bytes.length / 2
@@ -895,8 +966,7 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
       val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      AudioIO.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
 
@@ -935,7 +1005,7 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, (pcm.length / 2).toLong)
       val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais, format, bos)
+      AudioIO.write(ais, format, bos)
       bos.toByteArray
     }
 
@@ -1038,6 +1108,18 @@ object Multimodal {
     * patterns). The frames are grayscale, so the per-mille luminance is
     * exactly 1000·v and the whole hash is closed-form in the id — the
     * oracle replays it bit-for-bit, lossy format included. */
+  /** Partition count for an n-row synthetic payload range: ~8 codec rows
+    * per task, capped at the core count. The default `spark.range(n)`
+    * plans `defaultParallelism` partitions — 32 single-digit-row tasks per
+    * unioned subrange at the fixture sizes, whose per-task fixed cost
+    * (scheduling, shuffle-file create/commit syscalls on every downstream
+    * exchange's map side) dominated the actual codec work (measured r20:
+    * the 96-task image-fixture stage averaged ~130 ms/task on ~3 payloads
+    * each). Scale-adaptive by construction: the count grows with n until
+    * the cores are saturated (guide §2.2 "fewer, larger map tasks"). */
+  private def fixtureParts(spark: SparkSession, n: Int): Int =
+    math.max(1, math.min(spark.sparkContext.defaultParallelism, (n + 7) / 8))
+
   // (like [[synthetic]]: the udf is a test-data generator, not a
   // query-path operator)
   def syntheticImageVariants(spark: SparkSession, n: Int): DataFrame = {
@@ -1047,10 +1129,11 @@ object Multimodal {
       if (id < 1000) SyntheticMedia.pngNoise(id)
       else if (id < 2000) SyntheticMedia.pngVariant(id - 1000, 2, "bmp")
       else SyntheticMedia.jpegVariant(id - 2000))
-    spark.range(n.toLong)
+    val p = fixtureParts(spark, n)
+    spark.range(0L, n.toLong, 1L, p)
       .select(col("id"))
-      .union(spark.range(n.toLong).select(col("id") + lit(1000L)))
-      .union(spark.range(n.toLong).select(col("id") + lit(2000L)))
+      .union(spark.range(0L, n.toLong, 1L, p).select(col("id") + lit(1000L)))
+      .union(spark.range(0L, n.toLong, 1L, p).select(col("id") + lit(2000L)))
       .select(col("id").as("media_id"), gen(col("id")).as("payload"))
   }
 
@@ -1071,9 +1154,10 @@ object Multimodal {
     val gen = sparkUdf((id: Long) =>
       if (id < 1000) SyntheticMedia.png64Noise(id)
       else SyntheticMedia.jpegLossy(id - 1000))
-    spark.range(n.toLong)
+    val p = fixtureParts(spark, n)
+    spark.range(0L, n.toLong, 1L, p)
       .select(col("id"))
-      .union(spark.range(n.toLong).select(col("id") + lit(1000L)))
+      .union(spark.range(0L, n.toLong, 1L, p).select(col("id") + lit(1000L)))
       .select(col("id").as("media_id"), gen(col("id")).as("payload"))
   }
 
@@ -1092,9 +1176,10 @@ object Multimodal {
       if (id < 1000) SyntheticMedia.wavSq(id)
       else SyntheticMedia.wavSq(id - 1000, repl = 2,
         format = javax.sound.sampled.AudioFileFormat.Type.AIFF))
-    spark.range(n.toLong)
+    val p = fixtureParts(spark, n)
+    spark.range(0L, n.toLong, 1L, p)
       .select(col("id"))
-      .union(spark.range(n.toLong).select(col("id") + lit(1000L)))
+      .union(spark.range(0L, n.toLong, 1L, p).select(col("id") + lit(1000L)))
       .select(col("id").as("media_id"), gen(col("id")).as("payload"))
   }
 
@@ -1111,9 +1196,10 @@ object Multimodal {
     val gen = sparkUdf((id: Long) =>
       if (id < 1000) SyntheticMedia.gifNoise(id)
       else SyntheticMedia.gifNoise(id - 1000, repl = 2))
-    spark.range(n.toLong)
+    val p = fixtureParts(spark, n)
+    spark.range(0L, n.toLong, 1L, p)
       .select(col("id"))
-      .union(spark.range(n.toLong).select(col("id") + lit(1000L)))
+      .union(spark.range(0L, n.toLong, 1L, p).select(col("id") + lit(1000L)))
       .select(col("id").as("media_id"), gen(col("id")).as("payload"))
   }
 
@@ -1125,7 +1211,7 @@ object Multimodal {
   def synthetic(spark: SparkSession, n: Int): DataFrame = {
     import org.apache.spark.sql.functions.{udf => sparkUdf}
     val payloadGen = sparkUdf((id: Long) => SyntheticMedia.payload(id))
-    spark.range(n.toLong).select(
+    spark.range(0L, n.toLong, 1L, fixtureParts(spark, n)).select(
       col("id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("id") % 3 + 1).cast("int")).as("modality"),

@@ -9,6 +9,9 @@ object SparkTestBase {
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
+      // sort-based shuffle writer for all shuffles — see the measured
+      // rationale in Bench.scala (small-R bypass writer file churn)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
