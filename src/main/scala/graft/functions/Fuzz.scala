@@ -33,9 +33,51 @@ object Fuzz {
   def llcs(a: CharSequence, b: CharSequence): Int = {
     val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
     if (s.length == 0) return 0
-    val masks = asciiMasks(s)
+    val masks = asciiMasksTL(s)
     if (masks != null) llcsBit(s.length, masks, t)
     else llcsDp(s, t)
+  }
+
+  /** Reusable per-thread mask table (r20): [[asciiMasks]] allocates and
+    * zeroes a 1 KiB long[128] PER CALL, and the composite score makes up to
+    * ~10 llcs calls per scored pair — on the 2.5M-pair wide-roster bench
+    * leg that is tens of GB of short-lived garbage doing nothing (guide
+    * §1.2 "per-task work"). The buffer records which slots it dirtied
+    * (<= 64 pattern chars) and clears exactly those at the START of the
+    * next fill, so a reused table is always equivalent to a fresh one —
+    * same masks, same LLCS, bit-identical scores. NOT safe to hold across
+    * a nested llcs/asciiMasksTL call on the same thread; every use here is
+    * build-then-consume before the next build (partialRatio holds it only
+    * across llcsBit calls, which never re-fill). */
+  private final class MaskBuf {
+    val masks = new Array[Long](128)
+    val used = new Array[Char](64)
+    var n = 0
+  }
+  private val tlMask: ThreadLocal[MaskBuf] =
+    ThreadLocal.withInitial(() => new MaskBuf)
+
+  /** [[asciiMasks]] semantics over the thread-local buffer: identical mask
+    * content for ASCII patterns <= 64 chars, null otherwise (a partial fill
+    * before the null return stays recorded in `used`, so the next call
+    * clears it). */
+  private def asciiMasksTL(p: CharSequence): Array[Long] = {
+    val b = tlMask.get()
+    var i = 0
+    while (i < b.n) { b.masks(b.used(i)) = 0L; i += 1 }
+    b.n = 0
+    val m = p.length
+    if (m > 64) return null
+    i = 0
+    while (i < m) {
+      val c = p.charAt(i)
+      if (c >= 128) return null
+      b.masks(c) |= 1L << i
+      b.used(b.n) = c
+      b.n += 1
+      i += 1
+    }
+    b.masks
   }
 
   /** Per-char match masks of an ASCII pattern (bit i set in masks(c) iff
@@ -59,11 +101,17 @@ object Fuzz {
     * V starts all-ones; each text char folds its match mask in with one
     * add-carry; the LCS length is the count of cleared bits among the low m.
     */
-  private[graft] def llcsBit(m: Int, masks: Array[Long], text: CharSequence): Int = {
+  private[graft] def llcsBit(m: Int, masks: Array[Long], text: CharSequence): Int =
+    llcsBitRange(m, masks, text, 0, text.length)
+
+  /** [[llcsBit]] over text[from, until) — the alignment-window form, so
+    * [[partialRatio]] scans windows without allocating a subSequence view
+    * per window (r20: ~n+m short-lived objects per scored pair). */
+  private[graft] def llcsBitRange(m: Int, masks: Array[Long],
+                                  text: CharSequence, from: Int, until: Int): Int = {
     var v = -1L
-    var j = 0
-    val n = text.length
-    while (j < n) {
+    var j = from
+    while (j < until) {
       val c = text.charAt(j)
       val mask = if (c < 128) masks(c) else 0L
       val u = v & mask
@@ -131,16 +179,17 @@ object Fuzz {
     val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
     val m = s.length
     val n = l.length
-    val masks = asciiMasks(s)
+    val masks = asciiMasksTL(s)
     var best = 0.0
     // alignment range includes partially-overlapping windows at both ends
     var start = -(m - 1)
     while (start <= n - 1 && best < 100.0) {
       val from = math.max(0, start)
       val until = math.min(n, start + m)
-      val window = l.subSequence(from, until)
-      val lcs = if (masks != null) llcsBit(m, masks, window) else llcsDp(window, s)
-      val sc = 200.0 * lcs / (m + window.length)
+      val lcs =
+        if (masks != null) llcsBitRange(m, masks, l, from, until)
+        else llcsDp(l.subSequence(from, until), s)
+      val sc = 200.0 * lcs / (m + (until - from))
       if (sc > best) best = sc
       start += 1
     }
@@ -162,8 +211,37 @@ object Fuzz {
     sb.toString.trim
   }
 
-  private def tokens(processed: String): Array[String] =
-    if (processed.isEmpty) Array.empty else processed.split(" +")
+  /** Whitespace tokenizer equivalent to `processed.split(" +")` on
+    * [[fullProcess]] output (trimmed; ' ' is the only separator char by
+    * construction) — hand-rolled because String.split with a multi-char
+    * pattern compiles a regex PER CALL, which dominated the token-set
+    * kernels' per-pair cost (r20; guide §1.2). */
+  private def tokens(processed: String): Array[String] = {
+    val len = processed.length
+    if (len == 0) return Array.empty
+    var n = 1
+    var i = 0
+    var inGap = false
+    while (i < len) {
+      val g = processed.charAt(i) == ' '
+      if (g && !inGap) n += 1
+      inGap = g
+      i += 1
+    }
+    val out = new Array[String](n)
+    var k = 0
+    var from = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || processed.charAt(i) == ' ') {
+        if (i > from) { out(k) = processed.substring(from, i); k += 1 }
+        from = i + 1
+      }
+      i += 1
+    }
+    if (k == n) out
+    else java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], k).asInstanceOf[Array[String]]
+  }
 
   /** Sorted + de-duplicated in place-ish (allocation-light). */
   private def sortedDistinct(ts: Array[String]): Array[String] = {
