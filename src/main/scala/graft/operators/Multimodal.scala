@@ -739,7 +739,7 @@ object Multimodal {
     * animated GIF (real frame decode) and minimal MP4 (real container
     * metadata parse). Encoder output is deterministic within a JVM, which
     * is all the specs and the driver gate need. */
-  private[operators] object SyntheticMedia {
+  private[graft] object SyntheticMedia {
     import java.awt.image.BufferedImage
 
     // see MediaDecoder: in-memory stream cache for the fixture encoders
@@ -1034,34 +1034,72 @@ object Multimodal {
       * pattern in TIME, closed-form in the id (single-color frames make
       * the GIF palette roundtrip exact). `repl` writes each frame `repl`
       * times — the slowed/re-timed copy whose [[MediaDecoder.videoTHash64]]
-      * is bit-identical to the original's. */
+      * is bit-identical to the original's.
+      *
+      * The container is emitted DIRECTLY (r20): the ImageIO GIF writer
+      * spends ~80 us of metadata/palette/LZW plumbing per frame — ~1.4
+      * CPU-s per 100-clip fixture pass, several passes per mm_* query —
+      * while a uniform 8x8 frame needs 75 bytes of a trivially valid GIF
+      * stream. The DECODE side (the operator under test) is untouched:
+      * these are spec-complete GIF89a bytes that ImageIO's real GIF
+      * reader frame-decodes to EXACTLY the same rasters as the
+      * writer-produced fixture did — a 256-gray global palette maps index
+      * v to (v, v, v) verbatim, pinned per frame by GifFixtureSpec and by
+      * every closed-form hash oracle downstream. LZW payload is the
+      * literal-coded form (9-bit codes, CLEAR re-emitted before the code
+      * table could force a width growth) — valid LZW any decoder accepts. */
     def gifNoise(id: Long, repl: Int = 1): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-      try {
-        writer.setOutput(ios)
-        writer.prepareWriteSequence(null)
-        var f = 0
-        while (f < 64) {
-          val b = id * 257L + f * 193L + 7L
-          val v = ((b * b) % 256).toInt
-          val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
-            y += 1
+      val bos = new java.io.ByteArrayOutputStream(8192)
+      def u16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+      bos.write("GIF89a".getBytes("US-ASCII"))
+      u16(8); u16(8)          // logical screen 8x8
+      bos.write(0xF7)          // global table, 8-bit color res, 256 entries
+      bos.write(0); bos.write(0)
+      var c = 0
+      while (c < 256) { bos.write(c); bos.write(c); bos.write(c); c += 1 } // gray ramp
+      val nPix = 64
+      var f = 0
+      while (f < 64) {
+        val b = id * 257L + f * 193L + 7L
+        val v = ((b * b) % 256).toInt
+        var r = 0
+        while (r < repl) {
+          bos.write(0x2C)      // image descriptor
+          u16(0); u16(0); u16(8); u16(8)
+          bos.write(0)         // no local color table
+          bos.write(8)         // LZW minimum code size
+          // literal-coded LZW: CLEAR(256), 64 pixel codes, EOI(257) at
+          // 9 bits each — 64 data codes never reach the 10-bit boundary
+          // (table grows 258..322), so no mid-frame CLEAR is needed
+          var acc = 0L
+          var nbits = 0
+          val block = new java.io.ByteArrayOutputStream(80)
+          def putCode(code: Int): Unit = {
+            acc |= (code.toLong & 0x1FF) << nbits
+            nbits += 9
+            while (nbits >= 8) {
+              block.write((acc & 0xFF).toInt); acc >>>= 8; nbits -= 8
+            }
           }
-          var r = 0
-          while (r < repl) {
-            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-            r += 1
+          putCode(256)         // CLEAR
+          var p = 0
+          while (p < nPix) { putCode(v); p += 1 }
+          putCode(257)         // EOI
+          if (nbits > 0) block.write((acc & 0xFF).toInt)
+          val data = block.toByteArray
+          var off = 0
+          while (off < data.length) {
+            val len = math.min(255, data.length - off)
+            bos.write(len)
+            bos.write(data, off, len)
+            off += len
           }
-          f += 1
+          bos.write(0)         // block terminator
+          r += 1
         }
-        writer.endWriteSequence()
-      } finally { writer.dispose(); ios.close() }
+        f += 1
+      }
+      bos.write(0x3B)          // trailer
       bos.toByteArray
     }
 
