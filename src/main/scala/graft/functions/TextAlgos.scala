@@ -28,10 +28,46 @@ object TextAlgos {
     z ^ (z >>> 33)
   }
 
-  /** Whitespace tokens of the lowercased text. */
-  def tokens(text: String): Array[String] =
-    if (text == null || text.isEmpty) Array.empty
-    else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+  // Java regex \s = exactly [ \t\n\x0B\f\r] (no UNICODE_CHARACTER_CLASS)
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Whitespace tokens of the lowercased text.
+    *
+    * Hand-rolled splitter (r20): the former `split("\\s+")` compiled a
+    * regex Pattern PER CALL, and this kernel sits under every shingle /
+    * minhash / simhash / n-gram path — the same per-call-Pattern cost the
+    * fuzzy kernels shed (guide §1.2). Equivalence is exact: `\s` is the
+    * ASCII class [ \t\n\x0B\f\r] and the old `.filter(_.nonEmpty)`
+    * discarded the empty leading element a whitespace-prefixed string
+    * produces, so "non-empty runs between ASCII whitespace" is the same
+    * token array (KernelPropsSpec cross-checks against the regex form). */
+  def tokens(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val lower = text.toLowerCase
+    val len = lower.length
+    var n = 0
+    var i = 0
+    var inTok = false
+    while (i < len) {
+      val w = isWs(lower.charAt(i))
+      if (!w && !inTok) n += 1
+      inTok = !w
+      i += 1
+    }
+    if (n == 0) return Array.empty
+    val out = new Array[String](n)
+    var k = 0
+    var from = -1
+    i = 0
+    while (i <= len) {
+      if (i == len || isWs(lower.charAt(i))) {
+        if (from >= 0) { out(k) = lower.substring(from, i); k += 1; from = -1 }
+      } else if (from < 0) from = i
+      i += 1
+    }
+    out
+  }
 
   /** Word n-grams as STRINGS — the exact kernel twin of the
     * `lower → \s+ split → n-windows joined by ' '` Column form
@@ -74,16 +110,37 @@ object TextAlgos {
     out
   }
 
+  /** FNV-1a of the ' '-joined token window [from, from+w) — the exact char
+    * stream `fnv1a64(ts.slice(from, from+w).mkString(" "))` hashes, without
+    * materializing the slice array and the joined string per window (r20:
+    * two allocations per shingle on every document). */
+  private def fnv1a64Window(ts: Array[String], from: Int, w: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var j = 0
+    while (j < w) {
+      if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+      val t = ts(from + j)
+      var i = 0
+      while (i < t.length) {
+        h ^= t.charAt(i).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      j += 1
+    }
+    h
+  }
+
   /** Word-level w-shingles as stable 64-bit hashes. */
   def shingles(text: String, w: Int): Array[Long] = {
     val ts = tokens(text)
     if (ts.length < w) {
-      if (ts.isEmpty) Array.empty else Array(fnv1a64(ts.mkString(" ")))
+      if (ts.isEmpty) Array.empty else Array(fnv1a64Window(ts, 0, ts.length))
     } else {
       val out = new Array[Long](ts.length - w + 1)
       var i = 0
       while (i + w <= ts.length) {
-        out(i) = fnv1a64(ts.slice(i, i + w).mkString(" "))
+        out(i) = fnv1a64Window(ts, i, w)
         i += 1
       }
       out

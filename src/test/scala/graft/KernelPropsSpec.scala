@@ -189,4 +189,38 @@ class KernelPropsSpec extends AnyFunSuite {
       c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 && selfOk
     })
   }
+
+  // r20: TextAlgos.tokens dropped its per-call regex Pattern; pin exact
+  // equivalence with the original `toLowerCase.split("\\s+").filter
+  // (_.nonEmpty)` form over whitespace-heavy and non-ASCII inputs
+  test("TextAlgos.tokens == the regex split form it replaced") {
+    val wsChars = Seq(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val piece = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf(wsChars).map(_.toString),
+      Gen.oneOf("Ärger", "ΣΙΣΥΦΟΣ", "İstanbul", "a_b-c", "", "  ", "x y"))
+    val textGen = Gen.listOf(piece).map(_.mkString)
+    check(Prop.forAllNoShrink(textGen) { text =>
+      val viaRegex: Seq[String] =
+        if (text.isEmpty) Seq.empty
+        else text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      graft.functions.TextAlgos.tokens(text).toSeq == viaRegex
+    })
+  }
+
+  test("TextAlgos.shingles == fnv1a64 over slice-and-mkString windows") {
+    import graft.functions.TextAlgos
+    val textGen = Gen.listOf(Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.const(" "), Gen.const("\tword "))).map(_.mkString)
+    check(Prop.forAllNoShrink(textGen, Gen.chooseNum(1, 4)) { (text, w) =>
+      val ts = TextAlgos.tokens(text)
+      val expected: Seq[Long] =
+        if (ts.length < w) {
+          if (ts.isEmpty) Seq.empty
+          else Seq(TextAlgos.fnv1a64(ts.mkString(" ")))
+        } else (0 to ts.length - w).map(i =>
+          TextAlgos.fnv1a64(ts.slice(i, i + w).mkString(" ")))
+      TextAlgos.shingles(text, w).toSeq == expected
+    })
+  }
 }
