@@ -220,21 +220,50 @@ object TextAlgos {
     val sh = shingles(text, w)
     if (sh.length <= 1) sh
     else {
-      val d = sh.distinct
-      java.util.Arrays.sort(d)
-      d
+      // sort-then-dedupe-adjacent, in place: [[shingles]] allocates a fresh
+      // array per call, and Array[Long].distinct boxes every element into a
+      // HashSet — same sorted distinct values, one allocation, no boxing
+      java.util.Arrays.sort(sh)
+      var n = 1
+      var i = 1
+      while (i < sh.length) {
+        if (sh(i) != sh(n - 1)) { sh(n) = sh(i); n += 1 }
+        i += 1
+      }
+      if (n == sh.length) sh else java.util.Arrays.copyOf(sh, n)
     }
   }
 
+  /** |a ∩ b| of two SORTED distinct long arrays ([[shingleSet]] outputs):
+    * one merge pass, no hash set, no intersection array — the per-pair
+    * kernel behind the dedup verify legs, where Spark's `array_intersect`
+    * built a hash relation and materialized the intersection per row only
+    * for `size()` to count it. */
+  def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i)
+      val y = b(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { n += 1; i += 1; j += 1 }
+    }
+    n
+  }
+
   /** Jaccard similarity of word w-shingle sets (exact, for oracle-able
-    * pairwise checks and as the MinHash ground truth). */
+    * pairwise checks and as the MinHash ground truth). Merge-counted over
+    * the sorted [[shingleSet]] forms — |set| and |intersection| are the
+    * same numbers the old Scala-Set formulation produced. */
   def ngramJaccard(a: String, b: String, w: Int): Double = {
-    val sa = shingles(a, w).toSet
-    val sb = shingles(b, w).toSet
+    val sa = shingleSet(a, w)
+    val sb = shingleSet(b, w)
     if (sa.isEmpty && sb.isEmpty) return 1.0
     if (sa.isEmpty || sb.isEmpty) return 0.0
-    val inter = sa.intersect(sb).size
-    inter.toDouble / (sa.size + sb.size - inter)
+    val inter = sortedIntersectCount(sa, sb)
+    inter.toDouble / (sa.length + sb.length - inter)
   }
 
   /** Rolling (Rabin-Karp style, base 257 mod 2^61-1) document fingerprint:

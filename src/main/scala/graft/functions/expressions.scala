@@ -269,6 +269,28 @@ case class WordShingles(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** |a ∩ b| of two SORTED distinct long arrays — the [[ShingleSet]]-output
+  * intersection cardinality as one codegen merge pass. Replaces
+  * `size(array_intersect(a, b))` in the dedup verify legs, which built a
+  * hash relation and materialized the intersection array per candidate
+  * pair only for `size` to count it. Inputs MUST be sorted distinct
+  * (ShingleSet guarantees it); KernelPropsSpec pins equivalence with the
+  * set-intersection form. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextAlgos.sortedIntersectCount(
+      a.asInstanceOf[ArrayData].toLongArray(), b.asInstanceOf[ArrayData].toLongArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextAlgos.sortedIntersectCount($a.toLongArray(), $b.toLongArray())")
+  override def prettyName: String = "sorted_intersect_count"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Exact word-w-shingle Jaccard similarity of two texts. */
 case class NGramJaccard(first: Expression, second: Expression, third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with ExpectsInputTypes {

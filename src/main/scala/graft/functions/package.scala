@@ -44,6 +44,8 @@ package object functions {
   def lsh_bands(sig: Column, rowsPerBand: Column): Column = c(LshBands(e(sig), e(rowsPerBand)))
   def ngram_jaccard(a: Column, b: Column, w: Column): Column = c(NGramJaccard(e(a), e(b), e(w)))
   def shingle_set(a: Column, w: Column): Column = c(ShingleSet(e(a), e(w)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    c(SortedIntersectCount(e(a), e(b)))
   def ngram_array(a: Column, n: Column): Column = c(NgramArray(e(a), e(n)))
   def word_shingles(a: Column, w: Column): Column = c(WordShingles(e(a), e(w)))
 
@@ -118,6 +120,7 @@ package object functions {
     reg2("lsh_bands", a => LshBands(a(0), a(1)))
     reg2("ngram_jaccard", a => NGramJaccard(a(0), a(1), a(2)))
     reg2("shingle_set", a => ShingleSet(a(0), a(1)))
+    reg2("sorted_intersect_count", a => SortedIntersectCount(a(0), a(1)))
     reg2("word_shingles", a => WordShingles(a(0), a(1)))
     reg2("cosine_sim", a => CosineSim(a(0), a(1)))
     reg2("hyperplane_bucket", a => HyperplaneBucket(a(0), a(1), a(2)))

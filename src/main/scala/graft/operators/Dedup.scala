@@ -319,13 +319,14 @@ object Dedup {
         val c = minhashCandidates(nonEmpty, textCol, idCol, shingleW, numHashes,
           bands, maxBucketSize, metricTag).localCheckpoint()
         // verify on precomputed sorted shingle sets (the ngramJaccardPairs
-        // trick): array_intersect per candidate beats re-tokenizing both texts
+        // trick): a sorted-merge intersect count per candidate beats
+        // re-tokenizing both texts
         val sets = nonEmpty.select(col(idCol).as("id"),
           shingle_set(col(textCol), lit(shingleW)).as("ss"))
         val v = c
           .join(sets.withColumnsRenamed(Map("id" -> "id_a", "ss" -> "ss_a")), "id_a")
           .join(sets.withColumnsRenamed(Map("id" -> "id_b", "ss" -> "ss_b")), "id_b")
-          .withColumn("inter", size(array_intersect(col("ss_a"), col("ss_b"))))
+          .withColumn("inter", sorted_intersect_count(col("ss_a"), col("ss_b")))
           .withColumn("jaccard", col("inter").cast("double") /
             (size(col("ss_a")) + size(col("ss_b")) - col("inter")))
           .filter(col("jaccard") >= jaccardThreshold)
@@ -450,14 +451,15 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // verify on the precomputed shingle SETS (sorted long arrays), not the
-    // raw texts: array_intersect per surviving pair beats re-tokenizing and
-    // re-hashing both documents per pair by ~an order of magnitude
+    // raw texts: a sorted-merge intersect count per surviving pair beats
+    // re-tokenizing and re-hashing both documents per pair by ~an order
+    // of magnitude
     val sets = df.select(col(idCol).as("id"),
       shingle_set(col(textCol), lit(shingleW)).as("ss"))
     cand
       .join(sets.withColumnsRenamed(Map("id" -> "id_a", "ss" -> "ss_a")), "id_a")
       .join(sets.withColumnsRenamed(Map("id" -> "id_b", "ss" -> "ss_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("ss_a"), col("ss_b"))))
+      .withColumn("inter", sorted_intersect_count(col("ss_a"), col("ss_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("ss_a")) + size(col("ss_b")) - col("inter")))
       .filter(col("jaccard") >= jaccardThreshold)
@@ -535,7 +537,7 @@ object Dedup {
       .join(sets.withColumnsRenamed(Map("id" -> "id_a", "ss" -> "ss_a")), "id_a")
       .join(sets.withColumnsRenamed(Map("id" -> "id_b", "ss" -> "ss_b")), "id_b")
       .withColumn("containment",
-        size(array_intersect(col("ss_a"), col("ss_b"))).cast("double") /
+        sorted_intersect_count(col("ss_a"), col("ss_b")).cast("double") /
           size(col("ss_a")))
       .filter(col("containment") >= tau)
       .select(col("id_a"), col("id_b"), col("containment"))

@@ -208,6 +208,46 @@ class KernelPropsSpec extends AnyFunSuite {
     })
   }
 
+  // r20: shingleSet dropped the boxing Array.distinct and the verify legs
+  // replaced size(array_intersect) with a sorted-merge count — pin both
+  // against their set-semantics reference forms
+  test("TextAlgos.shingleSet == sorted distinct of shingles") {
+    import graft.functions.TextAlgos
+    val textGen = Gen.listOf(Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.const(" "), Gen.const("dup word "))).map(_.mkString)
+    check(Prop.forAllNoShrink(textGen, Gen.chooseNum(1, 4)) { (text, w) =>
+      val expected = TextAlgos.shingles(text, w).distinct.sorted.toSeq
+      TextAlgos.shingleSet(text, w).toSeq == expected
+    })
+  }
+
+  test("TextAlgos.sortedIntersectCount == set-intersection cardinality") {
+    import graft.functions.TextAlgos
+    val setGen = Gen.listOf(Gen.chooseNum(-20L, 20L))
+      .map(_.distinct.sorted.toArray)
+    check(Prop.forAllNoShrink(setGen, setGen) { (a, b) =>
+      TextAlgos.sortedIntersectCount(a, b) == a.toSet.intersect(b.toSet).size
+    })
+  }
+
+  test("TextAlgos.ngramJaccard == the Scala-Set form it replaced") {
+    import graft.functions.TextAlgos
+    val textGen = Gen.listOf(Gen.oneOf(Gen.alphaNumStr.map(_.take(5)),
+      Gen.const(" "), Gen.const("shared phrase "))).map(_.mkString)
+    check(Prop.forAllNoShrink(textGen, textGen, Gen.chooseNum(1, 4)) { (a, b, w) =>
+      val sa = TextAlgos.shingles(a, w).toSet
+      val sb = TextAlgos.shingles(b, w).toSet
+      val expected =
+        if (sa.isEmpty && sb.isEmpty) 1.0
+        else if (sa.isEmpty || sb.isEmpty) 0.0
+        else {
+          val inter = sa.intersect(sb).size
+          inter.toDouble / (sa.size + sb.size - inter)
+        }
+      TextAlgos.ngramJaccard(a, b, w) == expected
+    })
+  }
+
   test("TextAlgos.shingles == fnv1a64 over slice-and-mkString windows") {
     import graft.functions.TextAlgos
     val textGen = Gen.listOf(Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
